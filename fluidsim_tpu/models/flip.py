@@ -1,0 +1,246 @@
+"""PIC+FLIP incompressible liquid solver — the TPU-native ``fluid.cc``.
+
+One fully-jitted ``step`` reproduces the reference frame
+(``fluid.cc:1368-1506``):
+
+  P2G transfer -> occupancy -> [pressure projection do-while] ->
+  FLIP delta gather -> CFL dt -> advect with solid bounce
+
+All state lives in one pytree of dense HBM arrays; there are no host
+round-trips inside a frame.  The pressure projection keeps the reference's
+outer divergence-correction loop (rel-err <= 0.1, ``fluid.cc:1484``) and its
+quirks (``velUpdate`` at ``dt/10`` strength, gravity re-applied per outer
+pass) — this is the behaviour the reference's renders exhibit, so parity
+requires it.  The Eigen IncompleteCholesky-PCG is replaced by a matrix-free
+Jacobi-PCG over the dense grid (``ops.pressure`` + ``ops.pcg``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fluidsim_tpu.core.gridspec import cell_center_velocity, flat_index
+from fluidsim_tpu.core.splines import cround, cround_out
+from fluidsim_tpu.ops import transfer
+from fluidsim_tpu.ops import pressure as pr
+from fluidsim_tpu.ops.pcg import pcg, jacobi_preconditioner
+from fluidsim_tpu.scenes import Scene, get_scene
+from fluidsim_tpu.seeding import seed_particles
+
+
+@dataclasses.dataclass(frozen=True)
+class FlipParams:
+    """Static solver configuration (hashable; closed over by the jitted step).
+
+    Defaults mirror the reference constants: dt cap 0.1 (``fluid.cc:1367``),
+    rho=1, dx=1 (``fluid.cc:1358,1471``), gravity (0,-10,0)
+    (``fluid.cc:1357``), outer tolerance 0.1 (``fluid.cc:1484``), bounce
+    restitution 0 for FLIP / 0.5 for PIC (``fluid.cc:974,906``).
+    """
+
+    bound: int = 60
+    wall: int = 58
+    dx: float = 1.0
+    rho: float = 1.0
+    max_dt: float = 0.1
+    gravity: Tuple[float, float, float] = (0.0, -10.0, 0.0)
+    outer_tol: float = 0.1
+    max_outer: int = 100
+    pcg_rtol: float = 1e-5
+    pcg_maxiter: int = 400
+    mode: str = "flip"          # "flip" (e=0) or "pic" (e=0.5)
+    kernel: str = "flip"
+    compat_projection: bool = True   # keep dt/10 + per-pass gravity quirks
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FlipState:
+    pos: jax.Array       # (P, 3) positions, index space
+    vel: jax.Array       # (P, 3) velocities
+    dt: jax.Array        # () — CFL dt carried across frames (fluid.cc:1490)
+    t: jax.Array         # () — accumulated simulation time
+    frame: jax.Array     # () int32
+
+
+def lookup_bool(grid, cells, bound: int):
+    """Read a bool grid at integer coords; out-of-box reads the OpenVDB
+    background (False)."""
+    n = 2 * bound + 1
+    inb = jnp.all(jnp.abs(cells) <= bound, axis=-1)
+    idx = jnp.clip(cells + bound, 0, n - 1)
+    return grid.reshape(-1)[flat_index(idx, n)] & inb
+
+
+def advect_bounce(pos, vel, dt, solid, bound: int, e: float, rounding: str):
+    """Advection with per-axis solid bounce (``FLIPadvect``,
+    ``fluid.cc:1000-1036`` / ``mpm.cc:934-966``).
+
+    ``rounding``: "round" = C round() (fluid.cc), "out" = ceil/floor away
+    from zero (mpm.cc FLIPadvect).  The per-axis probe mixes the rounded
+    moved coordinate on the probed axis with the *truncated* original
+    position on the others (the reference passes doubles to the int Coord
+    constructor, ``fluid.cc:951-959``).
+    """
+    rnd = cround if rounding == "round" else cround_out
+    pnew = pos + dt * vel
+    r = rnd(pnew).astype(jnp.int32)
+    hit = lookup_bool(solid, r, bound)
+
+    ptrunc = jnp.trunc(pos).astype(jnp.int32)
+    velm = []
+    for d in range(3):
+        probe = ptrunc.at[:, d].set(r[:, d])
+        hit_d = lookup_bool(solid, probe, bound)
+        velm.append(jnp.where(hit & hit_d, -e * vel[:, d], vel[:, d]))
+    velm = jnp.stack(velm, axis=-1)
+    pos_out = jnp.where(hit[:, None], pos + velm * dt, pnew)
+    return pos_out, velm
+
+
+def project(params: FlipParams, velg, fluid, solid, dt):
+    """The reference's pressure do-while (``fluid.cc:1457-1484``).
+
+    Returns (velg', err, n_outer, cg_iters_total, div_rms).
+    """
+    g = jnp.asarray(params.gravity, velg.dtype)
+    dx, rho = params.dx, params.rho
+    adiag = pr.laplacian_diag(fluid, solid, dt, rho, dx, dtype=velg.dtype)
+    apply_a = lambda p: pr.apply_laplacian(p, adiag, fluid, dt, rho, dx)
+    precond = jacobi_preconditioner(adiag, mask=fluid)
+
+    def norm(x):
+        return jnp.sqrt(jnp.sum((x * x).astype(jnp.float32)))
+
+    def one_pass(velg):
+        rhs = pr.set_rhs(velg, fluid, solid, g, dt, dx)
+        b = pr.divergence_rhs(velg, rhs, fluid, solid, dx)
+        res = pcg(apply_a, b, precond=precond,
+                  rtol=params.pcg_rtol, maxiter=params.pcg_maxiter)
+        velg2 = pr.vel_update(velg, res.x, fluid, solid, g, dt, rho, dx)
+        rhs2 = pr.set_rhs(velg2, fluid, solid, g, dt, dx)
+        b2 = pr.divergence_rhs(velg2, rhs2, fluid, solid, dx)
+        bn = norm(b)
+        err = jnp.where(bn > 0, norm(b - b2) / jnp.where(bn > 0, bn, 1.0), 0.0)
+        return velg2, err, res.iters, b2
+
+    def body(carry):
+        velg, _, n, cg_tot, _ = carry
+        velg, err, iters, b2 = one_pass(velg)
+        return velg, err, n + 1, cg_tot + iters, b2
+
+    init = body((velg, jnp.inf, jnp.zeros((), jnp.int32),
+                 jnp.zeros((), jnp.int32), jnp.zeros_like(velg[..., 0])))
+
+    def cond(carry):
+        _, err, n, _, _ = carry
+        return (err > params.outer_tol) & (n < params.max_outer)
+
+    velg, err, n, cg_tot, b2 = jax.lax.while_loop(cond, body, init)
+    nfluid = jnp.maximum(jnp.sum(fluid), 1)
+    div_rms = norm(b2) / jnp.sqrt(nfluid.astype(jnp.float32))
+    return velg, err, n, cg_tot, div_rms
+
+
+def flip_step(params: FlipParams, solid, state: FlipState):
+    """One frame (``fluid.cc:1368-1506``). Fully jittable."""
+    B, wall = params.bound, params.wall
+    pos, vel, dt = state.pos, state.vel, state.dt
+
+    # -- P2G (fluid.cc:1384) --
+    weights, mom = transfer.p2g_velocity(pos, vel, solid, B, params.kernel)
+    velg = transfer.normalize_velocity(weights, mom)
+
+    # -- occupancy (fluid.cc:1413) --
+    occ = transfer.p2g_mass(pos, solid, B, params.kernel)
+    fluid = (occ > 0) & (~solid)
+
+    velb = velg  # velBeforeUpdate (fluid.cc:1455)
+
+    # -- pressure projection do-while (fluid.cc:1457-1484) --
+    velg, err, n_outer, cg_iters, div_rms = project(params, velg, fluid, solid, dt)
+
+    # -- FLIP / PIC grid-to-particle (fluid.cc:1490) --
+    vc_new = cell_center_velocity(velg)
+    if params.mode == "flip":
+        vc_old = cell_center_velocity(velb)
+        delta = transfer.g2p_flip_delta(pos, vc_new, vc_old, B, wall, params.kernel)
+        vel = vel + delta
+        e = 0.0
+    else:
+        vel = transfer.g2p_gather(pos, vc_new, B, wall, params.kernel)
+        e = 0.5
+
+    # -- CFL (fluid.cc:992-999) --
+    speed = jnp.sqrt(jnp.sum(vel * vel, axis=-1))
+    max_speed = jnp.max(speed)
+    dt_new = jnp.where(max_speed != 0,
+                       jnp.minimum(params.max_dt, params.dx / max_speed),
+                       params.max_dt)
+
+    # -- advect + bounce (fluid.cc:1000-1036) --
+    pos, vel = advect_bounce(pos, vel, dt_new, solid, B, e, rounding="round")
+
+    new_state = FlipState(pos=pos, vel=vel, dt=dt_new,
+                          t=state.t + dt_new, frame=state.frame + 1)
+    metrics = {
+        "error": err,
+        "dt_used": dt,
+        "outer_iters": n_outer,
+        "cg_iters": cg_iters,
+        "dt": dt_new,
+        "max_speed": max_speed,
+        "kinetic_energy": 0.5 * jnp.sum((vel * vel).astype(jnp.float32)),
+        "div_rms": div_rms,
+        "num_fluid_cells": jnp.sum(fluid),
+        "occupancy": occ,
+    }
+    return new_state, metrics
+
+
+class FlipSim:
+    """Host-side driver: owns the jitted step, the frame loop, and export."""
+
+    def __init__(self, scene: Scene | str = "water_cube_drop",
+                 params: FlipParams | None = None, seed: int = 0,
+                 dtype=jnp.float32, seeder=seed_particles, **scene_kwargs):
+        if isinstance(scene, str):
+            scene = get_scene(scene, **scene_kwargs)
+        if params is None:
+            params = FlipParams(bound=scene.spec.bound, wall=scene.spec.wall,
+                                dx=scene.spec.dx,
+                                gravity=tuple(scene.gravity))
+        self.scene = scene
+        self.params = params
+        self.solid = jnp.asarray(scene.solid)
+        pos, vel = seeder(scene, seed=seed, dtype=np.dtype(dtype).name)
+        self.state = FlipState(
+            pos=jnp.asarray(pos, dtype), vel=jnp.asarray(vel, dtype),
+            dt=jnp.asarray(params.max_dt, dtype),
+            t=jnp.zeros((), dtype), frame=jnp.zeros((), jnp.int32))
+        self._step = jax.jit(partial(flip_step, params), donate_argnums=(1,))
+
+    @property
+    def num_particles(self) -> int:
+        return int(self.state.pos.shape[0])
+
+    def step(self) -> Dict[str, Any]:
+        self.state, metrics = self._step(self.solid, self.state)
+        return metrics
+
+    def run(self, frames: int, callback=None):
+        """Frame loop (``fluid.cc:1368``); callback(frame, state, metrics)
+        runs host-side (export, logging)."""
+        out = None
+        for _ in range(frames):
+            metrics = self.step()
+            if callback is not None:
+                callback(int(self.state.frame) - 1, self.state, metrics)
+            out = metrics
+        return out

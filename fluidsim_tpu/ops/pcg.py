@@ -1,0 +1,90 @@
+"""Jitted preconditioned conjugate gradient over dense grid fields.
+
+Replaces ``Eigen::ConjugateGradient<..., IncompleteCholesky>``
+(``fluid.cc:1352,1473-1474``; ``mpm.cc:1283,1404-1405``) with a matrix-free
+PCG in a ``lax.while_loop``: the operator is any jittable linear map (the
+7-point stencil apply, or an MPM JVP Hessian-vector product), dot products
+are masked full-grid reductions, and the preconditioner defaults to Jacobi
+(diagonal).  Everything runs on-device; no sparse assembly ever exists.
+
+The quality bar set by the reference is loose (its outer divergence loop only
+requires a 0.1 relative error, ``fluid.cc:1484``), but the inner solve runs
+to ``rtol`` so the physics doesn't drift from solver noise.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PCGResult(NamedTuple):
+    x: jax.Array
+    iters: jax.Array
+    residual: jax.Array  # final ||r|| (unpreconditioned)
+
+
+def _dot(a, b):
+    # f32 pairwise tree reduction in XLA is accurate enough at 128^3; promote
+    # the accumulator explicitly so bf16 inputs don't lose the sum.
+    return jnp.sum((a * b).astype(jnp.float32))
+
+
+def pcg(apply_a: Callable, b, x0=None, precond: Callable | None = None,
+        rtol: float = 1e-5, atol: float = 0.0, maxiter: int = 200) -> PCGResult:
+    """Solve ``A x = b`` with (Jacobi-)preconditioned CG.
+
+    Args:
+      apply_a: linear operator; any pytree-shaped operand (typically (N,N,N)).
+      b: right-hand side (must be in the operator's range-mask already).
+      precond: approximate inverse of A (e.g. ``lambda r: r / adiag``).
+    """
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if precond is None:
+        precond = lambda r: r
+
+    bnorm2 = _dot(b, b)
+    tol2 = jnp.maximum(rtol * rtol * bnorm2, atol * atol)
+
+    r0 = b - apply_a(x0)
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = _dot(r0, z0)
+
+    def cond(state):
+        _, r, _, _, k = state
+        return (_dot(r, r) > tol2) & (k < maxiter)
+
+    def body(state):
+        x, r, p, rz, k = state
+        ap = apply_a(p)
+        denom = _dot(p, ap)
+        alpha = jnp.where(denom != 0, rz / jnp.where(denom != 0, denom, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = precond(r)
+        rz_new = _dot(r, z)
+        beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+        p = z + beta * p
+        return x, r, p, rz_new, k + 1
+
+    x, r, _, _, k = jax.lax.while_loop(
+        cond, body, (x0, r0, p0, rz0, jnp.zeros((), jnp.int32)))
+    return PCGResult(x=x, iters=k, residual=jnp.sqrt(_dot(r, r)))
+
+
+def jacobi_preconditioner(diag, mask=None):
+    """z = r / diag where diag > 0 (identity elsewhere)."""
+    safe = jnp.where(diag > 0, diag, 1.0)
+
+    def apply(r):
+        z = r / safe
+        if mask is not None:
+            z = jnp.where(mask, z, 0.0)
+        return z
+
+    return apply
