@@ -1,0 +1,256 @@
+"""Semi-implicit snow-style Material Point Method — the TPU-native ``mpm.cc``.
+
+One fully-jitted ``step`` reproduces the reference frame
+(``mpm.cc:1301-1434``):
+
+  mass P2G -> velocity P2G (mass-normalised) -> [volume at frame 0] ->
+  explicit grid forces -> implicit velocity solve -> deformation-gradient
+  update with SVD-clamped plasticity -> FLIP advect
+
+The headline TPU-native simplification: the reference assembles the force
+Hessian particle-by-particle into a ``std::map`` of 3x3 blocks through ~170
+lines of hand-derived tensor calculus (``deformHeader.h:107-272``,
+``mpm.cc:647-701``, serial, O(27^2) node pairs per particle).  Here the
+implicit system ``A v = v + beta dt^2 (1/m) d2Psi/dx2 v`` is applied
+matrix-free: ``jax.jvp`` of the grid-force function (with a custom-JVP polar
+rotation, ``ops.svd3``) yields the exact same Hessian-vector product, fully
+batched, inside a jitted CG.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fluidsim_tpu.core.gridspec import cell_center_velocity, flat_index
+from fluidsim_tpu.core.splines import grad_w_mpm
+from fluidsim_tpu.ops import transfer
+from fluidsim_tpu.ops.pcg import pcg
+from fluidsim_tpu.ops.svd3 import (piola_corotated, hardening, clamp_singular, det3)
+from fluidsim_tpu.models.flip import advect_bounce
+from fluidsim_tpu.scenes import Scene, get_scene
+from fluidsim_tpu.seeding import seed_particles
+
+
+@dataclasses.dataclass(frozen=True)
+class MpmParams:
+    """Reference constants: ``mpm.cc:1298,1395-1399,1412`` and walls at
+    ``|c| > 13`` (``mpm.cc:1193``)."""
+
+    bound: int = 15
+    wall: int = 13
+    dx: float = 1.0
+    E: float = 48000.0
+    nu: float = 0.47
+    beta: float = 0.5               # semi-implicitness (mpm.cc:1397)
+    hardening_eps: float = 10.0     # epsilon (mpm.cc:1399)
+    theta_c: float = 0.025          # compression clamp (mpm.cc:1412)
+    theta_s: float = 0.0075         # stretch clamp (mpm.cc:1412)
+    max_dt: float = 0.001           # dt cap (mpm.cc:1298,1418)
+    gravity: Tuple[float, float, float] = (0.0, -10.0, 0.0)
+    mass_threshold: float = 0.1     # active-cell cut (mpm.cc:392,1359)
+    cg_rtol: float = 1e-6
+    cg_maxiter: int = 1000
+    kernel: str = "mpm"
+
+    @property
+    def mu0(self) -> float:
+        return self.E / (2.0 * (1.0 + self.nu))
+
+    @property
+    def lam0(self) -> float:
+        return self.E * self.nu / ((1.0 + self.nu) * (1.0 - 2.0 * self.nu))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MpmState:
+    pos: jax.Array        # (P, 3)
+    vel: jax.Array        # (P, 3)
+    FE: jax.Array         # (P, 3, 3) elastic deformation gradient
+    FP: jax.Array         # (P, 3, 3) plastic deformation gradient
+    volume: jax.Array     # (P,) per-particle volume (mpm.cc:739-772)
+    dt: jax.Array         # ()
+    t: jax.Array          # ()
+    frame: jax.Array      # () int32
+
+
+def _particle_nodes(pos, solid, bound: int):
+    """Shared stencil data: node ids, validity masks, MPM weights+gradients."""
+    n = 2 * bound + 1
+    cells, inb = transfer.particle_stencil(pos, bound)
+    delta = pos[:, None, :] - cells.astype(pos.dtype)
+    w, gradw = grad_w_mpm(delta)           # deformHeader.h:90-105 convention
+    idx = jnp.clip(cells + bound, 0, n - 1)
+    ids = flat_index(idx, n)
+    not_solid = ~solid.reshape(-1)[ids] & inb
+    return ids, inb, not_solid, w, gradw
+
+
+def make_force_fn(ids, gather_mask, scatter_mask, gradw, FE, volume, mu, lam, n3):
+    """Grid elastic force as a function of a grid displacement increment ``u``.
+
+    ``forces(0)`` is the reference's explicit force scatter
+    (``populateGridForces``, ``mpm.cc:596-644``): ``f_i -= V sigma gradW_i``
+    with ``sigma = P(FE) FE^T`` (== ``getSigma``).  ``jax.jvp`` at 0 is the
+    reference's Hessian-vector product: moving node j by ``u_j`` perturbs
+    ``FE`` by ``(u_j gradW_j^T) FE`` (``getDelFE``), and the custom-JVP polar
+    rotation supplies ``dR`` (``getDelR``) — so the chain rule reproduces
+    ``dPsydFdF``/``getdPsydx2`` (``deformHeader.h:241-272``) exactly.
+    """
+    fe_t = jnp.swapaxes(FE, -1, -2)
+    gm = gather_mask[..., None].astype(FE.dtype)
+    sm = scatter_mask[..., None].astype(FE.dtype)
+
+    def forces(u_flat):
+        u_nodes = u_flat[ids] * gm                      # (P, 27, 3)
+        g = jnp.einsum("pkd,pke->pde", u_nodes, gradw)  # velocity-gradient-like
+        fe_new = FE + g @ FE
+        p_stress = piola_corotated(fe_new, mu, lam)
+        sigma = p_stress @ fe_t
+        f_pk = -volume[:, None, None] * jnp.einsum("pde,pke->pkd", sigma, gradw)
+        return jnp.zeros((n3, 3), FE.dtype).at[ids.reshape(-1)].add(
+            (f_pk * sm).reshape(-1, 3))
+
+    return forces
+
+
+def mpm_step(params: MpmParams, solid, state: MpmState):
+    """One frame (``mpm.cc:1301-1434``). Fully jittable."""
+    B, n = params.bound, 2 * params.bound + 1
+    n3 = n * n * n
+    pos, vel, dt = state.pos, state.vel, state.dt
+    g = jnp.asarray(params.gravity, pos.dtype)
+
+    # -- mass P2G (PointList::interpolate, mpm.cc:1343) --
+    mass = transfer.p2g_mass(pos, solid, B, params.kernel)
+
+    # -- velocity P2G normalised by the MASS grid with threshold
+    #    (P2Gtransfer, mpm.cc:1344,996-1015) --
+    _, mom = transfer.p2g_velocity(pos, vel, solid, B, params.kernel)
+    thr = params.mass_threshold
+    velg = jnp.where((mass > thr)[..., None],
+                     mom / jnp.where(mass > thr, mass, 1.0)[..., None], 0.0)
+
+    # -- per-particle volume, frame 0 only (findVolume, mpm.cc:1345-1348) --
+    ids, inb, not_solid, w, gradw = _particle_nodes(pos, solid, B)
+    dens = jnp.sum(jnp.where(not_solid, w * mass.reshape(-1)[ids], 0.0), axis=1)
+    vol0 = 1.0 / jnp.where(dens > 0, dens, 1.0)
+    volume = jnp.where(state.frame == 0, vol0, state.volume)
+
+    active = (mass > thr) & (~solid)
+    velb = velg                                    # velBeforeUpdate (mpm.cc:1394)
+
+    # -- explicit forces + implicit solve (mpm.cc:1399-1405) --
+    mu, lam = hardening(params.mu0, params.lam0, params.hardening_eps,
+                        det3(state.FP))
+    active_flat = active.reshape(-1)
+    gather_mask = active_flat[ids] & inb           # Hessian column mask (mpm.cc:681)
+    forces = make_force_fn(ids, gather_mask, not_solid, gradw,
+                           state.FE, volume, mu, lam, n3)
+    f0 = forces(jnp.zeros((n3, 3), pos.dtype))
+
+    mass_safe = jnp.where(active, mass, 1.0)[..., None]
+    b = jnp.where(active[..., None],
+                  velg + dt * (f0.reshape(n, n, n, 3) / mass_safe + g), 0.0)
+
+    beta_dt2 = params.beta * dt * dt
+    zeros_u = jnp.zeros((n3, 3), pos.dtype)
+
+    def matvec(wv):
+        wm = jnp.where(active[..., None], wv, 0.0)
+        _, df = jax.jvp(forces, (zeros_u,), (wm.reshape(n3, 3),))
+        out = wv + beta_dt2 * (-df.reshape(n, n, n, 3)) / mass_safe
+        return jnp.where(active[..., None], out, wv)
+
+    res = pcg(matvec, b, rtol=params.cg_rtol, maxiter=params.cg_maxiter)
+    velg = jnp.where(active[..., None], res.x, 0.0)  # updateVelocity, mpm.cc:705-737
+
+    # -- deformation gradient update (mpm.cc:493-586) --
+    v_nodes = velg.reshape(n3, 3)[ids] * not_solid[..., None].astype(pos.dtype)
+    gradv = jnp.einsum("pkd,pke->pde", v_nodes, gradw)
+    eye = jnp.eye(3, dtype=pos.dtype)
+    t_fe = (eye + dt * gradv) @ state.FE
+    f_total = t_fe @ state.FP
+    fe_new, v_sinv_ut = clamp_singular(t_fe, 1.0 - params.theta_c,
+                                       1.0 + params.theta_s)
+    fp_new = v_sinv_ut @ f_total
+
+    # -- FLIP advect (mpm.cc:1418, FLIPadvect 906-968) --
+    vc_new = cell_center_velocity(velg)
+    vc_old = cell_center_velocity(velb)
+    delta = transfer.g2p_flip_delta(pos, vc_new, vc_old, B, params.wall,
+                                    params.kernel)
+    vel = vel + delta
+    speed = jnp.sqrt(jnp.sum(vel * vel, axis=-1))
+    max_speed = jnp.max(speed)
+    dt_new = jnp.where(max_speed != 0,
+                       jnp.minimum(params.max_dt, params.dx / max_speed),
+                       params.max_dt)
+    pos, vel = advect_bounce(pos, vel, dt_new, solid, B, e=0.0, rounding="out")
+
+    new_state = MpmState(pos=pos, vel=vel, FE=fe_new, FP=fp_new, volume=volume,
+                         dt=dt_new, t=state.t + dt_new, frame=state.frame + 1)
+    metrics = {
+        "cg_iters": res.iters,
+        "cg_residual": res.residual,
+        "dt": dt_new,
+        "dt_used": dt,
+        "max_speed": max_speed,
+        "kinetic_energy": 0.5 * jnp.sum((vel * vel).astype(jnp.float32)),
+        "max_gradv": jnp.max(jnp.abs(gradv)),
+        "max_det_fp": jnp.max(det3(fp_new)),
+        "min_det_fp": jnp.min(det3(fp_new)),
+        "max_det_fe": jnp.max(det3(fe_new)),
+        "num_active_cells": jnp.sum(active),
+        "occupancy": mass,
+    }
+    return new_state, metrics
+
+
+class MpmSim:
+    """Host-side driver mirroring ``FlipSim``."""
+
+    def __init__(self, scene: Scene | str = "mpm_cone",
+                 params: MpmParams | None = None, seed: int = 0,
+                 dtype=jnp.float32, seeder=seed_particles, **scene_kwargs):
+        if isinstance(scene, str):
+            scene = get_scene(scene, **scene_kwargs)
+        if params is None:
+            params = MpmParams(bound=scene.spec.bound, wall=scene.spec.wall,
+                               dx=scene.spec.dx, gravity=tuple(scene.gravity))
+        self.scene = scene
+        self.params = params
+        self.solid = jnp.asarray(scene.solid)
+        pos, vel = seeder(scene, seed=seed, dtype=np.dtype(dtype).name)
+        p = pos.shape[0]
+        eye = np.broadcast_to(np.eye(3, dtype=dtype), (p, 3, 3)).copy()
+        self.state = MpmState(
+            pos=jnp.asarray(pos, dtype), vel=jnp.asarray(vel, dtype),
+            FE=jnp.asarray(eye), FP=jnp.asarray(eye),
+            volume=jnp.zeros((p,), dtype),
+            dt=jnp.asarray(params.max_dt, dtype),
+            t=jnp.zeros((), dtype), frame=jnp.zeros((), jnp.int32))
+        self._step = jax.jit(partial(mpm_step, params), donate_argnums=(1,))
+
+    @property
+    def num_particles(self) -> int:
+        return int(self.state.pos.shape[0])
+
+    def step(self):
+        self.state, metrics = self._step(self.solid, self.state)
+        return metrics
+
+    def run(self, frames: int, callback=None):
+        out = None
+        for _ in range(frames):
+            metrics = self.step()
+            if callback is not None:
+                callback(int(self.state.frame) - 1, self.state, metrics)
+            out = metrics
+        return out
