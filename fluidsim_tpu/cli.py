@@ -1,0 +1,164 @@
+"""Command-line interface — the framework's ``run.sh {fluid,mpm}``
+(``run.sh:3-7``) plus the inspection tools the reference gets from
+``vdb_print`` (``openvdb/cmd/openvdb_print``).
+
+  python -m fluidsim_tpu.cli fluid  [--scene water_cube_drop] [--frames 500] ...
+  python -m fluidsim_tpu.cli mpm    [--scene mpm_cone] ...
+  python -m fluidsim_tpu.cli print  simulation/mygrids0.vdb
+  python -m fluidsim_tpu.cli scenes
+
+Per frame the output grid is written to ``<out>/mygrids<i>.vdb`` and all
+frames are accumulated into ``<out>/mygrids.vdb``, matching the reference's
+output layout (``fluid.cc:1364-1371,1503-1509``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def _add_run_args(p):
+    p.add_argument("--frames", type=int, default=500)
+    p.add_argument("--out", default="simulation",
+                   help="output directory for per-frame .vdb files")
+    p.add_argument("--no-vdb", action="store_true", help="skip VDB export")
+    p.add_argument("--no-accum", action="store_true",
+                   help="skip the accumulated mygrids.vdb (large)")
+    p.add_argument("--metrics", default=None, help="JSONL metrics path")
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", default=None, help="checkpoint to resume from")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bound", type=int, default=None,
+                   help="override scene size (e.g. 63 for a 127^3 box)")
+    p.add_argument("--density", type=float, default=None)
+    p.add_argument("--echo-every", type=int, default=1)
+
+
+def _run(kind: str, args) -> int:
+    from fluidsim_tpu.io.metrics import MetricsLogger
+    from fluidsim_tpu.io.checkpoint import save_checkpoint, load_checkpoint
+    from fluidsim_tpu.scenes import get_scene
+
+    scene_kwargs = {}
+    if args.bound is not None:
+        scene_kwargs["bound"] = args.bound
+    if args.density is not None:
+        scene_kwargs["density"] = args.density
+    scene = get_scene(args.scene, **scene_kwargs)
+
+    if kind == "flip":
+        from fluidsim_tpu.models.flip import FlipSim, FlipState
+        sim = FlipSim(scene, seed=args.seed)
+        state_cls = FlipState
+    else:
+        from fluidsim_tpu.models.mpm import MpmSim, MpmState
+        sim = MpmSim(scene, seed=args.seed)
+        state_cls = MpmState
+
+    if args.resume:
+        sim.state, meta = load_checkpoint(args.resume, state_cls)
+        print(f"resumed from {args.resume} at frame {int(sim.state.frame)}",
+              file=sys.stderr)
+
+    logger = MetricsLogger(args.metrics, echo_every=args.echo_every)
+    writer = None
+    if not args.no_vdb:
+        from fluidsim_tpu.io.vdb import VdbGrid, write_vdb
+        os.makedirs(args.out, exist_ok=True)
+        accum = []
+        spec = scene.spec
+        solid_np = np.asarray(scene.solid)
+
+        # The reference's outputGrid persists across frames: FLIP overwrites
+        # every non-solid cell (fluid.cc:1434-1448); MPM only overwrites
+        # cells with mass > 0.1, leaving stale values (mpm.cc:1368-1382).
+        persistent = np.zeros(spec.shape, np.float32)
+
+        def writer(frame, state, metrics):
+            occ = np.asarray(metrics["occupancy"])
+            if kind == "flip":
+                persistent[~solid_np] = occ[~solid_np]
+            else:
+                upd = (~solid_np) & (occ > 0.1)
+                persistent[upd] = occ[upd]
+            g = VdbGrid(values=persistent.copy(),
+                        origin=(-spec.bound,) * 3,
+                        background=0.0, voxel_size=spec.dx)
+            write_vdb(os.path.join(args.out, f"mygrids{frame}.vdb"), [g])
+            if not args.no_accum:
+                accum.append(g)
+
+    print(f"{kind}: scene={scene.name} particles={sim.num_particles} "
+          f"grid={scene.spec.n}^3 frames={args.frames}", file=sys.stderr)
+
+    for _ in range(args.frames):
+        metrics = sim.step()
+        frame = int(sim.state.frame) - 1
+        logger.log(frame, metrics)
+        if writer is not None:
+            writer(frame, sim.state, metrics)
+        if args.checkpoint_every and (frame + 1) % args.checkpoint_every == 0:
+            save_checkpoint(os.path.join(args.out, f"ckpt_{frame}.npz"),
+                            sim.state, sim.params)
+
+    if writer is not None and not args.no_accum:
+        from fluidsim_tpu.io.vdb import write_vdb
+        write_vdb(os.path.join(args.out, "mygrids.vdb"), accum)
+    logger.close()
+    return 0
+
+
+def _print_vdb(args) -> int:
+    """vdb_print equivalent: dump archive metadata."""
+    from fluidsim_tpu.io.vdb import read_vdb
+    for path in args.files:
+        grids = read_vdb(path)
+        print(f"{path}: {len(grids)} grid(s)")
+        for g in grids:
+            act = int(g.active.sum()) if g.active is not None else g.values.size
+            print(f"  '{g.name}' float {g.values.shape} origin={g.origin} "
+                  f"voxel_size={g.voxel_size} background={g.background} "
+                  f"active={act} min={g.values.min():.4g} max={g.values.max():.4g}")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="fluidsim", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    pf = sub.add_parser("fluid", help="run the FLIP liquid solver (fluid.cc)")
+    pf.add_argument("--scene", default="water_cube_drop")
+    _add_run_args(pf)
+
+    pm = sub.add_parser("mpm", help="run the MPM solid solver (mpm.cc)")
+    pm.add_argument("--scene", default="mpm_cone")
+    _add_run_args(pm)
+
+    pp = sub.add_parser("print", help="dump .vdb archive info (vdb_print)")
+    pp.add_argument("files", nargs="+")
+
+    ps = sub.add_parser("scenes", help="list registered scenes")
+
+    args = ap.parse_args(argv)
+    if args.cmd == "fluid":
+        return _run("flip", args)
+    if args.cmd == "mpm":
+        return _run("mpm", args)
+    if args.cmd == "print":
+        return _print_vdb(args)
+    if args.cmd == "scenes":
+        from fluidsim_tpu.scenes import REGISTRY, get_scene
+        for name in REGISTRY:
+            sc = get_scene(name)
+            print(f"{name:20s} kind={sc.kind:4s} grid={sc.spec.n}^3 "
+                  f"seed_voxels={int(sc.seed_mask.sum())}")
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,107 @@
+"""VDB archive round-trip tests (the reference validates I/O via
+``TestFile.cc``/``TestGridIO.cc``; here the oracle is write->read identity
+plus structural checks of the 4.0.2 layout)."""
+
+import io
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from fluidsim_tpu.io.vdb import (
+    VdbGrid, write_vdb, read_vdb, COMPRESS_NONE, COMPRESS_ZIP,
+    COMPRESS_ACTIVE_MASK, OPENVDB_MAGIC, FILE_VERSION)
+
+ALL_COMPRESSION = [COMPRESS_NONE, COMPRESS_ZIP, COMPRESS_ACTIVE_MASK,
+                   COMPRESS_ZIP | COMPRESS_ACTIVE_MASK]
+
+
+def _grid(shape=(21, 21, 21), origin=(-10, -10, -10), seed=0, frac_active=1.0):
+    rng = np.random.default_rng(seed)
+    vals = rng.random(shape).astype(np.float32)
+    act = rng.random(shape) < frac_active
+    vals[~act] = 0.0
+    return VdbGrid(values=vals, origin=origin, active=act, name="g")
+
+
+@pytest.mark.parametrize("compression", ALL_COMPRESSION)
+def test_roundtrip_dense(tmp_path, compression):
+    g = _grid()
+    path = str(tmp_path / "t.vdb")
+    write_vdb(path, [g], compression=compression)
+    (r,) = read_vdb(path)
+    # read-back covers the leaf-aligned bounding box; compare on the original
+    o = np.asarray(g.origin) - np.asarray(r.origin)
+    s = tuple(slice(int(o[d]), int(o[d]) + g.values.shape[d]) for d in range(3))
+    np.testing.assert_array_equal(r.values[s], g.values)
+    np.testing.assert_array_equal(r.active[s], g.active)
+    # padding is inactive background
+    pad_mask = np.ones(r.values.shape, bool)
+    pad_mask[s] = False
+    assert not r.active[pad_mask].any()
+
+
+@pytest.mark.parametrize("compression", ALL_COMPRESSION)
+def test_roundtrip_sparse_activity(tmp_path, compression):
+    g = _grid(frac_active=0.3, seed=1)
+    path = str(tmp_path / "t.vdb")
+    write_vdb(path, [g], compression=compression)
+    (r,) = read_vdb(path)
+    o = np.asarray(g.origin) - np.asarray(r.origin)
+    s = tuple(slice(int(o[d]), int(o[d]) + g.values.shape[d]) for d in range(3))
+    np.testing.assert_array_equal(r.active[s], g.active)
+    np.testing.assert_array_equal(r.values[s][g.active], g.values[g.active])
+
+
+def test_multiple_grids_and_names(tmp_path):
+    g1 = _grid(seed=2)
+    g2 = _grid(seed=3)
+    g1.name = g2.name = ""  # the reference writes unnamed grids
+    path = str(tmp_path / "t.vdb")
+    write_vdb(path, [g1, g2])
+    r = read_vdb(path)
+    assert len(r) == 2
+    assert r[0].name == "[0]" and r[1].name == "[1]"  # addSuffix convention
+
+
+def test_header_layout(tmp_path):
+    g = _grid()
+    path = str(tmp_path / "t.vdb")
+    write_vdb(path, [g])
+    raw = open(path, "rb").read()
+    magic, = struct.unpack_from("<q", raw, 0)
+    version, maj, mnr = struct.unpack_from("<III", raw, 8)
+    assert magic == OPENVDB_MAGIC == 0x56444220
+    assert version == FILE_VERSION == 224
+    assert (maj, mnr) == (4, 0)
+    assert raw[20] == 1  # hasGridOffsets
+    uuid_txt = raw[21:57].decode()
+    assert uuid_txt.count("-") == 4 and len(uuid_txt) == 36
+
+
+def test_reference_scale_grid(tmp_path):
+    # 121^3 box at origin -60 like fluid.cc's outputGrid
+    rng = np.random.default_rng(4)
+    vals = (rng.random((121, 121, 121)) < 0.1).astype(np.float32) * 27.0
+    g = VdbGrid(values=vals, origin=(-60, -60, -60), name="")
+    path = str(tmp_path / "big.vdb")
+    write_vdb(path, [g])
+    (r,) = read_vdb(path)
+    o = np.asarray(g.origin) - np.asarray(r.origin)
+    s = tuple(slice(int(o[d]), int(o[d]) + 121) for d in range(3))
+    np.testing.assert_array_equal(r.values[s], vals)
+    assert os.path.getsize(path) < 121 ** 3 * 4  # zip actually compresses
+
+
+def test_background_value_roundtrip(tmp_path):
+    g = _grid(frac_active=0.5, seed=5)
+    g.background = -1.0
+    g.values[~g.active] = -1.0
+    path = str(tmp_path / "t.vdb")
+    write_vdb(path, [g], compression=COMPRESS_ACTIVE_MASK)
+    (r,) = read_vdb(path)
+    assert r.background == -1.0
+    o = np.asarray(g.origin) - np.asarray(r.origin)
+    s = tuple(slice(int(o[d]), int(o[d]) + g.values.shape[d]) for d in range(3))
+    np.testing.assert_array_equal(r.values[s], g.values)
