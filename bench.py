@@ -1,0 +1,103 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline config (BASELINE.json config 3): FLIP water-cube drop at 129^3
+(bound 64) with ~2M particles, full reference pipeline per frame (P2G,
+occupancy, pressure do-while with Jacobi-PCG, FLIP gather, CFL, advect).
+
+``vs_baseline`` compares steps/sec against the single-core C++ CPU port of
+the reference algorithm at the same scale (``native/ref_cpu.cc``), whose
+measured number is stored in ``BASELINE_CPU.json``.  Run
+``python bench.py --measure-cpu-baseline`` to (re)generate it.
+
+NOTE (axon TPU tunnel): ``block_until_ready`` does not reliably block, so
+every frame timing forces a host fetch of a scalar.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+BASELINE_PATH = os.path.join(HERE, "BASELINE_CPU.json")
+
+
+def measure_tpu(bound: int, density: float, warmup: int, frames: int):
+    import numpy as np
+    from fluidsim_tpu.models.flip import FlipSim
+    from fluidsim_tpu.scenes import get_scene
+
+    sim = FlipSim(get_scene("water_cube_drop", bound=bound, density=density))
+    n_particles = sim.num_particles
+    print(f"# grid {2*bound+1}^3, {n_particles} particles", file=sys.stderr)
+
+    t0 = time.time()
+    for _ in range(warmup):
+        m = sim.step()
+        _ = float(m["kinetic_energy"])
+    print(f"# warmup ({warmup} frames incl. compile): {time.time()-t0:.1f}s",
+          file=sys.stderr)
+
+    t0 = time.time()
+    for _ in range(frames):
+        m = sim.step()
+        _ = float(m["kinetic_energy"])   # forced host fetch (see module note)
+    dt = (time.time() - t0) / frames
+    return {
+        "steps_per_sec": 1.0 / dt,
+        "particle_steps_per_sec": n_particles / dt,
+        "ms_per_frame": dt * 1000.0,
+        "particles": n_particles,
+        "grid": 2 * bound + 1,
+    }
+
+
+def measure_cpu_baseline(bound: int, density: float, frames: int = 3):
+    """Build and time the C++ CPU port of the reference at the same scale."""
+    src = os.path.join(HERE, "native", "ref_cpu.cc")
+    exe = os.path.join(HERE, "native", "ref_cpu")
+    subprocess.check_call(["g++", "-O3", "-march=native", "-std=c++17",
+                           "-o", exe, src])
+    out = subprocess.check_output(
+        [exe, str(bound), str(density), str(frames)], text=True)
+    rec = json.loads(out.strip().splitlines()[-1])
+    with open(BASELINE_PATH, "w") as f:
+        json.dump(rec, f, indent=1)
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bound", type=int, default=64)      # 129^3 ~ "128^3"
+    ap.add_argument("--density", type=float, default=25.0)  # ~2.0M particles
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--measure-cpu-baseline", action="store_true")
+    args = ap.parse_args()
+
+    if args.measure_cpu_baseline:
+        rec = measure_cpu_baseline(args.bound, args.density)
+        print(json.dumps(rec))
+        return
+
+    res = measure_tpu(args.bound, args.density, args.warmup, args.frames)
+
+    vs_baseline = 0.0
+    if os.path.exists(BASELINE_PATH):
+        with open(BASELINE_PATH) as f:
+            base = json.load(f)
+        if base.get("steps_per_sec"):
+            vs_baseline = res["steps_per_sec"] / base["steps_per_sec"]
+
+    print(json.dumps({
+        "metric": "flip_steps_per_sec_128cube_2Mparticles",
+        "value": round(res["steps_per_sec"], 4),
+        "unit": "steps/s",
+        "vs_baseline": round(vs_baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

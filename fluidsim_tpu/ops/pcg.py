@@ -27,25 +27,35 @@ class PCGResult(NamedTuple):
     residual: jax.Array  # final ||r|| (unpreconditioned)
 
 
-def _dot(a, b):
+def _local_sum(x):
     # f32 pairwise tree reduction in XLA is accurate enough at 128^3; promote
     # the accumulator explicitly so bf16 inputs don't lose the sum.
-    return jnp.sum((a * b).astype(jnp.float32))
+    return jnp.sum(x.astype(jnp.float32))
 
 
 def pcg(apply_a: Callable, b, x0=None, precond: Callable | None = None,
-        rtol: float = 1e-5, atol: float = 0.0, maxiter: int = 200) -> PCGResult:
+        rtol: float = 1e-5, atol: float = 0.0, maxiter: int = 200,
+        reduce_fn: Callable | None = None) -> PCGResult:
     """Solve ``A x = b`` with (Jacobi-)preconditioned CG.
 
     Args:
       apply_a: linear operator; any pytree-shaped operand (typically (N,N,N)).
       b: right-hand side (must be in the operator's range-mask already).
       precond: approximate inverse of A (e.g. ``lambda r: r / adiag``).
+      reduce_fn: reduction over the local sum — pass
+        ``lambda s: jax.lax.psum(s, axis)`` inside ``shard_map`` to make the
+        solve distributed; dot products are the only cross-shard coupling
+        besides the operator itself.
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
     if precond is None:
         precond = lambda r: r
+    if reduce_fn is None:
+        reduce_fn = lambda s: s
+
+    def _dot(a, c):
+        return reduce_fn(_local_sum(a * c))
 
     bnorm2 = _dot(b, b)
     tol2 = jnp.maximum(rtol * rtol * bnorm2, atol * atol)

@@ -1,0 +1,355 @@
+"""Multi-chip FLIP: slab domain decomposition over a 1-D device mesh.
+
+This is the scaling story the reference cannot tell (it is a single-process
+TBB program, SURVEY.md §2.4): the grid's x-axis is sharded into slabs over a
+``jax.sharding.Mesh``, every step runs SPMD under ``shard_map``, and the only
+cross-chip traffic is
+
+* 2-cell halo exchange of grid fields (``ppermute`` over ICI) around the
+  P2G scatter and G2P gather,
+* 1-cell halo exchange of the pressure field per CG iteration,
+* ``psum``/``pmax`` for CG dot products, outer-loop norms, and the CFL dt,
+* fixed-capacity nearest-neighbour particle migration after advection.
+
+Particles live on the shard that owns their cell slab; dead/padding slots
+are parked at a sentinel position far outside the box so every transfer op
+masks them out naturally (their stencil fails the in-bounds test).
+
+Numerics match the single-chip ``models.flip`` step exactly up to f32
+reduction order (see ``tests/test_parallel.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from fluidsim_tpu.core.splines import cround
+from fluidsim_tpu.ops import pressure as pr
+from fluidsim_tpu.ops import transfer
+from fluidsim_tpu.ops.pcg import pcg, jacobi_preconditioner
+from fluidsim_tpu.models.flip import FlipParams, advect_bounce
+from fluidsim_tpu.parallel.halo import exchange_halo, halo_reduce, migrate_neighbors
+from fluidsim_tpu.scenes import Scene, get_scene
+from fluidsim_tpu.seeding import seed_particles
+
+AX = "x"          # mesh axis name
+W = 2             # transfer halo width (stencil 1 + cell-centre average 1)
+SENTINEL = 1.0e6  # parking position for dead particle slots
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ShardedFlipState:
+    pos: jax.Array      # (ndev*cap, 3), sharded on axis 0
+    vel: jax.Array      # (ndev*cap, 3)
+    alive: jax.Array    # (ndev*cap,) bool
+    dt: jax.Array       # () replicated
+    t: jax.Array
+    frame: jax.Array
+
+
+def _local_scatter(cells, values, weights_mask, x0, nl, n, width):
+    """Scatter (P, 27) values into a halo-extended local slab.
+
+    cells: (P, 27, 3) global grid coordinates (may be invalid; masked).
+    Returns (nl + 2*width, n, n) accumulated array.
+    """
+    gx = cells[..., 0]
+    lx = gx - x0 + width
+    in_slab = (lx >= 0) & (lx < nl + 2 * width)
+    mask = weights_mask & in_slab
+    lxc = jnp.clip(lx, 0, nl + 2 * width - 1)
+    gy = jnp.clip(cells[..., 1], 0, n - 1)
+    gz = jnp.clip(cells[..., 2], 0, n - 1)
+    flat = (lxc * n + gy) * n + gz
+    vals = jnp.where(mask, values, 0.0)
+    out = jnp.zeros(((nl + 2 * width) * n * n,), values.dtype)
+    return out.at[flat.reshape(-1)].add(vals.reshape(-1)).reshape(
+        nl + 2 * width, n, n)
+
+
+def _local_gather(ext, cells, x0, nl, n, width):
+    """Gather per-(particle, stencil-cell) rows from a halo-extended slab.
+
+    ext: (nl + 2*width, n, n, C).  Invalid cells must be masked by the caller.
+    """
+    lx = jnp.clip(cells[..., 0] - x0 + width, 0, nl + 2 * width - 1)
+    gy = jnp.clip(cells[..., 1], 0, n - 1)
+    gz = jnp.clip(cells[..., 2], 0, n - 1)
+    flat = (lx * n + gy) * n + gz
+    return ext.reshape(-1, ext.shape[-1])[flat]
+
+
+def _cell_center_ext(vel_ext):
+    """Cell-centred velocity on an extended slab (valid except the last row)."""
+    from fluidsim_tpu.core.gridspec import cell_center_velocity
+    return cell_center_velocity(vel_ext)
+
+
+def _sharded_step(params: FlipParams, nl: int, cap: int, mig_cap: int,
+                  solid_full, solid_pad_ext, state: ShardedFlipState):
+    """SPMD body: runs per device under shard_map."""
+    B, wall, n = params.bound, params.wall, 2 * params.bound + 1
+    dx, rho = params.dx, params.rho
+    g = jnp.asarray(params.gravity, state.pos.dtype)
+    me = jax.lax.axis_index(AX)
+    ndev = jax.lax.axis_size(AX)
+    x0 = me * nl
+    pos, vel, alive, dt = state.pos, state.vel, state.alive, state.dt
+
+    def psum(x):
+        return jax.lax.psum(x, AX)
+
+    # ---- static local geometry ----
+    solid_ext = jax.lax.dynamic_slice(
+        solid_pad_ext, (x0, 0, 0), (nl + 2 * W, n, n))       # bool, halo W
+    solid_loc = solid_ext[W:-W]
+    solid_ext1 = solid_ext[W - 1:nl + W + 1]                 # halo-1 view
+
+    # ---- P2G (fluid.cc:1384) ----
+    cells, inb = transfer.particle_stencil(pos, B)
+    w = transfer.stencil_weights(pos, cells, params.kernel)
+    within_in = jnp.all(jnp.abs(cells) < B - 1, axis=-1)     # |c| <= B-2
+    sflat = solid_full.reshape(-1)
+    gidx = jnp.clip(cells + B, 0, n - 1)
+    cell_solid = sflat[(gidx[..., 0] * n + gidx[..., 1]) * n + gidx[..., 2]]
+    p2g_mask = inb & within_in & ~cell_solid
+
+    wm = jnp.where(p2g_mask, w, 0.0)
+    weights = halo_reduce(_local_scatter(cells + B,
+                                         wm, p2g_mask, x0, nl, n, W), W, AX)
+    mom = jnp.stack([
+        halo_reduce(_local_scatter(cells + B,
+                                   wm * vel[:, None, d], p2g_mask,
+                                   x0, nl, n, W), W, AX)
+        for d in range(3)], axis=-1)
+    velg = transfer.normalize_velocity(weights, mom)
+
+    # occupancy (fluid.cc:1413): mask = in-bounds & not solid & w > 0
+    occ_mask = inb & ~cell_solid & (w > 0)
+    occ = halo_reduce(_local_scatter(cells + B,
+                                     jnp.where(occ_mask, w, 0.0), occ_mask,
+                                     x0, nl, n, W), W, AX)
+    fluid = (occ > 0) & (~solid_loc)
+    velb = velg
+
+    # ---- pressure projection do-while (fluid.cc:1457-1484) ----
+    adiag_scale = dt / (rho * dx * dx)
+    ns = (~solid_ext1).astype(velg.dtype)
+    count = jnp.zeros_like(ns)
+    from fluidsim_tpu.core.gridspec import shift_to_plus, shift_to_minus
+    for d in range(3):
+        count = count + shift_to_plus(ns, d) + shift_to_minus(ns, d)
+    adiag = jnp.where(fluid, adiag_scale * count[1:-1], 0.0)
+
+    def apply_a(p):
+        p_ext = exchange_halo(jnp.where(fluid, p, 0.0), 1, AX)
+        fl_ext = exchange_halo(fluid, 1, AX)
+        ad_ext = exchange_halo(adiag, 1, AX)
+        out = pr.apply_laplacian(p_ext, ad_ext, fl_ext, dt, rho, dx)
+        return out[1:-1]
+
+    precond = jacobi_preconditioner(adiag, mask=fluid)
+
+    def norm(x):
+        return jnp.sqrt(psum(jnp.sum((x * x).astype(jnp.float32))))
+
+    fluid_ext = exchange_halo(fluid, 1, AX)
+
+    def one_pass(vg):
+        vg_ext = exchange_halo(vg, 1, AX)
+        rhs = pr.set_rhs(vg_ext, fluid_ext, solid_ext1, g, dt, dx)[1:-1]
+        rhs_ext = exchange_halo(rhs, 1, AX)
+        b = pr.divergence_rhs(vg_ext, rhs_ext, fluid_ext, solid_ext1, dx)[1:-1]
+        res = pcg(apply_a, b, precond=precond, rtol=params.pcg_rtol,
+                  maxiter=params.pcg_maxiter, reduce_fn=psum)
+        p_ext = exchange_halo(jnp.where(fluid, res.x, 0.0), 1, AX)
+        vg2 = pr.vel_update(vg_ext, p_ext, fluid_ext, solid_ext1, g, dt,
+                            rho, dx)[1:-1]
+        vg2_ext = exchange_halo(vg2, 1, AX)
+        rhs2 = pr.set_rhs(vg2_ext, fluid_ext, solid_ext1, g, dt, dx)[1:-1]
+        rhs2_ext = exchange_halo(rhs2, 1, AX)
+        b2 = pr.divergence_rhs(vg2_ext, rhs2_ext, fluid_ext, solid_ext1,
+                               dx)[1:-1]
+        bn = norm(b)
+        err = jnp.where(bn > 0, norm(b - b2) / jnp.where(bn > 0, bn, 1.0), 0.0)
+        return vg2, err, res.iters
+
+    def body(carry):
+        vg, _, it, cg_tot = carry
+        vg, err, iters = one_pass(vg)
+        return vg, err, it + 1, cg_tot + iters
+
+    carry = body((velg, jnp.inf, jnp.zeros((), jnp.int32),
+                  jnp.zeros((), jnp.int32)))
+    velg, err, n_outer, cg_iters = jax.lax.while_loop(
+        lambda c: (c[1] > params.outer_tol) & (c[2] < params.max_outer),
+        body, carry)
+
+    # ---- FLIP delta gather (fluid.cc:1490, CatmullRomFLIP 210-263) ----
+    vc_new = _cell_center_ext(exchange_halo(velg, W, AX))
+    vc_old = _cell_center_ext(exchange_halo(velb, W, AX))
+    within_wall = jnp.all(jnp.abs(cells) <= wall, axis=-1)
+    gmask = inb & within_wall
+    wg = jnp.where(gmask, w, 0.0)
+    dv = _local_gather(vc_new - vc_old, cells + B,
+                       x0, nl, n, W)
+    num = jnp.sum(wg[..., None] * dv, axis=1)
+    den = jnp.sum(wg, axis=1)
+    delta = jnp.where(den[:, None] != 0,
+                      num / jnp.where(den[:, None] != 0, den[:, None], 1.0), 0.0)
+    vel = jnp.where(alive[:, None], vel + delta, 0.0)
+
+    # ---- CFL (pmax over shards) ----
+    speed = jnp.sqrt(jnp.sum(vel * vel, axis=-1))
+    max_speed = jax.lax.pmax(jnp.max(jnp.where(alive, speed, 0.0)), AX)
+    dt_new = jnp.where(max_speed != 0,
+                       jnp.minimum(params.max_dt, dx / max_speed),
+                       params.max_dt)
+
+    # ---- advect + bounce (solid replicated; positions are global) ----
+    e = 0.0 if params.mode == "flip" else 0.5
+    pos_new, vel_new = advect_bounce(pos, vel, dt_new, solid_full, B, e,
+                                     rounding="round")
+    pos = jnp.where(alive[:, None], pos_new, SENTINEL)
+    vel = jnp.where(alive[:, None], vel_new, 0.0)
+
+    # ---- nearest-neighbour migration ----
+    owner = jnp.clip((cround(pos[:, 0]).astype(jnp.int32) + B) // nl, 0,
+                     ndev - 1)
+    send_left = alive & (owner == me - 1)
+    send_right = alive & (owner == me + 1)
+    payload = jnp.concatenate([pos, vel], axis=-1)
+    incoming, valid, dropped = migrate_neighbors(
+        payload, send_left, send_right, mig_cap, AX)
+    moved = send_left | send_right
+    alive = alive & ~moved
+    pos = jnp.where(alive[:, None], pos, SENTINEL)
+    vel = jnp.where(alive[:, None], vel, 0.0)
+
+    order = jnp.argsort(~valid, stable=True)
+    incoming = incoming[order]
+    valid = valid[order]
+    free_idx = jnp.nonzero(~alive, size=2 * mig_cap, fill_value=cap)[0]
+    tgt = jnp.where(valid & (free_idx < cap), free_idx, cap)
+    pos = pos.at[tgt].set(incoming[:, :3], mode="drop")
+    vel = vel.at[tgt].set(incoming[:, 3:], mode="drop")
+    alive = alive.at[tgt].set(True, mode="drop")
+    lost = psum(dropped + jnp.sum(valid & (free_idx >= cap)))
+
+    new_state = ShardedFlipState(pos=pos, vel=vel, alive=alive, dt=dt_new,
+                                 t=state.t + dt_new, frame=state.frame + 1)
+    metrics = {
+        "error": err,
+        "dt": dt_new,
+        "dt_used": dt,
+        "outer_iters": n_outer,
+        "cg_iters": cg_iters,
+        "max_speed": max_speed,
+        "kinetic_energy": 0.5 * psum(jnp.sum((vel * vel).astype(jnp.float32))),
+        "num_fluid_cells": psum(jnp.sum(fluid)),
+        "num_alive": psum(jnp.sum(alive)),
+        "migrated": psum(jnp.sum(moved)),
+        "lost": lost,
+        "occupancy": occ,
+    }
+    return new_state, metrics
+
+
+class ShardedFlipSim:
+    """Host driver for the multi-chip FLIP solver.
+
+    Works on any 1-D mesh: real TPU chips, or virtual CPU devices via
+    ``--xla_force_host_platform_device_count`` (how CI exercises this).
+    """
+
+    def __init__(self, scene: Scene | str = "water_cube_drop",
+                 params: FlipParams | None = None, mesh: Mesh | None = None,
+                 seed: int = 0, dtype=jnp.float32, cap_factor: float = 1.6,
+                 mig_frac: float = 0.05, **scene_kwargs):
+        if isinstance(scene, str):
+            scene = get_scene(scene, **scene_kwargs)
+        if params is None:
+            params = FlipParams(bound=scene.spec.bound, wall=scene.spec.wall,
+                                dx=scene.spec.dx, gravity=tuple(scene.gravity))
+        if mesh is None:
+            mesh = Mesh(np.asarray(jax.devices()), (AX,))
+        self.scene, self.params, self.mesh = scene, params, mesh
+        ndev = mesh.devices.size
+        n = scene.spec.n
+        self.nl = math.ceil(n / ndev)
+        npad = self.nl * ndev
+
+        solid_np = np.asarray(scene.solid)
+        solid_pad_ext = np.zeros((npad + 2 * W, n, n), bool)
+        solid_pad_ext[W:W + n] = solid_np
+
+        pos, vel = seeder_positions = seed_particles(scene, seed=seed,
+                                                     dtype=np.dtype(dtype).name)
+        owner = np.clip((np.floor(np.abs(pos[:, 0]) + 0.5)
+                         * np.sign(pos[:, 0]) + scene.spec.bound).astype(int)
+                        // self.nl, 0, ndev - 1)
+        counts = np.bincount(owner, minlength=ndev)
+        self.cap = int(math.ceil(counts.max() * cap_factor / 8) * 8)
+        self.mig_cap = max(64, int(self.cap * mig_frac))
+
+        pos_all = np.full((ndev, self.cap, 3), SENTINEL, dtype)
+        vel_all = np.zeros((ndev, self.cap, 3), dtype)
+        alive_all = np.zeros((ndev, self.cap), bool)
+        for d in range(ndev):
+            sel = owner == d
+            k = int(sel.sum())
+            pos_all[d, :k] = pos[sel]
+            vel_all[d, :k] = vel[sel]
+            alive_all[d, :k] = True
+
+        shard = NamedSharding(mesh, P(AX))
+        rep = NamedSharding(mesh, P())
+        self.solid_full = jax.device_put(jnp.asarray(solid_np), rep)
+        self.solid_pad_ext = jax.device_put(jnp.asarray(solid_pad_ext), rep)
+        self.state = ShardedFlipState(
+            pos=jax.device_put(jnp.asarray(pos_all.reshape(-1, 3)), shard),
+            vel=jax.device_put(jnp.asarray(vel_all.reshape(-1, 3)), shard),
+            alive=jax.device_put(jnp.asarray(alive_all.reshape(-1)), shard),
+            dt=jax.device_put(jnp.asarray(params.max_dt, dtype), rep),
+            t=jax.device_put(jnp.zeros((), dtype), rep),
+            frame=jax.device_put(jnp.zeros((), jnp.int32), rep))
+
+        state_specs = ShardedFlipState(
+            pos=P(AX), vel=P(AX), alive=P(AX), dt=P(), t=P(), frame=P())
+        metric_specs = {k: P() for k in
+                        ("error", "dt", "dt_used", "outer_iters", "cg_iters",
+                         "max_speed", "kinetic_energy", "num_fluid_cells",
+                         "num_alive", "migrated", "lost")}
+        metric_specs["occupancy"] = P(AX)
+        body = partial(_sharded_step, params, self.nl, self.cap, self.mig_cap)
+        self._step = jax.jit(shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(), state_specs),
+            out_specs=(state_specs, metric_specs)))
+
+    @property
+    def num_particles(self) -> int:
+        return int(np.asarray(jnp.sum(self.state.alive)))
+
+    def step(self):
+        self.state, metrics = self._step(self.solid_full, self.solid_pad_ext,
+                                         self.state)
+        return metrics
+
+    def run(self, frames: int, callback=None):
+        out = None
+        for _ in range(frames):
+            out = self.step()
+            if callback is not None:
+                callback(int(self.state.frame) - 1, self.state, out)
+        return out
