@@ -57,6 +57,7 @@ class FlipParams:
     mode: str = "flip"          # "flip" (e=0) or "pic" (e=0.5)
     kernel: str = "flip"
     compat_projection: bool = True   # keep dt/10 + per-pass gravity quirks
+    fast_transfer: bool = True       # sorted channel-fused transfers (ops.transfer_fast)
 
 
 @jax.tree_util.register_dataclass
@@ -153,12 +154,19 @@ def flip_step(params: FlipParams, solid, state: FlipState):
     B, wall = params.bound, params.wall
     pos, vel, dt = state.pos, state.vel, state.dt
 
-    # -- P2G (fluid.cc:1384) --
-    weights, mom = transfer.p2g_velocity(pos, vel, solid, B, params.kernel)
-    velg = transfer.normalize_velocity(weights, mom)
+    if params.fast_transfer:
+        from fluidsim_tpu.ops import transfer_fast as tf
+        pos, vel, flat = tf.sort_by_cell(pos, vel, B)
+        weights, mom, occ = tf.p2g_fused(pos, vel, flat, solid, B,
+                                         params.kernel, wall)
+        velg = transfer.normalize_velocity(weights, mom)
+    else:
+        # -- P2G (fluid.cc:1384) --
+        weights, mom = transfer.p2g_velocity(pos, vel, solid, B, params.kernel)
+        velg = transfer.normalize_velocity(weights, mom)
+        # -- occupancy (fluid.cc:1413) --
+        occ = transfer.p2g_mass(pos, solid, B, params.kernel)
 
-    # -- occupancy (fluid.cc:1413) --
-    occ = transfer.p2g_mass(pos, solid, B, params.kernel)
     fluid = (occ > 0) & (~solid)
 
     velb = velg  # velBeforeUpdate (fluid.cc:1455)
@@ -170,11 +178,19 @@ def flip_step(params: FlipParams, solid, state: FlipState):
     vc_new = cell_center_velocity(velg)
     if params.mode == "flip":
         vc_old = cell_center_velocity(velb)
-        delta = transfer.g2p_flip_delta(pos, vc_new, vc_old, B, wall, params.kernel)
+        if params.fast_transfer:
+            delta = tf.g2p_fused(pos, flat, vc_new - vc_old, B, wall,
+                                 params.kernel)
+        else:
+            delta = transfer.g2p_flip_delta(pos, vc_new, vc_old, B, wall,
+                                            params.kernel)
         vel = vel + delta
         e = 0.0
     else:
-        vel = transfer.g2p_gather(pos, vc_new, B, wall, params.kernel)
+        if params.fast_transfer:
+            vel = tf.g2p_fused(pos, flat, vc_new, B, wall, params.kernel)
+        else:
+            vel = transfer.g2p_gather(pos, vc_new, B, wall, params.kernel)
         e = 0.5
 
     # -- CFL (fluid.cc:992-999) --
