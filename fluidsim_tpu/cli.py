@@ -66,12 +66,15 @@ def _run(kind: str, args) -> int:
 
     logger = MetricsLogger(args.metrics, echo_every=args.echo_every)
     writer = None
+    async_writer = None
     if not args.no_vdb:
-        from fluidsim_tpu.io.vdb import VdbGrid, write_vdb
+        from fluidsim_tpu.io.vdb import VdbGrid
+        from fluidsim_tpu.io.native import AsyncVdbWriter
         os.makedirs(args.out, exist_ok=True)
         accum = []
         spec = scene.spec
         solid_np = np.asarray(scene.solid)
+        async_writer = AsyncVdbWriter()  # native io::Queue analogue
 
         # The reference's outputGrid persists across frames: FLIP overwrites
         # every non-solid cell (fluid.cc:1434-1448); MPM only overwrites
@@ -88,7 +91,7 @@ def _run(kind: str, args) -> int:
             g = VdbGrid(values=persistent.copy(),
                         origin=(-spec.bound,) * 3,
                         background=0.0, voxel_size=spec.dx)
-            write_vdb(os.path.join(args.out, f"mygrids{frame}.vdb"), [g])
+            async_writer.submit(os.path.join(args.out, f"mygrids{frame}.vdb"), g)
             if not args.no_accum:
                 accum.append(g)
 
@@ -105,6 +108,8 @@ def _run(kind: str, args) -> int:
             save_checkpoint(os.path.join(args.out, f"ckpt_{frame}.npz"),
                             sim.state, sim.params)
 
+    if async_writer is not None:
+        async_writer.close()
     if writer is not None and not args.no_accum:
         from fluidsim_tpu.io.vdb import write_vdb
         write_vdb(os.path.join(args.out, "mygrids.vdb"), accum)

@@ -1,0 +1,528 @@
+// Native VDB archive encoder + asynchronous frame-writer queue.
+//
+// The reference's I/O layer is C++ (openvdb/io/: Archive, GridDescriptor,
+// Compression, and the unused async io::Queue, openvdb/io/Queue.h:248).
+// This is the TPU framework's native equivalent: it encodes dense float
+// grids into OpenVDB-4.0.2 archives (byte-identical to the Python
+// fluidsim_tpu.io.vdb writer, which documents the format with file:line
+// references) and ships a background writer thread so per-frame exports
+// overlap with device compute instead of stalling the frame loop.
+//
+// Exposed as a plain C API consumed via ctypes (no pybind11 in this image).
+//
+// Build: make -C native  (g++ -O3 -shared -fPIC vdbio.cc -lz)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cstdlib>
+#include <condition_variable>
+#include <deque>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+#include <zlib.h>
+#include <algorithm>
+#include <array>
+
+namespace {
+
+constexpr int64_t kMagic = 0x56444220;       // openvdb/version.h:83
+constexpr uint32_t kFileVersion = 224;       // openvdb/version.h:96
+constexpr uint32_t kLibMajor = 4, kLibMinor = 0;
+
+constexpr uint32_t kZip = 0x1, kActiveMask = 0x2;
+
+// per-node compression metadata byte (openvdb/io/Compression.h:93-100)
+enum { NO_MASK_OR_INACTIVE = 0, NO_MASK_MINUS_BG = 1, NO_MASK_ONE_VAL = 2,
+       MASK_NO_VALS = 3, MASK_ONE_VAL = 4, MASK_TWO_VALS = 5, ALL_VALS = 6 };
+
+constexpr int kLeafLog2 = 3, kInt1Log2 = 4, kInt2Log2 = 5;
+constexpr int kLeafDim = 1 << kLeafLog2;           // 8
+constexpr int kSpan1 = kLeafDim << kInt1Log2;      // 128
+constexpr int kSpan2 = kSpan1 << kInt2Log2;        // 4096
+
+struct Buf {
+  std::vector<uint8_t> b;
+  void raw(const void* p, size_t n) {
+    const uint8_t* c = static_cast<const uint8_t*>(p);
+    b.insert(b.end(), c, c + n);
+  }
+  template <typename T> void put(T v) { raw(&v, sizeof(T)); }
+  void str(const std::string& s) {
+    put<uint32_t>(static_cast<uint32_t>(s.size()));
+    raw(s.data(), s.size());
+  }
+};
+
+void write_data(Buf& out, const float* vals, size_t count, uint32_t comp) {
+  size_t nbytes = count * sizeof(float);
+  if (comp & kZip) {
+    uLongf zcap = compressBound(nbytes);
+    std::vector<uint8_t> z(zcap);
+    int rc = compress2(z.data(), &zcap, reinterpret_cast<const Bytef*>(vals),
+                       nbytes, /*level=*/1);
+    if (rc == Z_OK && zcap < nbytes) {
+      out.put<int64_t>(static_cast<int64_t>(zcap));
+      out.raw(z.data(), zcap);
+    } else {
+      out.put<int64_t>(-static_cast<int64_t>(nbytes));
+      out.raw(vals, nbytes);
+    }
+  } else {
+    out.raw(vals, nbytes);
+  }
+}
+
+void pack_mask(Buf& out, const std::vector<uint8_t>& bits) {
+  size_t nbytes = bits.size() / 8;
+  std::vector<uint8_t> bytes(nbytes, 0);
+  for (size_t i = 0; i < bits.size(); ++i)
+    if (bits[i]) bytes[i >> 3] |= uint8_t(1u << (i & 7));   // LSB-first
+  out.raw(bytes.data(), nbytes);
+}
+
+// io::writeCompressedValues (openvdb/io/Compression.h:462-640), float32,
+// matching fluidsim_tpu.io.vdb._write_compressed_values exactly.
+void write_compressed(Buf& out, const std::vector<float>& values,
+                      const std::vector<uint8_t>& value_mask,
+                      const std::vector<uint8_t>& child_mask,
+                      float background, uint32_t comp) {
+  size_t n = values.size();
+  if (!(comp & kActiveMask)) {
+    out.put<uint8_t>(ALL_VALS);
+    write_data(out, values.data(), n, comp);
+    return;
+  }
+  float bg = background, neg_bg = -background;
+  // unique inactive values (at most 3 tracked)
+  float uniq[3];
+  int nuniq = 0;
+  for (size_t i = 0; i < n && nuniq < 3; ++i) {
+    if (value_mask[i] || child_mask[i]) continue;
+    float v = values[i];
+    bool seen = false;
+    for (int k = 0; k < nuniq; ++k) seen |= (uniq[k] == v);
+    if (!seen) uniq[nuniq++] = v;
+  }
+  // np.unique sorts; replicate for 2-value ordering parity with Python
+  if (nuniq == 2 && uniq[1] < uniq[0]) std::swap(uniq[0], uniq[1]);
+
+  uint8_t meta;
+  float extra[2];
+  int n_extra = 0;
+  float sel_val = 0;
+  bool has_sel = false;
+  if (nuniq == 0 || (nuniq == 1 && uniq[0] == bg)) {
+    meta = NO_MASK_OR_INACTIVE;
+  } else if (nuniq == 1 && uniq[0] == neg_bg) {
+    meta = NO_MASK_MINUS_BG;
+  } else if (nuniq == 1) {
+    meta = NO_MASK_ONE_VAL;
+    extra[n_extra++] = uniq[0];
+  } else if (nuniq == 2) {
+    float v0 = uniq[0], v1 = uniq[1];
+    if (v0 != bg && v1 != bg) {
+      meta = MASK_TWO_VALS;
+      extra[n_extra++] = v0;
+      extra[n_extra++] = v1;
+      sel_val = v1;
+    } else {
+      float nonbg = (v1 == bg) ? v0 : v1;
+      if (nonbg == neg_bg) {
+        meta = MASK_NO_VALS;
+      } else {
+        meta = MASK_ONE_VAL;
+        extra[n_extra++] = nonbg;
+      }
+      sel_val = bg;
+    }
+    has_sel = true;
+  } else {
+    meta = ALL_VALS;
+  }
+
+  out.put<uint8_t>(meta);
+  for (int k = 0; k < n_extra; ++k) out.put<float>(extra[k]);
+  if (meta == ALL_VALS) {
+    write_data(out, values.data(), n, comp);
+    return;
+  }
+  if (has_sel) {
+    std::vector<uint8_t> sel(n, 0);
+    for (size_t i = 0; i < n; ++i)
+      sel[i] = (!value_mask[i] && !child_mask[i] && values[i] == sel_val);
+    pack_mask(out, sel);
+  }
+  std::vector<float> act;
+  act.reserve(n);
+  for (size_t i = 0; i < n; ++i)
+    if (value_mask[i]) act.push_back(values[i]);
+  write_data(out, act.data(), act.size(), comp);
+}
+
+struct GridIn {
+  std::vector<float> values;
+  std::vector<uint8_t> active;
+  int nx, ny, nz, ox, oy, oz;
+  float background;
+  double voxel_size;
+  std::string name;
+};
+
+inline int64_t floordiv(int64_t a, int64_t b) {
+  return (a >= 0) ? a / b : -((-a + b - 1) / b);
+}
+
+void meta_entry(Buf& out, const std::string& name, const std::string& type,
+                const void* payload, int32_t size) {
+  out.str(name);
+  out.str(type);
+  out.put<int32_t>(size);
+  out.raw(payload, size);
+}
+
+void encode_grid_body(Buf& out, Buf& leaf_buffers, const GridIn& g,
+                      uint32_t comp) {
+  // ---- grid metadata (alphabetical, matching std::map / Python writer) ----
+  int64_t nactive = 0;
+  int32_t mn[3] = {0, 0, 0}, mx[3] = {-1, -1, -1};
+  bool first = true;
+  for (int x = 0; x < g.nx; ++x)
+    for (int y = 0; y < g.ny; ++y)
+      for (int z = 0; z < g.nz; ++z) {
+        size_t i = (static_cast<size_t>(x) * g.ny + y) * g.nz + z;
+        if (!g.active[i]) continue;
+        ++nactive;
+        int c[3] = {x + g.ox, y + g.oy, z + g.oz};
+        if (first) {
+          for (int d = 0; d < 3; ++d) { mn[d] = c[d]; mx[d] = c[d]; }
+          first = false;
+        } else {
+          for (int d = 0; d < 3; ++d) {
+            if (c[d] < mn[d]) mn[d] = c[d];
+            if (c[d] > mx[d]) mx[d] = c[d];
+          }
+        }
+      }
+  const char* comp_name = (comp == 0) ? "none" : (comp == kZip) ? "zip"
+      : (comp == kActiveMask) ? "active values" : "zip + active values";
+  uint32_t meta_count = 4 + (g.name.empty() ? 0 : 1);
+  out.put<uint32_t>(meta_count);
+  meta_entry(out, "file_bbox_max", "vec3i", mx, 12);
+  meta_entry(out, "file_bbox_min", "vec3i", mn, 12);
+  meta_entry(out, "file_compression", "string", comp_name,
+             static_cast<int32_t>(strlen(comp_name)));
+  meta_entry(out, "file_voxel_count", "int64", &nactive, 8);
+  if (!g.name.empty())
+    meta_entry(out, "name", "string", g.name.data(),
+               static_cast<int32_t>(g.name.size()));
+
+  // ---- transform: UniformScaleMap (math/Maps.h:843-850) ----
+  out.str("UniformScaleMap");
+  double s = g.voxel_size, inv = 1.0 / s;
+  double fields[5] = {s, s, inv, inv * inv, inv / 2.0};
+  for (double f : fields) {
+    double v3[3] = {f, f, f};
+    out.raw(v3, 24);
+  }
+
+  // ---- tree: pad to leaf-aligned box ----
+  int64_t lo[3] = {floordiv(g.ox, kLeafDim) * kLeafDim,
+                   floordiv(g.oy, kLeafDim) * kLeafDim,
+                   floordiv(g.oz, kLeafDim) * kLeafDim};
+  int64_t hi[3] = {floordiv(g.ox + g.nx + kLeafDim - 1, kLeafDim) * kLeafDim,
+                   floordiv(g.oy + g.ny + kLeafDim - 1, kLeafDim) * kLeafDim,
+                   floordiv(g.oz + g.nz + kLeafDim - 1, kLeafDim) * kLeafDim};
+  int nl[3];
+  for (int d = 0; d < 3; ++d) nl[d] = static_cast<int>((hi[d] - lo[d]) / kLeafDim);
+
+  auto leaf_any = [&](int li, int lj, int lk) {
+    for (int a = 0; a < kLeafDim; ++a)
+      for (int b = 0; b < kLeafDim; ++b)
+        for (int c = 0; c < kLeafDim; ++c) {
+          int64_t gx = lo[0] + li * kLeafDim + a - g.ox;
+          int64_t gy = lo[1] + lj * kLeafDim + b - g.oy;
+          int64_t gz = lo[2] + lk * kLeafDim + c - g.oz;
+          if (gx < 0 || gy < 0 || gz < 0 || gx >= g.nx || gy >= g.ny || gz >= g.nz)
+            continue;
+          if (g.active[(static_cast<size_t>(gx) * g.ny + gy) * g.nz + gz]) return true;
+        }
+    return false;
+  };
+  auto leaf_fill = [&](int li, int lj, int lk, std::vector<float>& vals,
+                       std::vector<uint8_t>& mask) {
+    vals.assign(512, g.background);
+    mask.assign(512, 0);
+    for (int a = 0; a < kLeafDim; ++a)
+      for (int b = 0; b < kLeafDim; ++b)
+        for (int c = 0; c < kLeafDim; ++c) {
+          int64_t gx = lo[0] + li * kLeafDim + a - g.ox;
+          int64_t gy = lo[1] + lj * kLeafDim + b - g.oy;
+          int64_t gz = lo[2] + lk * kLeafDim + c - g.oz;
+          if (gx < 0 || gy < 0 || gz < 0 || gx >= g.nx || gy >= g.ny || gz >= g.nz)
+            continue;
+          size_t i = (static_cast<size_t>(gx) * g.ny + gy) * g.nz + gz;
+          int off = (a << 6) | (b << 3) | c;
+          vals[off] = g.values[i];
+          mask[off] = g.active[i];
+        }
+  };
+
+  // group active leaves by int2 origin (lexicographic root-table order)
+  struct LeafRef { int64_t org[3]; int li, lj, lk; };
+  std::vector<std::pair<std::array<int64_t, 3>, std::vector<LeafRef>>> roots;
+  {
+    std::vector<std::pair<std::array<int64_t, 3>, LeafRef>> all;
+    for (int li = 0; li < nl[0]; ++li)
+      for (int lj = 0; lj < nl[1]; ++lj)
+        for (int lk = 0; lk < nl[2]; ++lk) {
+          if (!leaf_any(li, lj, lk)) continue;
+          LeafRef lr;
+          lr.org[0] = lo[0] + static_cast<int64_t>(li) * kLeafDim;
+          lr.org[1] = lo[1] + static_cast<int64_t>(lj) * kLeafDim;
+          lr.org[2] = lo[2] + static_cast<int64_t>(lk) * kLeafDim;
+          lr.li = li; lr.lj = lj; lr.lk = lk;
+          std::array<int64_t, 3> r = {floordiv(lr.org[0], kSpan2) * kSpan2,
+                                      floordiv(lr.org[1], kSpan2) * kSpan2,
+                                      floordiv(lr.org[2], kSpan2) * kSpan2};
+          all.push_back({r, lr});
+        }
+    std::stable_sort(all.begin(), all.end(),
+                     [](const auto& a, const auto& b) { return a.first < b.first; });
+    for (auto& [r, lr] : all) {
+      if (roots.empty() || roots.back().first != r) roots.push_back({r, {}});
+      roots.back().second.push_back(lr);
+    }
+  }
+
+  Buf topo, buffers;
+  topo.put<int32_t>(1);                         // TreeBase bufferCount
+  topo.put<float>(g.background);                // root background
+  topo.put<uint32_t>(0);                        // numTiles
+  topo.put<uint32_t>(static_cast<uint32_t>(roots.size()));
+
+  const int int2n = 1 << (3 * kInt2Log2);       // 32768
+  const int int1n = 1 << (3 * kInt1Log2);       // 4096
+
+  for (auto& [r2, leaves] : roots) {
+    int32_t org2[3] = {static_cast<int32_t>(r2[0]), static_cast<int32_t>(r2[1]),
+                       static_cast<int32_t>(r2[2])};
+    topo.raw(org2, 12);
+    // int2 child mask + ordered int1 groups
+    std::vector<uint8_t> cm2(int2n, 0);
+    std::vector<std::pair<int, std::vector<LeafRef>>> int1s;  // offset -> leaves
+    for (auto& lr : leaves) {
+      int64_t rel[3];
+      for (int d = 0; d < 3; ++d)
+        rel[d] = floordiv(lr.org[d] - r2[d], kSpan1);
+      int off2 = static_cast<int>((rel[0] << (2 * kInt2Log2)) |
+                                  (rel[1] << kInt2Log2) | rel[2]);
+      cm2[off2] = 1;
+      bool found = false;
+      for (auto& [o, v] : int1s)
+        if (o == off2) { v.push_back(lr); found = true; }
+      if (!found) int1s.push_back({off2, {lr}});
+    }
+    std::stable_sort(int1s.begin(), int1s.end(),
+                     [](const auto& a, const auto& b) { return a.first < b.first; });
+    pack_mask(topo, cm2);
+    pack_mask(topo, std::vector<uint8_t>(int2n, 0));
+    write_compressed(topo, std::vector<float>(int2n, g.background),
+                     std::vector<uint8_t>(int2n, 0), cm2, g.background, comp);
+
+    for (auto& [off2, lvs] : int1s) {
+      std::vector<uint8_t> cm1(int1n, 0);
+      std::vector<std::pair<int, LeafRef>> ordered;
+      int64_t o1org[3] = {r2[0] + ((off2 >> (2 * kInt2Log2)) & 31) * static_cast<int64_t>(kSpan1),
+                          r2[1] + ((off2 >> kInt2Log2) & 31) * static_cast<int64_t>(kSpan1),
+                          r2[2] + (off2 & 31) * static_cast<int64_t>(kSpan1)};
+      for (auto& lr : lvs) {
+        int64_t rel[3];
+        for (int d = 0; d < 3; ++d)
+          rel[d] = floordiv(lr.org[d] - o1org[d], kLeafDim);
+        int off1 = static_cast<int>((rel[0] << (2 * kInt1Log2)) |
+                                    (rel[1] << kInt1Log2) | rel[2]);
+        cm1[off1] = 1;
+        ordered.push_back({off1, lr});
+      }
+      std::stable_sort(ordered.begin(), ordered.end(),
+                       [](const auto& a, const auto& b) { return a.first < b.first; });
+      pack_mask(topo, cm1);
+      pack_mask(topo, std::vector<uint8_t>(int1n, 0));
+      write_compressed(topo, std::vector<float>(int1n, g.background),
+                       std::vector<uint8_t>(int1n, 0), cm1, g.background, comp);
+      for (auto& [off1, lr] : ordered) {
+        std::vector<float> lvals;
+        std::vector<uint8_t> lmask;
+        leaf_fill(lr.li, lr.lj, lr.lk, lvals, lmask);
+        pack_mask(topo, lmask);                 // leaf topology: value mask
+        pack_mask(buffers, lmask);              // leaf buffers: mask again
+        write_compressed(buffers, lvals, lmask, std::vector<uint8_t>(512, 0),
+                         g.background, comp);
+      }
+    }
+  }
+
+  out.raw(topo.b.data(), topo.b.size());
+  leaf_buffers.b.swap(buffers.b);
+}
+
+std::vector<uint8_t> encode_archive(const GridIn& g, uint32_t comp,
+                                    const char* uuid36) {
+  Buf out;
+  out.put<int64_t>(kMagic);
+  out.put<uint32_t>(kFileVersion);
+  out.put<uint32_t>(kLibMajor);
+  out.put<uint32_t>(kLibMinor);
+  out.put<uint8_t>(1);                          // hasGridOffsets
+  out.raw(uuid36, 36);
+  out.put<uint32_t>(0);                         // empty file-level MetaMap
+  out.put<int32_t>(1);                          // grid count
+
+  std::string unique = g.name.empty() ? "[0]" : g.name;
+  out.str(unique);
+  out.str("Tree_float_5_4_3");
+  out.str("");                                  // instance parent
+  size_t offset_pos = out.b.size();
+  int64_t zeros[3] = {0, 0, 0};
+  out.raw(zeros, 24);
+  int64_t grid_pos = static_cast<int64_t>(out.b.size());
+  out.put<uint32_t>(comp);
+
+  Buf body, leaf_buffers;
+  encode_grid_body(body, leaf_buffers, g, comp);
+  out.raw(body.b.data(), body.b.size());
+  int64_t block_pos = static_cast<int64_t>(out.b.size());
+  out.raw(leaf_buffers.b.data(), leaf_buffers.b.size());
+  int64_t end_pos = static_cast<int64_t>(out.b.size());
+  int64_t offs[3] = {grid_pos, block_pos, end_pos};
+  memcpy(out.b.data() + offset_pos, offs, 24);
+  return std::move(out.b);
+}
+
+// ------------------------- async writer queue ---------------------------
+
+struct Job {
+  std::string path;
+  GridIn grid;
+  uint32_t comp;
+  std::string uuid;
+};
+
+struct Queue {
+  std::deque<Job> jobs;
+  std::mutex m;
+  std::condition_variable cv, cv_done;
+  bool stop = false;
+  size_t active = 0;
+  std::thread worker;
+
+  Queue() : worker([this] { run(); }) {}
+
+  void run() {
+    for (;;) {
+      Job j;
+      {
+        std::unique_lock<std::mutex> lk(m);
+        cv.wait(lk, [this] { return stop || !jobs.empty(); });
+        if (stop && jobs.empty()) return;
+        j = std::move(jobs.front());
+        jobs.pop_front();
+        ++active;
+      }
+      auto bytes = encode_archive(j.grid, j.comp, j.uuid.c_str());
+      FILE* f = fopen(j.path.c_str(), "wb");
+      if (f) {
+        fwrite(bytes.data(), 1, bytes.size(), f);
+        fclose(f);
+      }
+      {
+        std::lock_guard<std::mutex> lk(m);
+        --active;
+        cv_done.notify_all();
+      }
+    }
+  }
+
+  ~Queue() {
+    {
+      std::lock_guard<std::mutex> lk(m);
+      stop = true;
+      cv.notify_all();
+    }
+    worker.join();
+  }
+};
+
+}  // namespace
+
+
+extern "C" {
+
+long vdbio_encode(const float* values, const uint8_t* active, int nx, int ny,
+                  int nz, int ox, int oy, int oz, float background,
+                  double voxel_size, const char* name, uint32_t compression,
+                  const char* uuid36, uint8_t** out) {
+  GridIn g;
+  size_t n = static_cast<size_t>(nx) * ny * nz;
+  g.values.assign(values, values + n);
+  if (active) g.active.assign(active, active + n);
+  else g.active.assign(n, 1);
+  g.nx = nx; g.ny = ny; g.nz = nz;
+  g.ox = ox; g.oy = oy; g.oz = oz;
+  g.background = background;
+  g.voxel_size = voxel_size;
+  g.name = name ? name : "";
+  auto bytes = encode_archive(g, compression, uuid36);
+  *out = static_cast<uint8_t*>(malloc(bytes.size()));
+  memcpy(*out, bytes.data(), bytes.size());
+  return static_cast<long>(bytes.size());
+}
+
+void vdbio_free(uint8_t* p) { free(p); }
+
+void* vdbio_queue_create() { return new Queue(); }
+
+void vdbio_queue_submit(void* q, const char* path, const float* values,
+                        const uint8_t* active, int nx, int ny, int nz, int ox,
+                        int oy, int oz, float background, double voxel_size,
+                        const char* name, uint32_t compression,
+                        const char* uuid36) {
+  Queue* qq = static_cast<Queue*>(q);
+  Job j;
+  j.path = path;
+  size_t n = static_cast<size_t>(nx) * ny * nz;
+  j.grid.values.assign(values, values + n);
+  if (active) j.grid.active.assign(active, active + n);
+  else j.grid.active.assign(n, 1);
+  j.grid.nx = nx; j.grid.ny = ny; j.grid.nz = nz;
+  j.grid.ox = ox; j.grid.oy = oy; j.grid.oz = oz;
+  j.grid.background = background;
+  j.grid.voxel_size = voxel_size;
+  j.grid.name = name ? name : "";
+  j.comp = compression;
+  j.uuid = uuid36;
+  {
+    std::lock_guard<std::mutex> lk(qq->m);
+    qq->jobs.push_back(std::move(j));
+  }
+  qq->cv.notify_one();
+}
+
+long vdbio_queue_pending(void* q) {
+  Queue* qq = static_cast<Queue*>(q);
+  std::lock_guard<std::mutex> lk(qq->m);
+  return static_cast<long>(qq->jobs.size() + qq->active);
+}
+
+void vdbio_queue_flush(void* q) {
+  Queue* qq = static_cast<Queue*>(q);
+  std::unique_lock<std::mutex> lk(qq->m);
+  qq->cv_done.wait(lk, [qq] { return qq->jobs.empty() && qq->active == 0; });
+}
+
+void vdbio_queue_destroy(void* q) { delete static_cast<Queue*>(q); }
+
+}  // extern "C"
