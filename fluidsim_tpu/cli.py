@@ -146,6 +146,21 @@ def main(argv=None) -> int:
     pp = sub.add_parser("print", help="dump .vdb archive info (vdb_print)")
     pp.add_argument("files", nargs="+")
 
+    pr_ = sub.add_parser("render", help="render a .vdb density grid to PNG "
+                                        "(vdb_render)")
+    pr_.add_argument("file")
+    pr_.add_argument("-o", "--output", default=None)
+    pr_.add_argument("--axis", type=int, default=2)
+    pr_.add_argument("--absorption", type=float, default=0.1)
+    pr_.add_argument("--grid", type=int, default=0,
+                     help="grid index within the archive")
+
+    pl = sub.add_parser("lod", help="write a mean-pooled mip pyramid "
+                                    "(vdb_lod)")
+    pl.add_argument("file")
+    pl.add_argument("-o", "--output", default=None)
+    pl.add_argument("--levels", type=int, default=None)
+
     ps = sub.add_parser("scenes", help="list registered scenes")
 
     args = ap.parse_args(argv)
@@ -155,6 +170,29 @@ def main(argv=None) -> int:
         return _run("mpm", args)
     if args.cmd == "print":
         return _print_vdb(args)
+    if args.cmd == "render":
+        from fluidsim_tpu.io.vdb import read_vdb
+        from fluidsim_tpu.io.render import render_volume, write_png
+        g = read_vdb(args.file)[args.grid]
+        img = render_volume(g.values, axis=args.axis,
+                            absorption=args.absorption)
+        out = args.output or (os.path.splitext(args.file)[0] + ".png")
+        write_png(out, img)
+        print(f"wrote {out} ({img.shape[1]}x{img.shape[0]})")
+        return 0
+    if args.cmd == "lod":
+        from fluidsim_tpu.io.vdb import read_vdb, write_vdb, VdbGrid
+        from fluidsim_tpu.io.render import build_lod
+        g = read_vdb(args.file)[0]
+        pyramid = build_lod(g.values, args.levels)
+        out = args.output or (os.path.splitext(args.file)[0] + "_lod.vdb")
+        grids = [VdbGrid(values=v, origin=tuple(int(o) // (2 ** i) for o in g.origin),
+                         name=f"{g.name}_lod{i}", background=g.background,
+                         voxel_size=g.voxel_size * (2 ** i))
+                 for i, v in enumerate(pyramid)]
+        write_vdb(out, grids)
+        print(f"wrote {out} ({len(grids)} levels)")
+        return 0
     if args.cmd == "scenes":
         from fluidsim_tpu.scenes import REGISTRY, get_scene
         for name in REGISTRY:

@@ -17,12 +17,23 @@ import jax
 
 
 def save_checkpoint(path: str, state, params=None, extra: dict | None = None):
-    """Serialize a (registered-dataclass) state pytree to ``.npz``."""
-    leaves, treedef = jax.tree_util.tree_flatten(state)
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    """Serialize a (registered-dataclass) state pytree to ``.npz``.
+
+    Fields are stored by name; optional (None) fields — e.g. the APIC
+    ``aff`` matrices when running plain FLIP — are recorded as absent.
+    """
+    arrays = {}
+    none_fields = []
+    for f in dataclasses.fields(state):
+        v = getattr(state, f.name)
+        if v is None:
+            none_fields.append(f.name)
+        else:
+            arrays[f"field_{f.name}"] = np.asarray(v)
     meta = {
         "state_class": type(state).__name__,
         "fields": [f.name for f in dataclasses.fields(state)],
+        "none_fields": none_fields,
         "params": dataclasses.asdict(params) if params is not None else None,
         "extra": extra or {},
     }
@@ -31,15 +42,19 @@ def save_checkpoint(path: str, state, params=None, extra: dict | None = None):
 
 def load_checkpoint(path: str, state_cls, dtype=None):
     """Rebuild the state pytree.  Returns (state, meta)."""
+    import jax.numpy as jnp
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(str(z["__meta__"]))
         if meta["state_class"] != state_cls.__name__:
             raise ValueError(
                 f"checkpoint holds {meta['state_class']}, expected {state_cls.__name__}")
-        fields = meta["fields"]
-        leaves = [z[f"leaf_{i}"] for i in range(len(fields))]
-    kwargs = {name: (leaf if dtype is None or leaf.dtype.kind in "iu"
-                     else leaf.astype(dtype))
-              for name, leaf in zip(fields, leaves)}
-    import jax.numpy as jnp
-    return state_cls(**{k: jnp.asarray(v) for k, v in kwargs.items()}), meta
+        kwargs = {}
+        for name in meta["fields"]:
+            if name in meta.get("none_fields", []):
+                kwargs[name] = None
+                continue
+            leaf = z[f"field_{name}"]
+            if dtype is not None and leaf.dtype.kind == "f":
+                leaf = leaf.astype(dtype)
+            kwargs[name] = jnp.asarray(leaf)
+    return state_cls(**kwargs), meta

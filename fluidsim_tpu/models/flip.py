@@ -68,6 +68,7 @@ class FlipState:
     dt: jax.Array        # () — CFL dt carried across frames (fluid.cc:1490)
     t: jax.Array         # () — accumulated simulation time
     frame: jax.Array     # () int32
+    aff: jax.Array | None = None   # (P, 3, 3) APIC affine matrices (mode="apic")
 
 
 def lookup_bool(grid, cells, bound: int):
@@ -154,7 +155,17 @@ def flip_step(params: FlipParams, solid, state: FlipState):
     B, wall = params.bound, params.wall
     pos, vel, dt = state.pos, state.vel, state.dt
 
-    if params.fast_transfer:
+    aff = state.aff
+    if params.mode == "apic":
+        from fluidsim_tpu.ops import transfer_fast as tf
+        from fluidsim_tpu.ops import apic
+        pos, vel, flat, aff_flat = tf.sort_by_cell(
+            pos, vel, B, extra=state.aff.reshape(-1, 9))
+        aff = aff_flat.reshape(-1, 3, 3)
+        weights, mom, occ = apic.p2g_apic(pos, vel, aff, flat, solid, B,
+                                          params.kernel)
+        velg = transfer.normalize_velocity(weights, mom)
+    elif params.fast_transfer:
         from fluidsim_tpu.ops import transfer_fast as tf
         pos, vel, flat = tf.sort_by_cell(pos, vel, B)
         weights, mom, occ = tf.p2g_fused(pos, vel, flat, solid, B,
@@ -174,9 +185,13 @@ def flip_step(params: FlipParams, solid, state: FlipState):
     # -- pressure projection do-while (fluid.cc:1457-1484) --
     velg, err, n_outer, cg_iters, div_rms = project(params, velg, fluid, solid, dt)
 
-    # -- FLIP / PIC grid-to-particle (fluid.cc:1490) --
+    # -- FLIP / PIC / APIC grid-to-particle (fluid.cc:1490) --
     vc_new = cell_center_velocity(velg)
-    if params.mode == "flip":
+    if params.mode == "apic":
+        from fluidsim_tpu.ops import apic
+        vel, aff = apic.g2p_apic(pos, flat, vc_new, B, wall, params.kernel)
+        e = 0.5
+    elif params.mode == "flip":
         vc_old = cell_center_velocity(velb)
         if params.fast_transfer:
             delta = tf.g2p_fused(pos, flat, vc_new - vc_old, B, wall,
@@ -204,7 +219,8 @@ def flip_step(params: FlipParams, solid, state: FlipState):
     pos, vel = advect_bounce(pos, vel, dt_new, solid, B, e, rounding="round")
 
     new_state = FlipState(pos=pos, vel=vel, dt=dt_new,
-                          t=state.t + dt_new, frame=state.frame + 1)
+                          t=state.t + dt_new, frame=state.frame + 1,
+                          aff=aff)
     metrics = {
         "error": err,
         "dt_used": dt,
@@ -236,10 +252,13 @@ class FlipSim:
         self.params = params
         self.solid = jnp.asarray(scene.solid)
         pos, vel = seeder(scene, seed=seed, dtype=np.dtype(dtype).name)
+        aff = (jnp.zeros((pos.shape[0], 3, 3), dtype)
+               if params.mode == "apic" else None)
         self.state = FlipState(
             pos=jnp.asarray(pos, dtype), vel=jnp.asarray(vel, dtype),
             dt=jnp.asarray(params.max_dt, dtype),
-            t=jnp.zeros((), dtype), frame=jnp.zeros((), jnp.int32))
+            t=jnp.zeros((), dtype), frame=jnp.zeros((), jnp.int32),
+            aff=aff)
         self._step = jax.jit(partial(flip_step, params), donate_argnums=(1,))
 
     @property
@@ -250,13 +269,17 @@ class FlipSim:
         self.state, metrics = self._step(self.solid, self.state)
         return metrics
 
-    def run(self, frames: int, callback=None):
+    def run(self, frames: int, callback=None, check: bool = True):
         """Frame loop (``fluid.cc:1368``); callback(frame, state, metrics)
         runs host-side (export, logging)."""
+        from fluidsim_tpu.utils.profiling import check_finite
         out = None
         for _ in range(frames):
             metrics = self.step()
+            frame = int(self.state.frame) - 1
+            if check:
+                check_finite(metrics, frame)
             if callback is not None:
-                callback(int(self.state.frame) - 1, self.state, metrics)
+                callback(frame, self.state, metrics)
             out = metrics
         return out

@@ -246,11 +246,15 @@ class MpmSim:
         self.state, metrics = self._step(self.solid, self.state)
         return metrics
 
-    def run(self, frames: int, callback=None):
+    def run(self, frames: int, callback=None, check: bool = True):
+        from fluidsim_tpu.utils.profiling import check_finite
         out = None
         for _ in range(frames):
             metrics = self.step()
+            frame = int(self.state.frame) - 1
+            if check:
+                check_finite(metrics, frame)
             if callback is not None:
-                callback(int(self.state.frame) - 1, self.state, metrics)
+                callback(frame, self.state, metrics)
             out = metrics
         return out

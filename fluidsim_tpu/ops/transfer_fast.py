@@ -63,23 +63,31 @@ def _shift3(a, d):
     return out
 
 
-def sort_by_cell(pos, vel, bound: int):
-    """Sort particles by base-cell flat id.  Returns (pos, vel, base, flat).
+def sort_by_cell(pos, vel, bound: int, extra=None):
+    """Sort particles by base-cell flat id.
 
-    ``base`` is the rounded cell (P,3) clipped into the box; ``flat`` its
-    flat id — both already sorted.  Out-of-box particles (e.g. migration
-    sentinels) clip to the boundary; their transfer weights vanish anyway.
+    Returns ``(pos_s, vel_s, flat_s)`` or ``(pos_s, vel_s, flat_s, extra_s)``
+    when an additional ``(P, K)`` payload (e.g. APIC C matrices flattened)
+    is given.  Out-of-box particles (e.g. migration sentinels) clip to the
+    boundary cell; their transfer weights vanish anyway.
     """
     n = 2 * bound + 1
     base = cround(pos).astype(jnp.int32)
     bc = jnp.clip(base + bound, 0, n - 1)
     flat = (bc[:, 0] * n + bc[:, 1]) * n + bc[:, 2]
     ops = [flat, pos[:, 0], pos[:, 1], pos[:, 2], vel[:, 0], vel[:, 1], vel[:, 2]]
+    k = 0
+    if extra is not None:
+        k = extra.shape[1]
+        ops += [extra[:, i] for i in range(k)]
     out = jax.lax.sort(ops, num_keys=1)
     flat_s = out[0]
     pos_s = jnp.stack(out[1:4], axis=-1)
     vel_s = jnp.stack(out[4:7], axis=-1)
-    return pos_s, vel_s, flat_s
+    if extra is None:
+        return pos_s, vel_s, flat_s
+    extra_s = jnp.stack(out[7:7 + k], axis=-1)
+    return pos_s, vel_s, flat_s, extra_s
 
 
 def _stencil_w(pos, kernel: str):
