@@ -283,14 +283,38 @@ int main(int argc, char** argv) {
   int bound = argc > 1 ? std::atoi(argv[1]) : 64;
   double density = argc > 2 ? std::atof(argv[2]) : 25.0;
   int frames = argc > 3 ? std::atoi(argv[3]) : 3;
+  const char* particle_file = argc > 4 ? argv[4] : nullptr;
+  bool trace_ke = particle_file != nullptr;
+
   Sim sim(bound, density);
+  if (particle_file) {
+    // cross-validation mode: load positions (P x 3 float32) so the Python
+    // framework and this port run the identical initial state.
+    FILE* f = fopen(particle_file, "rb");
+    if (!f) { fprintf(stderr, "cannot open %s\n", particle_file); return 1; }
+    fseek(f, 0, SEEK_END);
+    long bytes = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    size_t p = bytes / (3 * sizeof(float));
+    std::vector<float> buf(p * 3);
+    if (fread(buf.data(), sizeof(float), p * 3, f) != p * 3) return 1;
+    fclose(f);
+    sim.px.assign(p, 0); sim.py.assign(p, 0); sim.pz.assign(p, 0);
+    sim.vx.assign(p, 0); sim.vy.assign(p, 0); sim.vz.assign(p, 0);
+    for (size_t i = 0; i < p; ++i) {
+      sim.px[i] = buf[3 * i]; sim.py[i] = buf[3 * i + 1]; sim.pz[i] = buf[3 * i + 2];
+    }
+  }
   fprintf(stderr, "# ref_cpu: grid %d^3, %zu particles, %d frames\n",
           sim.N, sim.px.size(), frames);
   double dt = sim.maxdt;
-  // one warmup frame (touch all memory)
-  sim.p2g();
-  sim.project(dt);
-  { auto ub = sim.u, vb = sim.v, wb = sim.w; dt = sim.flip_advect(ub, vb, wb, dt); }
+  if (!trace_ke) {
+    // one warmup frame (touch all memory) before timing
+    sim.p2g();
+    sim.project(dt);
+    auto ub = sim.u, vb = sim.v, wb = sim.w;
+    dt = sim.flip_advect(ub, vb, wb, dt);
+  }
 
   auto t0 = std::chrono::steady_clock::now();
   for (int f = 0; f < frames; ++f) {
@@ -298,12 +322,21 @@ int main(int argc, char** argv) {
     auto ub = sim.u; auto vb = sim.v; auto wb = sim.w;
     sim.project(dt);
     dt = sim.flip_advect(ub, vb, wb, dt);
+    if (trace_ke) {
+      double ke = 0;
+      for (size_t i = 0; i < sim.px.size(); ++i)
+        ke += 0.5 * ((double)sim.vx[i] * sim.vx[i] + (double)sim.vy[i] * sim.vy[i]
+                     + (double)sim.vz[i] * sim.vz[i]);
+      printf("{\"frame\": %d, \"ke\": %.8e, \"dt\": %.8f}\n", f, ke, dt);
+    }
   }
-  double secs = std::chrono::duration<double>(
-      std::chrono::steady_clock::now() - t0).count() / frames;
-  printf("{\"steps_per_sec\": %.6f, \"ms_per_frame\": %.1f, \"particles\": %zu, "
-         "\"grid\": %d, \"frames\": %d, \"method\": \"single-thread C++ port of "
-         "reference FLIP pipeline, matrix-free Jacobi-PCG rtol 1e-5\"}\n",
-         1.0 / secs, secs * 1000.0, sim.px.size(), sim.N, frames);
+  if (!trace_ke) {
+    double secs = std::chrono::duration<double>(
+        std::chrono::steady_clock::now() - t0).count() / frames;
+    printf("{\"steps_per_sec\": %.6f, \"ms_per_frame\": %.1f, \"particles\": %zu, "
+           "\"grid\": %d, \"frames\": %d, \"method\": \"single-thread C++ port of "
+           "reference FLIP pipeline, matrix-free Jacobi-PCG rtol 1e-5\"}\n",
+           1.0 / secs, secs * 1000.0, sim.px.size(), sim.N, frames);
+  }
   return 0;
 }
