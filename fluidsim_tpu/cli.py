@@ -36,6 +36,9 @@ def _add_run_args(p):
                    help="override scene size (e.g. 63 for a 127^3 box)")
     p.add_argument("--density", type=float, default=None)
     p.add_argument("--echo-every", type=int, default=1)
+    p.add_argument("--surface", action="store_true",
+                   help="export a particle level-set fog volume instead of "
+                        "raw occupancy (smoother renders)")
 
 
 def _run(kind: str, args) -> int:
@@ -82,12 +85,20 @@ def _run(kind: str, args) -> int:
         persistent = np.zeros(spec.shape, np.float32)
 
         def writer(frame, state, metrics):
-            occ = np.asarray(metrics["occupancy"])
-            if kind == "flip":
-                persistent[~solid_np] = occ[~solid_np]
+            if args.surface:
+                from fluidsim_tpu.ops.levelset import (particles_to_levelset,
+                                                       sdf_to_fog)
+                sdf = particles_to_levelset(state.pos, spec.bound)
+                vals = np.asarray(sdf_to_fog(sdf), np.float32)
+                vals[solid_np] = 0.0
+                persistent[:] = vals
             else:
-                upd = (~solid_np) & (occ > 0.1)
-                persistent[upd] = occ[upd]
+                occ = np.asarray(metrics["occupancy"])
+                if kind == "flip":
+                    persistent[~solid_np] = occ[~solid_np]
+                else:
+                    upd = (~solid_np) & (occ > 0.1)
+                    persistent[upd] = occ[upd]
             g = VdbGrid(values=persistent.copy(),
                         origin=(-spec.bound,) * 3,
                         background=0.0, voxel_size=spec.dx)
