@@ -89,7 +89,7 @@ def _run(kind: str, args) -> int:
                 from fluidsim_tpu.ops.levelset import (particles_to_levelset,
                                                        sdf_to_fog)
                 sdf = particles_to_levelset(state.pos, spec.bound)
-                vals = np.asarray(sdf_to_fog(sdf), np.float32)
+                vals = np.array(sdf_to_fog(sdf), np.float32, copy=True)
                 vals[solid_np] = 0.0
                 persistent[:] = vals
             else:
