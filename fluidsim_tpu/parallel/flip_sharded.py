@@ -95,6 +95,68 @@ def _cell_center_ext(vel_ext):
     return cell_center_velocity(vel_ext)
 
 
+def _sort_local(pos, vel, alive, x0, nl, n, bound):
+    """Sort the local particle slots by their ext-slab flat cell id.
+
+    Dead (sentinel) slots sort to the end (their clipped id is the max);
+    returns sorted (pos, vel, alive, flat_ext) with flat ids valid for the
+    (nl + 2W, n, n) extended slab.
+    """
+    base = cround(pos).astype(jnp.int32)
+    lx = jnp.clip(base[:, 0] + bound - x0 + W, 0, nl + 2 * W - 1)
+    gy = jnp.clip(base[:, 1] + bound, 0, n - 1)
+    gz = jnp.clip(base[:, 2] + bound, 0, n - 1)
+    flat = (lx * n + gy) * n + gz
+    ops = [flat, pos[:, 0], pos[:, 1], pos[:, 2],
+           vel[:, 0], vel[:, 1], vel[:, 2], alive.astype(jnp.float32)]
+    out = jax.lax.sort(ops, num_keys=1)
+    return (jnp.stack(out[1:4], -1), jnp.stack(out[4:7], -1),
+            out[7] > 0.5, out[0])
+
+
+def _p2g_fused_local(pos_s, vel_s, flat_s, x0, nl, n, bound):
+    """Fused 108-channel scatter into the extended slab + 27 dense shifts,
+    before halo reduction and cell masking (the sharded analogue of
+    ``transfer_fast.p2g_fused``)."""
+    from fluidsim_tpu.ops.transfer_fast import _stencil_w, _shift3
+    from fluidsim_tpu.ops.transfer import _OFFSETS as OFFS
+    w27 = _stencil_w(pos_s, "flip")
+    valid = jnp.all(jnp.abs(cround(pos_s)) <= bound, axis=-1)
+    w27 = jnp.where(valid[:, None], w27, 0.0)
+    u = jnp.concatenate([w27[..., None],
+                         w27[..., None] * vel_s[:, None, :]], axis=-1)
+    rows = nl + 2 * W
+    d = jnp.zeros((rows * n * n, 27 * 4), pos_s.dtype).at[flat_s].add(
+        u.reshape(-1, 27 * 4), indices_are_sorted=True)
+    d = d.reshape(rows, n, n, 27, 4)
+    acc = jnp.zeros((rows, n, n, 4), pos_s.dtype)
+    for o in range(27):
+        acc = acc + _shift3(d[..., o, :], OFFS[o])
+    return acc       # (nl+2W, n, n, 4): [w, w*vx, w*vy, w*vz]
+
+
+def _g2p_fused_local(pos_s, flat_s, fields_ext, within_wall_ext, bound):
+    """Sharded analogue of ``transfer_fast.g2p_fused`` over an extended
+    slab: 27 shifts pack neighbourhood tables, one sorted row-gather."""
+    from fluidsim_tpu.ops.transfer_fast import _stencil_w, _shift3
+    from fluidsim_tpu.ops.transfer import _OFFSETS as OFFS
+    rows, n = fields_ext.shape[0], fields_ext.shape[1]
+    c = fields_ext.shape[-1]
+    fm = jnp.concatenate([
+        jnp.where(within_wall_ext[..., None], fields_ext, 0.0),
+        within_wall_ext[..., None].astype(fields_ext.dtype)], axis=-1)
+    cols = [_shift3(fm, -OFFS[o]) for o in range(27)]
+    table = jnp.stack(cols, axis=-2).reshape(rows * n * n, 27 * (c + 1))
+    rws = table[flat_s].reshape(-1, 27, c + 1)
+    w27 = _stencil_w(pos_s, "flip")
+    valid = jnp.all(jnp.abs(cround(pos_s)) <= bound, axis=-1)
+    wm = jnp.where(valid[:, None], w27, 0.0) * rws[..., c]
+    num = jnp.sum(wm[..., None] * rws[..., :c], axis=1)
+    den = jnp.sum(wm, axis=1)
+    safe = jnp.where(den != 0, den, 1.0)
+    return jnp.where(den[:, None] != 0, num / safe[:, None], 0.0)
+
+
 def _sharded_step(params: FlipParams, nl: int, cap: int, mig_cap: int,
                   solid_full, solid_pad_ext, state: ShardedFlipState):
     """SPMD body: runs per device under shard_map."""
@@ -116,29 +178,44 @@ def _sharded_step(params: FlipParams, nl: int, cap: int, mig_cap: int,
     solid_ext1 = solid_ext[W - 1:nl + W + 1]                 # halo-1 view
 
     # ---- P2G (fluid.cc:1384) ----
-    cells, inb = transfer.particle_stencil(pos, B)
-    w = transfer.stencil_weights(pos, cells, params.kernel)
-    within_in = jnp.all(jnp.abs(cells) < B - 1, axis=-1)     # |c| <= B-2
-    sflat = solid_full.reshape(-1)
-    gidx = jnp.clip(cells + B, 0, n - 1)
-    cell_solid = sflat[(gidx[..., 0] * n + gidx[..., 1]) * n + gidx[..., 2]]
-    p2g_mask = inb & within_in & ~cell_solid
+    if params.fast_transfer:
+        # fused path: sort by ext-slab cell, one 108-ch scatter + shifts.
+        # With the standard wall geometry (wall == bound-2, the only layout
+        # the sharded solver supports) the within-(B-2) and occupancy masks
+        # both collapse to ~solid, so occupancy shares the weight field.
+        pos, vel, alive, flat_ext = _sort_local(pos, vel, alive, x0, nl, n, B)
+        acc = _p2g_fused_local(pos, vel, flat_ext, x0, nl, n, B)
+        red = jnp.stack([halo_reduce(acc[..., c], W, AX) for c in range(4)],
+                        axis=-1)
+        ns_loc = (~solid_loc)[..., None]
+        weights = jnp.where(ns_loc[..., 0], red[..., 0], 0.0)
+        mom = jnp.where(ns_loc, red[..., 1:4], 0.0)
+        occ = weights
+        velg = transfer.normalize_velocity(weights, mom)
+    else:
+        cells, inb = transfer.particle_stencil(pos, B)
+        w = transfer.stencil_weights(pos, cells, params.kernel)
+        within_in = jnp.all(jnp.abs(cells) < B - 1, axis=-1)  # |c| <= B-2
+        sflat = solid_full.reshape(-1)
+        gidx = jnp.clip(cells + B, 0, n - 1)
+        cell_solid = sflat[(gidx[..., 0] * n + gidx[..., 1]) * n + gidx[..., 2]]
+        p2g_mask = inb & within_in & ~cell_solid
 
-    wm = jnp.where(p2g_mask, w, 0.0)
-    weights = halo_reduce(_local_scatter(cells + B,
-                                         wm, p2g_mask, x0, nl, n, W), W, AX)
-    mom = jnp.stack([
-        halo_reduce(_local_scatter(cells + B,
-                                   wm * vel[:, None, d], p2g_mask,
-                                   x0, nl, n, W), W, AX)
-        for d in range(3)], axis=-1)
-    velg = transfer.normalize_velocity(weights, mom)
+        wm = jnp.where(p2g_mask, w, 0.0)
+        weights = halo_reduce(_local_scatter(cells + B,
+                                             wm, p2g_mask, x0, nl, n, W), W, AX)
+        mom = jnp.stack([
+            halo_reduce(_local_scatter(cells + B,
+                                       wm * vel[:, None, d], p2g_mask,
+                                       x0, nl, n, W), W, AX)
+            for d in range(3)], axis=-1)
+        velg = transfer.normalize_velocity(weights, mom)
 
-    # occupancy (fluid.cc:1413): mask = in-bounds & not solid & w > 0
-    occ_mask = inb & ~cell_solid & (w > 0)
-    occ = halo_reduce(_local_scatter(cells + B,
-                                     jnp.where(occ_mask, w, 0.0), occ_mask,
-                                     x0, nl, n, W), W, AX)
+        # occupancy (fluid.cc:1413): mask = in-bounds & not solid & w > 0
+        occ_mask = inb & ~cell_solid & (w > 0)
+        occ = halo_reduce(_local_scatter(cells + B,
+                                         jnp.where(occ_mask, w, 0.0), occ_mask,
+                                         x0, nl, n, W), W, AX)
     fluid = (occ > 0) & (~solid_loc)
     velb = velg
 
@@ -198,15 +275,25 @@ def _sharded_step(params: FlipParams, nl: int, cap: int, mig_cap: int,
     # ---- FLIP delta gather (fluid.cc:1490, CatmullRomFLIP 210-263) ----
     vc_new = _cell_center_ext(exchange_halo(velg, W, AX))
     vc_old = _cell_center_ext(exchange_halo(velb, W, AX))
-    within_wall = jnp.all(jnp.abs(cells) <= wall, axis=-1)
-    gmask = inb & within_wall
-    wg = jnp.where(gmask, w, 0.0)
-    dv = _local_gather(vc_new - vc_old, cells + B,
-                       x0, nl, n, W)
-    num = jnp.sum(wg[..., None] * dv, axis=1)
-    den = jnp.sum(wg, axis=1)
-    delta = jnp.where(den[:, None] != 0,
-                      num / jnp.where(den[:, None] != 0, den[:, None], 1.0), 0.0)
+    if params.fast_transfer:
+        # within-wall mask on the extended slab, from global coordinates
+        gi = jax.lax.broadcasted_iota(jnp.int32, (nl + 2 * W, n, n), 0) \
+            + x0 - W - B
+        cy = np.abs(np.arange(-B, B + 1)) <= wall
+        wall_yz = jnp.asarray(cy[:, None] & cy[None, :])
+        within_ext = (jnp.abs(gi) <= wall) & wall_yz[None, :, :]
+        delta = _g2p_fused_local(pos, flat_ext, vc_new - vc_old, within_ext, B)
+    else:
+        within_wall = jnp.all(jnp.abs(cells) <= wall, axis=-1)
+        gmask = inb & within_wall
+        wg = jnp.where(gmask, w, 0.0)
+        dv = _local_gather(vc_new - vc_old, cells + B,
+                           x0, nl, n, W)
+        num = jnp.sum(wg[..., None] * dv, axis=1)
+        den = jnp.sum(wg, axis=1)
+        delta = jnp.where(den[:, None] != 0,
+                          num / jnp.where(den[:, None] != 0, den[:, None], 1.0),
+                          0.0)
     vel = jnp.where(alive[:, None], vel + delta, 0.0)
 
     # ---- CFL (pmax over shards) ----
