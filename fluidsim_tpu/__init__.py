@@ -18,3 +18,20 @@ C++ simulator Aakash1312/Fluid-Simulation (see /root/repo/SURVEY.md):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy convenience exports (keep bare import light; JAX loads on demand).
+    if name == "FlipSim":
+        from fluidsim_tpu.models.flip import FlipSim
+        return FlipSim
+    if name == "MpmSim":
+        from fluidsim_tpu.models.mpm import MpmSim
+        return MpmSim
+    if name == "ShardedFlipSim":
+        from fluidsim_tpu.parallel.flip_sharded import ShardedFlipSim
+        return ShardedFlipSim
+    if name == "get_scene":
+        from fluidsim_tpu.scenes import get_scene
+        return get_scene
+    raise AttributeError(name)
