@@ -58,6 +58,11 @@ class FlipParams:
     kernel: str = "flip"
     compat_projection: bool = True   # keep dt/10 + per-pass gravity quirks
     fast_transfer: bool = True       # sorted channel-fused transfers (ops.transfer_fast)
+    preconditioner: str = "jacobi"  # "jacobi" or "multigrid" (V-cycle)
+    # multigrid cuts CG iterations ~10x (110 -> 11 at 129^3) but the
+    # V-cycle overhead makes it a wash on these easy systems (the
+    # reference outer tolerance is loose); it is the right tool when
+    # iteration counts blow up (deep columns, tight tolerances).
 
 
 @jax.tree_util.register_dataclass
@@ -115,7 +120,11 @@ def project(params: FlipParams, velg, fluid, solid, dt):
     dx, rho = params.dx, params.rho
     adiag = pr.laplacian_diag(fluid, solid, dt, rho, dx, dtype=velg.dtype)
     apply_a = lambda p: pr.apply_laplacian(p, adiag, fluid, dt, rho, dx)
-    precond = jacobi_preconditioner(adiag, mask=fluid)
+    if params.preconditioner == "multigrid":
+        from fluidsim_tpu.ops.multigrid import mg_preconditioner
+        precond = mg_preconditioner(fluid, solid, dt, rho, dx)
+    else:
+        precond = jacobi_preconditioner(adiag, mask=fluid)
 
     def norm(x):
         return jnp.sqrt(jnp.sum((x * x).astype(jnp.float32)))
@@ -248,6 +257,18 @@ class FlipSim:
             params = FlipParams(bound=scene.spec.bound, wall=scene.spec.wall,
                                 dx=scene.spec.dx,
                                 gravity=tuple(scene.gravity))
+        # The fused transfers build two ~N^3 x 128-lane tables; past ~200^3
+        # that exceeds single-chip HBM, so fall back to the naive schedule
+        # (slower but O(P) memory).  Multi-chip sharding is the real answer
+        # at that scale (each shard holds only its slab's table).
+        table_bytes = 2 * scene.spec.n ** 3 * 128 * 4
+        if params.fast_transfer and table_bytes > 8 * 1024 ** 3:
+            import warnings
+            warnings.warn(
+                f"grid {scene.spec.n}^3 too large for fused transfers "
+                f"(~{table_bytes / 1e9:.0f} GB of tables); using the naive "
+                "transfer path — consider ShardedFlipSim", stacklevel=2)
+            params = dataclasses.replace(params, fast_transfer=False)
         self.scene = scene
         self.params = params
         self.solid = jnp.asarray(scene.solid)
