@@ -39,6 +39,11 @@ def _add_run_args(p):
     p.add_argument("--surface", action="store_true",
                    help="export a particle level-set fog volume instead of "
                         "raw occupancy (smoother renders)")
+    p.add_argument("--config", default=None,
+                   help="JSON scene config (overrides --scene; see "
+                        "fluidsim_tpu.config)")
+    p.add_argument("--trace-dir", default=None,
+                   help="write a jax.profiler trace of the run here")
 
 
 def _run(kind: str, args) -> int:
@@ -46,20 +51,29 @@ def _run(kind: str, args) -> int:
     from fluidsim_tpu.io.checkpoint import save_checkpoint, load_checkpoint
     from fluidsim_tpu.scenes import get_scene
 
-    scene_kwargs = {}
-    if args.bound is not None:
-        scene_kwargs["bound"] = args.bound
-    if args.density is not None:
-        scene_kwargs["density"] = args.density
-    scene = get_scene(args.scene, **scene_kwargs)
-
+    if args.config:
+        from fluidsim_tpu.config import make_sim
+        sim = make_sim(args.config, seed=args.seed)
+        scene = sim.scene
+        kind = "flip" if scene.kind == "flip" else "mpm"
+    else:
+        scene_kwargs = {}
+        if args.bound is not None:
+            scene_kwargs["bound"] = args.bound
+        if args.density is not None:
+            scene_kwargs["density"] = args.density
+        scene = get_scene(args.scene, **scene_kwargs)
+        if kind == "flip":
+            from fluidsim_tpu.models.flip import FlipSim
+            sim = FlipSim(scene, seed=args.seed)
+        else:
+            from fluidsim_tpu.models.mpm import MpmSim
+            sim = MpmSim(scene, seed=args.seed)
     if kind == "flip":
-        from fluidsim_tpu.models.flip import FlipSim, FlipState
-        sim = FlipSim(scene, seed=args.seed)
+        from fluidsim_tpu.models.flip import FlipState
         state_cls = FlipState
     else:
-        from fluidsim_tpu.models.mpm import MpmSim, MpmState
-        sim = MpmSim(scene, seed=args.seed)
+        from fluidsim_tpu.models.mpm import MpmState
         state_cls = MpmState
 
     if args.resume:
@@ -109,15 +123,17 @@ def _run(kind: str, args) -> int:
     print(f"{kind}: scene={scene.name} particles={sim.num_particles} "
           f"grid={scene.spec.n}^3 frames={args.frames}", file=sys.stderr)
 
-    for _ in range(args.frames):
-        metrics = sim.step()
-        frame = int(sim.state.frame) - 1
-        logger.log(frame, metrics)
-        if writer is not None:
-            writer(frame, sim.state, metrics)
-        if args.checkpoint_every and (frame + 1) % args.checkpoint_every == 0:
-            save_checkpoint(os.path.join(args.out, f"ckpt_{frame}.npz"),
-                            sim.state, sim.params)
+    from fluidsim_tpu.utils.profiling import trace
+    with trace(args.trace_dir):
+        for _ in range(args.frames):
+            metrics = sim.step()
+            frame = int(sim.state.frame) - 1
+            logger.log(frame, metrics)
+            if writer is not None:
+                writer(frame, sim.state, metrics)
+            if args.checkpoint_every and (frame + 1) % args.checkpoint_every == 0:
+                save_checkpoint(os.path.join(args.out, f"ckpt_{frame}.npz"),
+                                sim.state, sim.params)
 
     if async_writer is not None:
         async_writer.close()
