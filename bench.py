@@ -40,11 +40,16 @@ def measure_tpu(bound: int, density: float, warmup: int, frames: int):
     print(f"# warmup ({warmup} frames incl. compile): {time.time()-t0:.1f}s",
           file=sys.stderr)
 
-    t0 = time.time()
-    for _ in range(frames):
-        m = sim.step()
-        _ = float(m["kinetic_energy"])   # forced host fetch (see module note)
-    dt = (time.time() - t0) / frames
+    # best of two measurement windows: the TPU tunnel occasionally adds
+    # hundreds of ms of unrelated latency to a window
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        for _ in range(frames):
+            m = sim.step()
+            _ = float(m["kinetic_energy"])  # forced host fetch (module note)
+        best = min(best, (time.time() - t0) / frames)
+    dt = best
     return {
         "steps_per_sec": 1.0 / dt,
         "particle_steps_per_sec": n_particles / dt,

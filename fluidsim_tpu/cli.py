@@ -98,12 +98,18 @@ def _run(kind: str, args) -> int:
         # cells with mass > 0.1, leaving stale values (mpm.cc:1368-1382).
         persistent = np.zeros(spec.shape, np.float32)
 
+        surface_fn = None
+        if args.surface:
+            import functools
+            import jax as _jax
+            from fluidsim_tpu.ops.levelset import (particles_to_levelset,
+                                                   sdf_to_fog)
+            surface_fn = _jax.jit(lambda p: sdf_to_fog(
+                particles_to_levelset(p, spec.bound)))
+
         def writer(frame, state, metrics):
             if args.surface:
-                from fluidsim_tpu.ops.levelset import (particles_to_levelset,
-                                                       sdf_to_fog)
-                sdf = particles_to_levelset(state.pos, spec.bound)
-                vals = np.array(sdf_to_fog(sdf), np.float32, copy=True)
+                vals = np.array(surface_fn(state.pos), np.float32, copy=True)
                 vals[solid_np] = 0.0
                 persistent[:] = vals
             else:

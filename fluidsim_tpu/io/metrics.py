@@ -13,6 +13,10 @@ from typing import IO
 class MetricsLogger:
     def __init__(self, path: str | None = None, echo: bool = True,
                  echo_every: int = 1):
+        if path:
+            import os
+            parent = os.path.dirname(os.path.abspath(path))
+            os.makedirs(parent, exist_ok=True)
         self._fh: IO | None = open(path, "a") if path else None
         self._echo = echo
         self._every = max(1, echo_every)
