@@ -84,23 +84,28 @@ def apply_laplacian(p, adiag, fluid, dt, rho, dx):
     return jnp.where(fluid, acc, 0.0)
 
 
-def vel_update(vel, p, fluid, solid, gravity, dt, rho, dx):
+def vel_update(vel, p, fluid, solid, gravity, dt, rho, dx,
+               gradient_scale: float = 0.1, add_gravity: bool = True):
     """Pressure-gradient + gravity + solid-BC velocity update
     (``velUpdate``, ``fluid.cc:612-703``; invoked with ``dt/10``,
-    ``fluid.cc:1475``).
+    ``fluid.cc:1475`` — hence the default ``gradient_scale=0.1`` and
+    per-pass gravity).  The clean (non-compat) projection calls this with
+    ``gradient_scale=1.0, add_gravity=False``.
 
-    Per fluid cell c: all three components at c get ``-= scale*p(c)`` and
-    ``+= g*dt``; component d at ``c+e_d`` gets ``+= scale*p(c)``.  Then solid
-    enforcement zeroes component d at solid cells and at cells whose minus-d
-    neighbour is solid.
+    Per fluid cell c: all three components at c get ``-= scale*p(c)`` (and
+    ``+= g*dt`` in compat mode); component d at ``c+e_d`` gets
+    ``+= scale*p(c)``.  Then solid enforcement zeroes component d at solid
+    cells and at cells whose minus-d neighbour is solid.
     """
-    scale = (dt / 10.0) / (rho * dx)
+    scale = (dt * gradient_scale) / (rho * dx)
     pf = jnp.where(fluid, p, 0.0) * scale
     fl = fluid.astype(vel.dtype)
     out = []
     for d in range(3):
         vd = vel[..., d]
-        vd = vd - pf + shift_to_minus(pf, d) + gravity[d] * dt * fl
+        vd = vd - pf + shift_to_minus(pf, d)
+        if add_gravity:
+            vd = vd + gravity[d] * dt * fl
         blocked = solid | shift_to_minus(solid, d)
         out.append(jnp.where(blocked, 0.0, vd))
     return jnp.stack(out, axis=-1)

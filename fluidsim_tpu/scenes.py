@@ -185,23 +185,23 @@ def mpm_cone(bound: int = 15, density: float = 400.0) -> Scene:
 
 
 @register("mpm_pea")
-def mpm_pea(bound: int = 15) -> Scene:
+def mpm_pea(bound: int = 15, density: float = 400.0) -> Scene:
     """``mpm.cc:1047-1059``: small block near the floor."""
     spec = GridSpec(bound=bound, wall=bound - 2)
     seed = _box_mask(spec, (-1, -13, -1), (2, -10, 2))
-    return _mpm_base(spec, seed, name="mpm_pea")
+    return _mpm_base(spec, seed, name="mpm_pea", density=density)
 
 
 @register("mpm_block_drop")
-def mpm_block_drop(bound: int = 15) -> Scene:
+def mpm_block_drop(bound: int = 15, density: float = 400.0) -> Scene:
     """``mpm.cc:1045``: block filling -13..-10 (the "normal fluid" variant)."""
     spec = GridSpec(bound=bound, wall=bound - 2)
     seed = _box_mask(spec, (-13, -13, -13), (-10, -10, -10))
-    return _mpm_base(spec, seed, name="mpm_block_drop")
+    return _mpm_base(spec, seed, name="mpm_block_drop", density=density)
 
 
 @register("mpm_double_balls")
-def mpm_double_balls(bound: int = 15) -> Scene:
+def mpm_double_balls(bound: int = 15, density: float = 400.0) -> Scene:
     """``mpm.cc:1078-1107``: two radius-2 balls centred at y=-11 and y=-7."""
     spec = GridSpec(bound=bound, wall=bound - 2)
     c = spec.coords()
@@ -209,21 +209,21 @@ def mpm_double_balls(bound: int = 15) -> Scene:
     r2 = c[:, None, None] ** 2 + c[None, None, :] ** 2
     for yc in (-11, -7):
         seed |= (r2 + (c[None, :, None] - yc) ** 2) <= 4
-    return _mpm_base(spec, seed, name="mpm_double_balls")
+    return _mpm_base(spec, seed, name="mpm_double_balls", density=density)
 
 
 @register("mpm_sphere")
-def mpm_sphere(bound: int = 15) -> Scene:
+def mpm_sphere(bound: int = 15, density: float = 400.0) -> Scene:
     """``mpm.cc:1108-1123``: radius-3 ball centred at y=-10."""
     spec = GridSpec(bound=bound, wall=bound - 2)
     c = spec.coords()
     seed = (c[:, None, None] ** 2 + (c[None, :, None] + 10) ** 2
             + c[None, None, :] ** 2) <= 9
-    return _mpm_base(spec, seed, name="mpm_sphere")
+    return _mpm_base(spec, seed, name="mpm_sphere", density=density)
 
 
 @register("mpm_o")
-def mpm_o(bound: int = 15) -> Scene:
+def mpm_o(bound: int = 15, density: float = 400.0) -> Scene:
     """``mpm.cc:1124-1140``: a 2-D "O" (annulus 4 <= r <= 5) in the z=0 plane."""
     spec = GridSpec(bound=bound, wall=bound - 2)
     c = spec.coords()
@@ -231,4 +231,4 @@ def mpm_o(bound: int = 15) -> Scene:
     ring = (r2 <= 25) & (r2 >= 16)
     seed = np.zeros(spec.shape, dtype=bool)
     seed[:, :, bound] = ring
-    return _mpm_base(spec, seed, name="mpm_o")
+    return _mpm_base(spec, seed, name="mpm_o", density=density)
