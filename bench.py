@@ -80,6 +80,9 @@ def main():
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--frames", type=int, default=10)
     ap.add_argument("--measure-cpu-baseline", action="store_true")
+    ap.add_argument("--suite", action="store_true",
+                    help="run the full BASELINE.json config ladder and write "
+                         "BENCH_DETAILS.json (headline line still printed)")
     args = ap.parse_args()
 
     if args.measure_cpu_baseline:
@@ -87,7 +90,45 @@ def main():
         print(json.dumps(rec))
         return
 
-    res = measure_tpu(args.bound, args.density, args.warmup, args.frames)
+    if args.suite:
+        import numpy as np
+        from fluidsim_tpu.models.flip import FlipSim, FlipParams
+        from fluidsim_tpu.models.mpm import MpmSim
+        from fluidsim_tpu.scenes import get_scene
+        details = {}
+        # config 1: coarse 64^3-class FLIP; config 3: 128^3-class;
+        # config 4: APIC at 128^3-class (192^3 exceeds the fused-transfer
+        # single-chip envelope; see docs/architecture.md)
+        for tag, bound, density in (("flip_65cube", 32, 10.0),
+                                    ("flip_129cube_2M", 64, 25.0)):
+            details[tag] = measure_tpu(bound, density, args.warmup, args.frames)
+        sim = FlipSim(get_scene("water_cube_drop", bound=64, density=25.0),
+                      params=FlipParams(bound=64, wall=62, mode="apic"))
+        for _ in range(args.warmup):
+            _ = float(sim.step()["kinetic_energy"])
+        t0 = time.time()
+        for _ in range(args.frames):
+            _ = float(sim.step()["kinetic_energy"])
+        details["apic_129cube_2M"] = {
+            "steps_per_sec": args.frames / (time.time() - t0),
+            "particles": sim.num_particles}
+        # config 2: MPM cone at reference scale
+        msim = MpmSim("mpm_cone")
+        for _ in range(3):
+            _ = float(msim.step()["kinetic_energy"])
+        t0 = time.time()
+        for _ in range(50):
+            _ = float(msim.step()["kinetic_energy"])
+        details["mpm_cone_ref"] = {"steps_per_sec": 50 / (time.time() - t0),
+                                   "particles": msim.num_particles}
+        with open(os.path.join(HERE, "BENCH_DETAILS.json"), "w") as f:
+            json.dump(details, f, indent=1)
+        print(json.dumps({"suite": {k: round(v["steps_per_sec"], 3)
+                                    for k, v in details.items()}}),
+              file=sys.stderr)
+        res = details["flip_129cube_2M"]
+    else:
+        res = measure_tpu(args.bound, args.density, args.warmup, args.frames)
 
     vs_baseline = 0.0
     if os.path.exists(BASELINE_PATH):

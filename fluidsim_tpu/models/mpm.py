@@ -57,6 +57,9 @@ class MpmParams:
     cg_rtol: float = 1e-6
     cg_maxiter: int = 1000
     kernel: str = "mpm"
+    fast_transfer: bool = False  # sorted channel-fused transfers (ops.mpm_fast);
+    # default off at reference scale (31^3 / ~6k particles, where the naive
+    # path is already sub-ms); turn on for scaled-up MPM scenes.
 
     @property
     def mu0(self) -> float:
@@ -126,33 +129,57 @@ def mpm_step(params: MpmParams, solid, state: MpmState):
     n3 = n * n * n
     pos, vel, dt = state.pos, state.vel, state.dt
     g = jnp.asarray(params.gravity, pos.dtype)
-
-    # -- mass P2G (PointList::interpolate, mpm.cc:1343) --
-    mass = transfer.p2g_mass(pos, solid, B, params.kernel)
-
-    # -- velocity P2G normalised by the MASS grid with threshold
-    #    (P2Gtransfer, mpm.cc:1344,996-1015) --
-    _, mom = transfer.p2g_velocity(pos, vel, solid, B, params.kernel)
     thr = params.mass_threshold
-    velg = jnp.where((mass > thr)[..., None],
-                     mom / jnp.where(mass > thr, mass, 1.0)[..., None], 0.0)
+    fe_in, fp_in = state.FE, state.FP
 
-    # -- per-particle volume, frame 0 only (findVolume, mpm.cc:1345-1348) --
-    ids, inb, not_solid, w, gradw = _particle_nodes(pos, solid, B)
-    dens = jnp.sum(jnp.where(not_solid, w * mass.reshape(-1)[ids], 0.0), axis=1)
+    if params.fast_transfer:
+        from fluidsim_tpu.ops import mpm_fast as mf
+        pos, vel, fe_in, fp_in, volume_in, flat_s = mf.sort_mpm(
+            pos, vel, state.FE, state.FP, state.volume, B)
+        mass, mom = mf.p2g_mpm(pos, vel, flat_s, solid, B)
+        velg = jnp.where((mass > thr)[..., None],
+                         mom / jnp.where(mass > thr, mass, 1.0)[..., None], 0.0)
+        w, gradw = mf.stencil_mpm(pos)
+        valid = jnp.all(jnp.abs(jnp.round(pos)) <= B, axis=-1)
+        rows_m = mf.gather_table(mass[..., None], ~solid, flat_s)
+        dens = jnp.sum(jnp.where(valid[:, None], w, 0.0)
+                       * rows_m[..., 0] * rows_m[..., 1], axis=1)
+    else:
+        volume_in = state.volume
+        # -- mass P2G (PointList::interpolate, mpm.cc:1343) --
+        mass = transfer.p2g_mass(pos, solid, B, params.kernel)
+
+        # -- velocity P2G normalised by the MASS grid with threshold
+        #    (P2Gtransfer, mpm.cc:1344,996-1015) --
+        _, mom = transfer.p2g_velocity(pos, vel, solid, B, params.kernel)
+        velg = jnp.where((mass > thr)[..., None],
+                         mom / jnp.where(mass > thr, mass, 1.0)[..., None], 0.0)
+
+        # -- per-particle volume, frame 0 only (findVolume, mpm.cc:1345-1348) --
+        ids, inb, not_solid, w, gradw = _particle_nodes(pos, solid, B)
+        dens = jnp.sum(jnp.where(not_solid, w * mass.reshape(-1)[ids], 0.0),
+                       axis=1)
+
     vol0 = 1.0 / jnp.where(dens > 0, dens, 1.0)
-    volume = jnp.where(state.frame == 0, vol0, state.volume)
+    volume = jnp.where(state.frame == 0, vol0, volume_in)
 
     active = (mass > thr) & (~solid)
     velb = velg                                    # velBeforeUpdate (mpm.cc:1394)
 
     # -- explicit forces + implicit solve (mpm.cc:1399-1405) --
     mu, lam = hardening(params.mu0, params.lam0, params.hardening_eps,
-                        det3(state.FP))
-    active_flat = active.reshape(-1)
-    gather_mask = active_flat[ids] & inb           # Hessian column mask (mpm.cc:681)
-    forces = make_force_fn(ids, gather_mask, not_solid, gradw,
-                           state.FE, volume, mu, lam, n3)
+                        det3(fp_in))
+    if params.fast_transfer:
+        from fluidsim_tpu.ops import mpm_fast as mf
+        forces_dense = mf.make_force_fn_fused(
+            pos, flat_s, gradw, valid[:, None].astype(pos.dtype),
+            fe_in, volume, mu, lam, active, solid, B)
+        forces = lambda u_flat: forces_dense(u_flat.reshape(n, n, n, 3)).reshape(n3, 3)
+    else:
+        active_flat = active.reshape(-1)
+        gather_mask = active_flat[ids] & inb       # Hessian column mask (mpm.cc:681)
+        forces = make_force_fn(ids, gather_mask, not_solid, gradw,
+                               fe_in, volume, mu, lam, n3)
     f0 = forces(jnp.zeros((n3, 3), pos.dtype))
 
     mass_safe = jnp.where(active, mass, 1.0)[..., None]
@@ -172,11 +199,14 @@ def mpm_step(params: MpmParams, solid, state: MpmState):
     velg = jnp.where(active[..., None], res.x, 0.0)  # updateVelocity, mpm.cc:705-737
 
     # -- deformation gradient update (mpm.cc:493-586) --
-    v_nodes = velg.reshape(n3, 3)[ids] * not_solid[..., None].astype(pos.dtype)
-    gradv = jnp.einsum("pkd,pke->pde", v_nodes, gradw)
+    if params.fast_transfer:
+        gradv = mf.g2p_gradv(velg, flat_s, gradw, solid, B)
+    else:
+        v_nodes = velg.reshape(n3, 3)[ids] * not_solid[..., None].astype(pos.dtype)
+        gradv = jnp.einsum("pkd,pke->pde", v_nodes, gradw)
     eye = jnp.eye(3, dtype=pos.dtype)
-    t_fe = (eye + dt * gradv) @ state.FE
-    f_total = t_fe @ state.FP
+    t_fe = (eye + dt * gradv) @ fe_in
+    f_total = t_fe @ fp_in
     fe_new, v_sinv_ut = clamp_singular(t_fe, 1.0 - params.theta_c,
                                        1.0 + params.theta_s)
     fp_new = v_sinv_ut @ f_total
@@ -184,8 +214,11 @@ def mpm_step(params: MpmParams, solid, state: MpmState):
     # -- FLIP advect (mpm.cc:1418, FLIPadvect 906-968) --
     vc_new = cell_center_velocity(velg)
     vc_old = cell_center_velocity(velb)
-    delta = transfer.g2p_flip_delta(pos, vc_new, vc_old, B, params.wall,
-                                    params.kernel)
+    if params.fast_transfer:
+        delta = mf.g2p_flip_mpm(pos, flat_s, vc_new - vc_old, B, params.wall)
+    else:
+        delta = transfer.g2p_flip_delta(pos, vc_new, vc_old, B, params.wall,
+                                        params.kernel)
     vel = vel + delta
     speed = jnp.sqrt(jnp.sum(vel * vel, axis=-1))
     max_speed = jnp.max(speed)
