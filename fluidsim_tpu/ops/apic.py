@@ -92,8 +92,11 @@ def g2p_apic(pos_s, flat_s, vc, bound: int, wall: int, kernel: str = "flip"):
             - dbar[:, :, None] * dbar[:, None, :])
     eye = jnp.eye(3, dtype=pos_s.dtype)
     dreg = dmat + 1e-3 * eye
-    c = jnp.linalg.solve(jnp.swapaxes(dreg, -1, -2),
-                         jnp.swapaxes(b, -1, -2))
-    c = jnp.swapaxes(c, -1, -2)
+    # closed-form inverse via adjugate/det (dreg is SPD 3x3): batched
+    # jnp.linalg.solve costs ~8x the whole G2P at 2M particles on TPU.
+    from fluidsim_tpu.ops.svd3 import cofactor3, det3
+    det = det3(dreg)
+    inv = jnp.swapaxes(cofactor3(dreg), -1, -2) / det[..., None, None]
+    c = b @ inv
     c = jnp.where(den[:, None, None] != 0, c, 0.0)
     return vel, c
