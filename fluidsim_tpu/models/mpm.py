@@ -31,7 +31,8 @@ from fluidsim_tpu.core.gridspec import cell_center_velocity, flat_index
 from fluidsim_tpu.core.splines import grad_w_mpm
 from fluidsim_tpu.ops import transfer
 from fluidsim_tpu.ops.pcg import pcg
-from fluidsim_tpu.ops.svd3 import (piola_corotated, hardening, clamp_singular, det3)
+from fluidsim_tpu.ops.svd3 import (piola_corotated, piola_linearized,
+                                   hardening, clamp_singular, det3)
 from fluidsim_tpu.models.flip import advect_bounce
 from fluidsim_tpu.scenes import Scene, get_scene
 from fluidsim_tpu.seeding import seed_particles
@@ -109,12 +110,14 @@ def make_force_fn(ids, gather_mask, scatter_mask, gradw, FE, volume, mu, lam, n3
     fe_t = jnp.swapaxes(FE, -1, -2)
     gm = gather_mask[..., None].astype(FE.dtype)
     sm = scatter_mask[..., None].astype(FE.dtype)
+    # one SVD per frame: P is evaluated as P0 + dP(dFE) (exact for the
+    # force at u=0 and for the jvp, which is all the solve uses)
+    p0, dp = piola_linearized(FE, mu, lam)
 
     def forces(u_flat):
         u_nodes = u_flat[ids] * gm                      # (P, 27, 3)
         g = jnp.einsum("pkd,pke->pde", u_nodes, gradw)  # velocity-gradient-like
-        fe_new = FE + g @ FE
-        p_stress = piola_corotated(fe_new, mu, lam)
+        p_stress = p0 + dp(g @ FE)
         sigma = p_stress @ fe_t
         f_pk = -volume[:, None, None] * jnp.einsum("pde,pke->pkd", sigma, gradw)
         return jnp.zeros((n3, 3), FE.dtype).at[ids.reshape(-1)].add(

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from fluidsim_tpu.core.splines import cround, grad_w_mpm
 from fluidsim_tpu.ops.transfer import _OFFSETS
 from fluidsim_tpu.ops.transfer_fast import _shift3
-from fluidsim_tpu.ops.svd3 import piola_corotated
+from fluidsim_tpu.ops.svd3 import piola_corotated, piola_linearized
 
 
 def sort_mpm(pos, vel, FE, FP, volume, bound: int):
@@ -109,13 +109,13 @@ def make_force_fn_fused(pos_s, flat_s, gradw, w27_valid, FE, volume, mu, lam,
     """
     fe_t = jnp.swapaxes(FE, -1, -2)
     not_solid = ~solid
+    p0, dp = piola_linearized(FE, mu, lam)   # one SVD per frame
 
     def forces(u):
         rows = gather_table(u, active, flat_s)          # (P, 27, 4)
         u_nodes = rows[..., :3] * rows[..., 3:4]
         g = jnp.einsum("pkd,pke->pde", u_nodes, gradw)
-        fe_new = FE + g @ FE
-        p_stress = piola_corotated(fe_new, mu, lam)
+        p_stress = p0 + dp(g @ FE)
         sigma = p_stress @ fe_t
         f_pk = -volume[:, None, None] * jnp.einsum("pde,pke->pkd", sigma, gradw)
         f_pk = f_pk * w27_valid[..., None]              # zero dead particles

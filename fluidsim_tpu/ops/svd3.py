@@ -28,20 +28,24 @@ def polar_rotation(F):
     return U @ Vt
 
 
-@polar_rotation.defjvp
-def _polar_rotation_jvp(primals, tangents):
-    """dR via the 3x3 skew system of ``getDelR`` (``deformHeader.h:133-147``):
-
-    ``R^T dF - dF^T R`` is skew; solve ``M x = [rhs01, rhs02, rhs12]`` with
-    ``M`` built from ``S = V diag(s) V^T``, then ``dR = R @ skew(x)``.
-    Linear in ``dF`` (so JAX can transpose it for reverse mode).
-    """
-    (F,), (dF,) = primals, tangents
+def polar_rs(F):
+    """(R, S) of the polar decomposition F = R S (one SVD)."""
     U, s, Vt = svd3(F)
     R = U @ Vt
     V = jnp.swapaxes(Vt, -1, -2)
     S = V @ (s[..., :, None] * Vt)
+    return R, S
 
+
+def polar_delta(R, S, dF):
+    """Rotation differential dR for a perturbation dF of F = R S — the 3x3
+    skew system of ``getDelR`` (``deformHeader.h:133-147``): ``R^T dF -
+    dF^T R`` is skew; solve ``M x = [rhs01, rhs02, rhs12]`` with ``M`` built
+    from S, then ``dR = R @ skew(x)``.  Linear in ``dF``.
+
+    The 3x3 solve uses the closed-form adjugate inverse (M is symmetric and
+    well-conditioned away from degenerate S).
+    """
     rhs = jnp.swapaxes(R, -1, -2) @ dF - jnp.swapaxes(dF, -1, -2) @ R
     v = jnp.stack([rhs[..., 0, 1], rhs[..., 0, 2], rhs[..., 1, 2]], axis=-1)
     m = jnp.stack([
@@ -49,14 +53,25 @@ def _polar_rotation_jvp(primals, tangents):
         jnp.stack([S[..., 1, 2], S[..., 0, 0] + S[..., 2, 2], S[..., 0, 1]], axis=-1),
         jnp.stack([-S[..., 0, 2], S[..., 0, 1], S[..., 1, 1] + S[..., 2, 2]], axis=-1),
     ], axis=-2)
-    x = jnp.linalg.solve(m, v[..., None])[..., 0]
+    det = det3(m)
+    minv = jnp.swapaxes(cofactor3(m), -1, -2) / jnp.where(
+        det != 0, det, 1.0)[..., None, None]
+    x = (minv @ v[..., None])[..., 0]
     zeros = jnp.zeros_like(x[..., 0])
     k = jnp.stack([
         jnp.stack([zeros, x[..., 0], x[..., 1]], axis=-1),
         jnp.stack([-x[..., 0], zeros, x[..., 2]], axis=-1),
         jnp.stack([-x[..., 1], -x[..., 2], zeros], axis=-1),
     ], axis=-2)
-    return R, R @ k
+    return R @ k
+
+
+@polar_rotation.defjvp
+def _polar_rotation_jvp(primals, tangents):
+    """dR via ``polar_delta`` (linear in dF, so JAX can transpose it)."""
+    (F,), (dF,) = primals, tangents
+    R, S = polar_rs(F)
+    return R, polar_delta(R, S, dF)
 
 
 def det3(F):
@@ -96,6 +111,31 @@ def piola_corotated(F, mu, lam):
     cof = cofactor3(F)
     return (2.0 * mu[..., None, None] * (F - R)
             + (lam * (J - 1.0))[..., None, None] * cof)
+
+
+def piola_linearized(FE, mu, lam):
+    """Precompute the corotated Piola stress P0 at FE plus a *linear*
+    differential closure dP(dF) — one SVD total, hoisted out of the implicit
+    solve (the naive route re-ran the SVD + its JVP inside every CG matvec).
+
+    dP matches ``dPsydFdF`` (``deformHeader.h:241-249``):
+    ``2 mu dF - 2 mu dR + lam (cof:dF) cof + lam (J-1) dcof``.
+    """
+    R, S = polar_rs(FE)
+    J = det3(FE)
+    cof = cofactor3(FE)
+    P0 = (2.0 * mu[..., None, None] * (FE - R)
+          + (lam * (J - 1.0))[..., None, None] * cof)
+
+    def dP(dF):
+        dR = polar_delta(R, S, dF)
+        _, dcof = jax.jvp(cofactor3, (FE,), (dF,))   # polynomial jvp: cheap
+        cof_dF = jnp.einsum("...ij,...ij->...", cof, dF)
+        return (2.0 * mu[..., None, None] * (dF - dR)
+                + lam[..., None, None] * (cof_dF[..., None, None] * cof
+                                          + (J - 1.0)[..., None, None] * dcof))
+
+    return P0, dP
 
 
 def hardening(mu0, lam0, eps, Jp):
