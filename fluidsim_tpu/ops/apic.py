@@ -27,6 +27,22 @@ from fluidsim_tpu.ops.transfer import _OFFSETS
 from fluidsim_tpu.ops.transfer_fast import _stencil_w, _shift3, _neighborhood_table
 
 
+def _apply_mat27(c, d):
+    """(P,3,3) x (P,27,3) -> (P,27,3): per-(particle, offset) C @ d, unrolled
+    into elementwise ops (batched 3x3 matmuls pad each operand to MXU tiles
+    on TPU, ~40x waste)."""
+    return jnp.stack(
+        [sum(c[:, None, i, j] * d[..., j] for j in range(3)) for i in range(3)],
+        axis=-1)
+
+
+def _outer_sum27(a, b):
+    """sum_k a[:,k,i] * b[:,k,j] -> (P,3,3), unrolled for the same reason."""
+    return jnp.stack(
+        [jnp.stack([jnp.sum(a[..., i] * b[..., j], axis=1)
+                    for j in range(3)], axis=-1) for i in range(3)], axis=-2)
+
+
 def p2g_apic(pos_s, vel_s, aff_s, flat_s, solid, bound: int,
              kernel: str = "flip"):
     """APIC P2G: weights + affine-augmented momentum + occupancy."""
@@ -38,7 +54,7 @@ def p2g_apic(pos_s, vel_s, aff_s, flat_s, solid, bound: int,
     base = cround(pos_s)
     offs = jnp.asarray(_OFFSETS, pos_s.dtype)
     d = (base[:, None, :] + offs[None]) - pos_s[:, None, :]     # (P,27,3)
-    v_aug = vel_s[:, None, :] + jnp.einsum("pde,pke->pkd", aff_s, d)
+    v_aug = vel_s[:, None, :] + _apply_mat27(aff_s, d)
     u = jnp.concatenate([w27[..., None], w27[..., None] * v_aug], axis=-1)
     dsum = jnp.zeros((n * n * n, 27 * 4), pos_s.dtype).at[flat_s].add(
         u.reshape(-1, 27 * 4), indices_are_sorted=True)
@@ -86,9 +102,11 @@ def g2p_apic(pos_s, flat_s, vc, bound: int, wall: int, kernel: str = "flip"):
     # a cell centre has a rank-deficient D.  Centering fixes both; a small
     # ridge keeps near-degenerate stencils at C ~ 0.
     dbar = jnp.sum(wm[..., None] * d, axis=1) / safe[:, None]
-    b = (jnp.einsum("pk,pkd,pke->pde", wm, rows[..., :3], d) / safe[:, None, None]
+    vw = rows[..., :3] * wm[..., None]                   # (P,27,3)
+    b = (_outer_sum27(vw, d) / safe[:, None, None]
          - vel[:, :, None] * dbar[:, None, :])
-    dmat = (jnp.einsum("pk,pkd,pke->pde", wm, d, d) / safe[:, None, None]
+    dw = d * wm[..., None]
+    dmat = (_outer_sum27(dw, d) / safe[:, None, None]
             - dbar[:, :, None] * dbar[:, None, :])
     eye = jnp.eye(3, dtype=pos_s.dtype)
     dreg = dmat + 1e-3 * eye
