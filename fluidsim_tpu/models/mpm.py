@@ -34,6 +34,7 @@ from fluidsim_tpu.ops.pcg import pcg
 from fluidsim_tpu.ops.svd3 import (piola_corotated, piola_linearized,
                                    hardening, clamp_singular, det3)
 from fluidsim_tpu.models.flip import advect_bounce
+from fluidsim_tpu.ops.smallmat import apply_mat27, outer_sum27
 from fluidsim_tpu.scenes import Scene, get_scene
 from fluidsim_tpu.seeding import seed_particles
 
@@ -116,10 +117,10 @@ def make_force_fn(ids, gather_mask, scatter_mask, gradw, FE, volume, mu, lam, n3
 
     def forces(u_flat):
         u_nodes = u_flat[ids] * gm                      # (P, 27, 3)
-        g = jnp.einsum("pkd,pke->pde", u_nodes, gradw)  # velocity-gradient-like
+        g = outer_sum27(u_nodes, gradw)                 # velocity-gradient-like
         p_stress = p0 + dp(g @ FE)
         sigma = p_stress @ fe_t
-        f_pk = -volume[:, None, None] * jnp.einsum("pde,pke->pkd", sigma, gradw)
+        f_pk = -volume[:, None, None] * apply_mat27(sigma, gradw)
         return jnp.zeros((n3, 3), FE.dtype).at[ids.reshape(-1)].add(
             (f_pk * sm).reshape(-1, 3))
 
@@ -206,7 +207,7 @@ def mpm_step(params: MpmParams, solid, state: MpmState):
         gradv = mf.g2p_gradv(velg, flat_s, gradw, solid, B)
     else:
         v_nodes = velg.reshape(n3, 3)[ids] * not_solid[..., None].astype(pos.dtype)
-        gradv = jnp.einsum("pkd,pke->pde", v_nodes, gradw)
+        gradv = outer_sum27(v_nodes, gradw)
     eye = jnp.eye(3, dtype=pos.dtype)
     t_fe = (eye + dt * gradv) @ fe_in
     f_total = t_fe @ fp_in

@@ -25,22 +25,8 @@ import jax.numpy as jnp
 from fluidsim_tpu.core.splines import cround
 from fluidsim_tpu.ops.transfer import _OFFSETS
 from fluidsim_tpu.ops.transfer_fast import _stencil_w, _shift3, _neighborhood_table
-
-
-def _apply_mat27(c, d):
-    """(P,3,3) x (P,27,3) -> (P,27,3): per-(particle, offset) C @ d, unrolled
-    into elementwise ops (batched 3x3 matmuls pad each operand to MXU tiles
-    on TPU, ~40x waste)."""
-    return jnp.stack(
-        [sum(c[:, None, i, j] * d[..., j] for j in range(3)) for i in range(3)],
-        axis=-1)
-
-
-def _outer_sum27(a, b):
-    """sum_k a[:,k,i] * b[:,k,j] -> (P,3,3), unrolled for the same reason."""
-    return jnp.stack(
-        [jnp.stack([jnp.sum(a[..., i] * b[..., j], axis=1)
-                    for j in range(3)], axis=-1) for i in range(3)], axis=-2)
+from fluidsim_tpu.ops.smallmat import apply_mat27 as _apply_mat27
+from fluidsim_tpu.ops.smallmat import outer_sum27 as _outer_sum27
 
 
 def p2g_apic(pos_s, vel_s, aff_s, flat_s, solid, bound: int,

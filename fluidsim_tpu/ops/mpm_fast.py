@@ -26,6 +26,7 @@ from fluidsim_tpu.core.splines import cround, grad_w_mpm
 from fluidsim_tpu.ops.transfer import _OFFSETS
 from fluidsim_tpu.ops.transfer_fast import _shift3
 from fluidsim_tpu.ops.svd3 import piola_corotated, piola_linearized
+from fluidsim_tpu.ops.smallmat import apply_mat27, outer_sum27
 
 
 def sort_mpm(pos, vel, FE, FP, volume, bound: int):
@@ -114,10 +115,10 @@ def make_force_fn_fused(pos_s, flat_s, gradw, w27_valid, FE, volume, mu, lam,
     def forces(u):
         rows = gather_table(u, active, flat_s)          # (P, 27, 4)
         u_nodes = rows[..., :3] * rows[..., 3:4]
-        g = jnp.einsum("pkd,pke->pde", u_nodes, gradw)
+        g = outer_sum27(u_nodes, gradw)
         p_stress = p0 + dp(g @ FE)
         sigma = p_stress @ fe_t
-        f_pk = -volume[:, None, None] * jnp.einsum("pde,pke->pkd", sigma, gradw)
+        f_pk = -volume[:, None, None] * apply_mat27(sigma, gradw)
         f_pk = f_pk * w27_valid[..., None]              # zero dead particles
         f = scatter_channels(flat_s, f_pk, bound)       # (N,N,N,3)
         return jnp.where(not_solid[..., None], f, 0.0)
@@ -130,7 +131,7 @@ def g2p_gradv(velg, flat_s, gradw, solid, bound: int):
     stencil cells (``updateDeformationGradient``, ``mpm.cc:499-537``)."""
     rows = gather_table(velg, ~solid, flat_s)
     v_nodes = rows[..., :3] * rows[..., 3:4]
-    return jnp.einsum("pkd,pke->pde", v_nodes, gradw)
+    return outer_sum27(v_nodes, gradw)
 
 
 def g2p_flip_mpm(pos_s, flat_s, dvc, bound: int, wall: int):
