@@ -58,6 +58,8 @@ class FlipParams:
     kernel: str = "flip"
     compat_projection: bool = True   # keep dt/10 + per-pass gravity quirks
     fast_transfer: bool = True       # sorted channel-fused transfers (ops.transfer_fast)
+    transfer_chunks: int = 0         # >0: x-slab-chunked tables (ops.transfer_chunked)
+                                     # for grids whose fused tables exceed HBM
     preconditioner: str = "jacobi"  # "jacobi" or "multigrid" (V-cycle)
     # multigrid cuts CG iterations ~10x (110 -> 11 at 129^3) but the
     # V-cycle overhead makes it a wash on these easy systems (the
@@ -202,6 +204,14 @@ def flip_step(params: FlipParams, solid, state: FlipState):
         weights, mom, occ = apic.p2g_apic(pos, vel, aff, flat, solid, B,
                                           params.kernel)
         velg = transfer.normalize_velocity(weights, mom)
+    elif params.fast_transfer and params.transfer_chunks > 0:
+        from fluidsim_tpu.ops import transfer_fast as tf
+        from fluidsim_tpu.ops import transfer_chunked as tch
+        pos, vel, flat = tf.sort_by_cell(pos, vel, B)
+        weights, mom, occ, p2g_overflow = tch.p2g_fused_chunked(
+            pos, vel, flat, solid, B, params.kernel,
+            n_chunks=params.transfer_chunks)
+        velg = transfer.normalize_velocity(weights, mom)
     elif params.fast_transfer:
         from fluidsim_tpu.ops import transfer_fast as tf
         pos, vel, flat = tf.sort_by_cell(pos, vel, B)
@@ -230,7 +240,12 @@ def flip_step(params: FlipParams, solid, state: FlipState):
         e = 0.5
     elif params.mode == "flip":
         vc_old = cell_center_velocity(velb)
-        if params.fast_transfer:
+        if params.fast_transfer and params.transfer_chunks > 0:
+            from fluidsim_tpu.ops import transfer_chunked as tch
+            delta, _ = tch.g2p_fused_chunked(pos, flat, vc_new - vc_old, B,
+                                             wall, params.kernel,
+                                             n_chunks=params.transfer_chunks)
+        elif params.fast_transfer:
             delta = tf.g2p_fused(pos, flat, vc_new - vc_old, B, wall,
                                  params.kernel)
         else:
@@ -268,6 +283,9 @@ def flip_step(params: FlipParams, solid, state: FlipState):
         "kinetic_energy": 0.5 * jnp.sum((vel * vel).astype(jnp.float32)),
         "div_rms": div_rms,
         "num_fluid_cells": jnp.sum(fluid),
+        "transfer_overflow": (p2g_overflow if (params.fast_transfer and
+                                               params.transfer_chunks > 0)
+                              else jnp.zeros((), jnp.int32)),
         "occupancy": occ,
     }
     return new_state, metrics
@@ -290,13 +308,17 @@ class FlipSim:
         # (slower but O(P) memory).  Multi-chip sharding is the real answer
         # at that scale (each shard holds only its slab's table).
         table_bytes = 2 * scene.spec.n ** 3 * 128 * 4
-        if params.fast_transfer and table_bytes > 8 * 1024 ** 3:
+        if (params.fast_transfer and params.transfer_chunks == 0
+                and table_bytes > 8 * 1024 ** 3):
+            import math
             import warnings
+            chunks = 2 ** math.ceil(math.log2(table_bytes / (4 * 1024 ** 3)))
             warnings.warn(
-                f"grid {scene.spec.n}^3 too large for fused transfers "
-                f"(~{table_bytes / 1e9:.0f} GB of tables); using the naive "
-                "transfer path — consider ShardedFlipSim", stacklevel=2)
-            params = dataclasses.replace(params, fast_transfer=False)
+                f"grid {scene.spec.n}^3: fused tables ~{table_bytes / 1e9:.0f} "
+                f"GB exceed HBM; chunking transfers over {chunks} x-slabs "
+                "(multi-chip ShardedFlipSim is the preferred route)",
+                stacklevel=2)
+            params = dataclasses.replace(params, transfer_chunks=chunks)
         self.scene = scene
         self.params = params
         self.solid = jnp.asarray(scene.solid)
