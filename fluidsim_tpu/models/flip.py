@@ -254,7 +254,12 @@ def flip_step(params: FlipParams, solid, state: FlipState):
         vel = vel + delta
         e = 0.0
     else:
-        if params.fast_transfer:
+        if params.fast_transfer and params.transfer_chunks > 0:
+            from fluidsim_tpu.ops import transfer_chunked as tch
+            vel, _ = tch.g2p_fused_chunked(pos, flat, vc_new, B, wall,
+                                           params.kernel,
+                                           n_chunks=params.transfer_chunks)
+        elif params.fast_transfer:
             vel = tf.g2p_fused(pos, flat, vc_new, B, wall, params.kernel)
         else:
             vel = transfer.g2p_gather(pos, vc_new, B, wall, params.kernel)

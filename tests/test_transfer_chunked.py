@@ -58,3 +58,18 @@ def test_chunked_overflow_reported():
     _, _, _, ovf = tc.p2g_fused_chunked(pos_s, vel_s, flat, solid, spec.bound,
                                         n_chunks=7, chunk_factor=0.2)
     assert int(ovf) > 0
+
+
+def test_full_step_chunked_matches_fused():
+    from fluidsim_tpu.models.flip import FlipSim, FlipParams
+    from fluidsim_tpu.scenes import get_scene
+    scene = get_scene("water_cube_drop", bound=12, density=3.0)
+    a = FlipSim(scene, params=FlipParams(bound=12, wall=10, transfer_chunks=3))
+    b = FlipSim(scene, params=FlipParams(bound=12, wall=10))
+    for _ in range(4):
+        ma = a.step()
+        mb = b.step()
+        assert int(ma["transfer_overflow"]) == 0
+        np.testing.assert_allclose(float(ma["kinetic_energy"]),
+                                   float(mb["kinetic_energy"]), rtol=2e-3)
+        assert int(ma["num_fluid_cells"]) == int(mb["num_fluid_cells"])
