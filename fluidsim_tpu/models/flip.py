@@ -234,34 +234,34 @@ def flip_step(params: FlipParams, solid, state: FlipState):
 
     # -- FLIP / PIC / APIC grid-to-particle (fluid.cc:1490) --
     vc_new = cell_center_velocity(velg)
+
+    def g2p(fields):
+        """Normalised 27-point gather via whichever schedule is active."""
+        if params.fast_transfer and params.transfer_chunks > 0:
+            from fluidsim_tpu.ops import transfer_chunked as tch
+            out, _ = tch.g2p_fused_chunked(pos, flat, fields, B, wall,
+                                           params.kernel,
+                                           n_chunks=params.transfer_chunks)
+            return out
+        if params.fast_transfer:
+            return tf.g2p_fused(pos, flat, fields, B, wall, params.kernel)
+        return None
+
     if params.mode == "apic":
         from fluidsim_tpu.ops import apic
         vel, aff = apic.g2p_apic(pos, flat, vc_new, B, wall, params.kernel)
         e = 0.5
     elif params.mode == "flip":
         vc_old = cell_center_velocity(velb)
-        if params.fast_transfer and params.transfer_chunks > 0:
-            from fluidsim_tpu.ops import transfer_chunked as tch
-            delta, _ = tch.g2p_fused_chunked(pos, flat, vc_new - vc_old, B,
-                                             wall, params.kernel,
-                                             n_chunks=params.transfer_chunks)
-        elif params.fast_transfer:
-            delta = tf.g2p_fused(pos, flat, vc_new - vc_old, B, wall,
-                                 params.kernel)
-        else:
+        delta = g2p(vc_new - vc_old)
+        if delta is None:
             delta = transfer.g2p_flip_delta(pos, vc_new, vc_old, B, wall,
                                             params.kernel)
         vel = vel + delta
         e = 0.0
     else:
-        if params.fast_transfer and params.transfer_chunks > 0:
-            from fluidsim_tpu.ops import transfer_chunked as tch
-            vel, _ = tch.g2p_fused_chunked(pos, flat, vc_new, B, wall,
-                                           params.kernel,
-                                           n_chunks=params.transfer_chunks)
-        elif params.fast_transfer:
-            vel = tf.g2p_fused(pos, flat, vc_new, B, wall, params.kernel)
-        else:
+        vel = g2p(vc_new)
+        if vel is None:
             vel = transfer.g2p_gather(pos, vc_new, B, wall, params.kernel)
         e = 0.5
 
@@ -313,6 +313,14 @@ class FlipSim:
         # (slower but O(P) memory).  Multi-chip sharding is the real answer
         # at that scale (each shard holds only its slab's table).
         table_bytes = 2 * scene.spec.n ** 3 * 128 * 4
+        if params.mode == "apic" and params.transfer_chunks > 0:
+            raise NotImplementedError(
+                "transfer_chunks is not supported with mode='apic' yet; "
+                "use ShardedFlipSim for large APIC grids")
+        if params.mode == "apic" and table_bytes > 8 * 1024 ** 3:
+            raise NotImplementedError(
+                f"grid {scene.spec.n}^3 exceeds single-chip HBM for APIC "
+                "fused transfers; use ShardedFlipSim")
         if (params.fast_transfer and params.transfer_chunks == 0
                 and table_bytes > 8 * 1024 ** 3):
             import math

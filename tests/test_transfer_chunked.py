@@ -60,12 +60,17 @@ def test_chunked_overflow_reported():
     assert int(ovf) > 0
 
 
-def test_full_step_chunked_matches_fused():
+import pytest
+
+
+@pytest.mark.parametrize("mode", ["flip", "pic"])
+def test_full_step_chunked_matches_fused(mode):
     from fluidsim_tpu.models.flip import FlipSim, FlipParams
     from fluidsim_tpu.scenes import get_scene
     scene = get_scene("water_cube_drop", bound=12, density=3.0)
-    a = FlipSim(scene, params=FlipParams(bound=12, wall=10, transfer_chunks=3))
-    b = FlipSim(scene, params=FlipParams(bound=12, wall=10))
+    a = FlipSim(scene, params=FlipParams(bound=12, wall=10, mode=mode,
+                                         transfer_chunks=3))
+    b = FlipSim(scene, params=FlipParams(bound=12, wall=10, mode=mode))
     for _ in range(4):
         ma = a.step()
         mb = b.step()
@@ -73,3 +78,13 @@ def test_full_step_chunked_matches_fused():
         np.testing.assert_allclose(float(ma["kinetic_energy"]),
                                    float(mb["kinetic_energy"]), rtol=2e-3)
         assert int(ma["num_fluid_cells"]) == int(mb["num_fluid_cells"])
+
+
+def test_apic_chunks_rejected():
+    import pytest as _pytest
+    from fluidsim_tpu.models.flip import FlipSim, FlipParams
+    from fluidsim_tpu.scenes import get_scene
+    scene = get_scene("water_cube_drop", bound=10, density=2.0)
+    with _pytest.raises(NotImplementedError):
+        FlipSim(scene, params=FlipParams(bound=10, wall=8, mode="apic",
+                                         transfer_chunks=2))
