@@ -216,7 +216,7 @@ def flip_step(params: FlipParams, solid, state: FlipState):
         from fluidsim_tpu.ops import transfer_fast as tf
         pos, vel, flat = tf.sort_by_cell(pos, vel, B)
         weights, mom, occ = tf.p2g_fused(pos, vel, flat, solid, B,
-                                         params.kernel, wall)
+                                         params.kernel)
         velg = transfer.normalize_velocity(weights, mom)
     else:
         # -- P2G (fluid.cc:1384) --

@@ -99,20 +99,20 @@ def _stencil_w(pos, kernel: str):
     return w[..., 0] * w[..., 1] * w[..., 2]
 
 
-def p2g_fused(pos_s, vel_s, flat_s, solid, bound: int, kernel: str = "flip",
-              wall: int | None = None):
+def p2g_fused(pos_s, vel_s, flat_s, solid, bound: int, kernel: str = "flip"):
     """Full P2G (weights + momentum + occupancy) in one sorted scatter.
+
+    The inner scatter bound is ``bound - 2`` exactly as the reference
+    hardcodes it (``fluid.cc:288``), independent of the scene's wall
+    threshold; with the standard wall geometry (wall == bound - 2, both
+    reference apps) occupancy shares the weight field under its own mask.
 
     Args:
       pos_s/vel_s/flat_s: sorted particle arrays from ``sort_by_cell``.
-      wall: wall threshold; when it equals ``bound - 2`` (both reference
-        apps) occupancy shares the weight field under its own cell mask.
     Returns:
       weights (N,N,N), mom (N,N,N,3), occ (N,N,N).
     """
     n = 2 * bound + 1
-    if wall is None:
-        wall = bound - 2
     w27 = _stencil_w(pos_s, kernel)                                # (P, 27)
     # kill particles whose base cell is outside the box (e.g. migration
     # sentinels): their clipped flat id would otherwise deposit at the edge.
