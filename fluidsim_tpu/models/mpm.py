@@ -56,6 +56,14 @@ class MpmParams:
     max_dt: float = 0.001           # dt cap (mpm.cc:1298,1418)
     gravity: Tuple[float, float, float] = (0.0, -10.0, 0.0)
     mass_threshold: float = 0.1     # active-cell cut (mpm.cc:392,1359)
+    # Stabilisers beyond the reference (which prints "FP determinant
+    # negative!!!" when its own plasticity inverts, mpm.cc:567-569, and goes
+    # NaN by frame ~490 of the 500-frame cone run in f32): cap the hardening
+    # exponent and the per-step deformation increment.  Both are inert on
+    # healthy trajectories (hardening exponent stays in [-2, 2], dt*|gradv|
+    # well below the cap).
+    hardening_max: float = 10.0     # cap on eps*(1 - Jp) in exp()
+    max_gradv_dt: float = 0.5       # cap on dt * max|gradv| per particle
     cg_rtol: float = 1e-6
     cg_maxiter: int = 1000
     kernel: str = "mpm"
@@ -172,7 +180,7 @@ def mpm_step(params: MpmParams, solid, state: MpmState):
 
     # -- explicit forces + implicit solve (mpm.cc:1399-1405) --
     mu, lam = hardening(params.mu0, params.lam0, params.hardening_eps,
-                        det3(fp_in))
+                        det3(fp_in), exponent_cap=params.hardening_max)
     if params.fast_transfer:
         from fluidsim_tpu.ops import mpm_fast as mf
         forces_dense = mf.make_force_fn_fused(
@@ -208,6 +216,10 @@ def mpm_step(params: MpmParams, solid, state: MpmState):
     else:
         v_nodes = velg.reshape(n3, 3)[ids] * not_solid[..., None].astype(pos.dtype)
         gradv = outer_sum27(v_nodes, gradw)
+    # deformation-increment limiter (stabiliser; see MpmParams)
+    gmax = jnp.max(jnp.abs(gradv), axis=(-2, -1))
+    scale_g = jnp.minimum(1.0, params.max_gradv_dt / jnp.maximum(dt * gmax, 1e-12))
+    gradv = gradv * scale_g[:, None, None]
     eye = jnp.eye(3, dtype=pos.dtype)
     t_fe = (eye + dt * gradv) @ fe_in
     f_total = t_fe @ fp_in

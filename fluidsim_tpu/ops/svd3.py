@@ -138,10 +138,18 @@ def piola_linearized(FE, mu, lam):
     return P0, dP
 
 
-def hardening(mu0, lam0, eps, Jp):
+def hardening(mu0, lam0, eps, Jp, exponent_cap: float | None = None):
     """Exponential hardening (``getSigma``, ``deformHeader.h:275-277``):
-    ``mu = mu0 exp(eps (1 - Jp))`` and likewise for lambda."""
-    h = jnp.exp(eps * (1.0 - Jp))
+    ``mu = mu0 exp(eps (1 - Jp))`` and likewise for lambda.
+
+    ``exponent_cap`` clamps the exponent (a stabiliser beyond the reference:
+    runaway plasticity with Jp far from 1 otherwise produces e^40-scale
+    stiffness and NaNs; healthy trajectories keep the exponent in [-2, 2]).
+    """
+    e = eps * (1.0 - Jp)
+    if exponent_cap is not None:
+        e = jnp.clip(e, -exponent_cap, exponent_cap)
+    h = jnp.exp(e)
     return mu0 * h, lam0 * h
 
 

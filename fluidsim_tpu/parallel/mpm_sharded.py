@@ -114,7 +114,7 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
 
     # ---- force function over halo-extended displacement fields ----
     mu, lam = hardening(params.mu0, params.lam0, params.hardening_eps,
-                        det3(state.FP))
+                        det3(state.FP), exponent_cap=params.hardening_max)
     fe_t = jnp.swapaxes(state.FE, -1, -2)
     gather_mask = (active_ext.reshape(-1)[ids_ext] & inb)[..., None].astype(pos.dtype)
     scatter_mask = not_solid[..., None].astype(pos.dtype)
@@ -163,6 +163,10 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
     v_nodes = _local_gather(velg_ext, cells + B, x0, nl, n, W) \
         * not_solid[..., None].astype(pos.dtype)
     gradv = jnp.einsum("pkd,pke->pde", v_nodes, gradw)
+    gmax = jnp.max(jnp.abs(gradv), axis=(-2, -1))
+    scale_g = jnp.minimum(1.0, params.max_gradv_dt
+                          / jnp.maximum(dt * gmax, 1e-12))
+    gradv = gradv * scale_g[:, None, None]
     eye = jnp.eye(3, dtype=pos.dtype)
     t_fe = (eye + dt * gradv) @ state.FE
     f_total = t_fe @ state.FP
