@@ -87,3 +87,19 @@ def test_checkpoint_wrong_class_rejected(tmp_path):
         assert False, "should have raised"
     except ValueError as e:
         assert "FlipState" in str(e)
+
+
+def test_cli_resume_flow(tmp_path):
+    out = str(tmp_path / "sim")
+    cli_main(["fluid", "--scene", "water_cube_drop", "--bound", "10",
+              "--density", "3", "--frames", "4", "--out", out, "--no-vdb",
+              "--checkpoint-every", "2", "--echo-every", "100"])
+    ck = os.path.join(out, "ckpt_3.npz")
+    assert os.path.exists(ck)
+    metrics = str(tmp_path / "resumed.jsonl")
+    rc = cli_main(["fluid", "--scene", "water_cube_drop", "--bound", "10",
+                   "--density", "3", "--frames", "2", "--out", out, "--no-vdb",
+                   "--resume", ck, "--metrics", metrics, "--echo-every", "100"])
+    assert rc == 0
+    lines = [json.loads(l) for l in open(metrics)]
+    assert lines[0]["frame"] == 4 and lines[-1]["frame"] == 5
