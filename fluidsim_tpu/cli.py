@@ -82,12 +82,12 @@ def _run(kind: str, args) -> int:
               file=sys.stderr)
 
     logger = MetricsLogger(args.metrics, echo_every=args.echo_every)
+    os.makedirs(args.out, exist_ok=True)   # vdb frames and/or checkpoints
     writer = None
     async_writer = None
     if not args.no_vdb:
         from fluidsim_tpu.io.vdb import VdbGrid
         from fluidsim_tpu.io.native import AsyncVdbWriter
-        os.makedirs(args.out, exist_ok=True)
         accum = []
         spec = scene.spec
         solid_np = np.asarray(scene.solid)
