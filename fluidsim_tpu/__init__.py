@@ -34,4 +34,10 @@ def __getattr__(name):
     if name == "get_scene":
         from fluidsim_tpu.scenes import get_scene
         return get_scene
+    if name == "mesh_to_sdf":
+        from fluidsim_tpu.ops.mesh import mesh_to_sdf
+        return mesh_to_sdf
+    if name == "raytrace_levelset":
+        from fluidsim_tpu.ops.raytrace import raytrace_levelset
+        return raytrace_levelset
     raise AttributeError(name)

@@ -188,6 +188,21 @@ def main(argv=None) -> int:
     pr_.add_argument("--grid", type=int, default=0,
                      help="grid index within the archive")
 
+    pt = sub.add_parser("raytrace", help="sphere-trace a level-set grid to "
+                                         "PNG (vdb_render -camera / "
+                                         "LevelSetRayTracer)")
+    pt.add_argument("file")
+    pt.add_argument("-o", "--output", default=None)
+    pt.add_argument("--grid", type=int, default=0)
+    pt.add_argument("--eye", type=float, nargs=3, default=None,
+                    help="camera position in index space (default: auto)")
+    pt.add_argument("--look", type=float, nargs=3, default=(0.0, 0.0, 0.0))
+    pt.add_argument("--size", type=int, nargs=2, default=(512, 512))
+    pt.add_argument("--fov", type=float, default=40.0)
+    pt.add_argument("--fog-half-width", type=float, default=None,
+                    help="treat the grid as fog (0..1) written by --surface "
+                         "and convert back to a signed distance first")
+
     pl = sub.add_parser("lod", help="write a mean-pooled mip pyramid "
                                     "(vdb_lod)")
     pl.add_argument("file")
@@ -212,6 +227,45 @@ def main(argv=None) -> int:
         out = args.output or (os.path.splitext(args.file)[0] + ".png")
         write_png(out, img)
         print(f"wrote {out} ({img.shape[1]}x{img.shape[0]})")
+        return 0
+    if args.cmd == "raytrace":
+        import numpy as _np
+        from fluidsim_tpu.io.vdb import read_vdb
+        from fluidsim_tpu.io.render import write_png
+        from fluidsim_tpu.ops.raytrace import raytrace_levelset
+        g = read_vdb(args.file)[args.grid]
+        vals = _np.asarray(g.values, _np.float32)
+        if args.fog_half_width is not None:
+            # invert sdf_to_fog's ramp at the 0.5 iso-level; outside the band
+            # the fog is 0, giving a constant (conservative) positive step
+            vals = (0.5 - vals) * args.fog_half_width
+            bg = 0.5 * args.fog_half_width
+        else:
+            if vals.min() >= 0.0 and vals.max() <= 1.0:
+                print("warning: grid has no negative values — it looks like "
+                      "a fog volume (--surface output), not a signed "
+                      "distance field; pass --fog-half-width to convert",
+                      file=sys.stderr)
+            bg = float(max(g.background, 1e-3))
+        # the stored dense block is leaf-padded with an index-space origin;
+        # embed it in an odd cube so the tracer's [-b, b] convention holds
+        n = max(vals.shape)
+        n += 1 - n % 2
+        cube = _np.full((n, n, n), bg, _np.float32)
+        cube[:vals.shape[0], :vals.shape[1], :vals.shape[2]] = vals
+        bound = (n - 1) // 2
+        # sim index-space point p sits at array coord p - origin - bound
+        off = _np.asarray(g.origin, _np.float64) + bound
+        eye = _np.asarray(args.eye if args.eye is not None
+                          else (0.0, 0.3 * bound, -2.2 * bound), _np.float64)
+        look = _np.asarray(args.look, _np.float64)
+        img, hit, _ = raytrace_levelset(cube, bound, tuple(eye - off),
+                                        tuple(look - off), width=args.size[0],
+                                        height=args.size[1], fov_deg=args.fov)
+        out = args.output or (os.path.splitext(args.file)[0] + "_ray.png")
+        write_png(out, _np.asarray(img) * 255.0)
+        print(f"wrote {out} ({args.size[0]}x{args.size[1]}, "
+              f"{float(_np.asarray(hit).mean()):.1%} coverage)")
         return 0
     if args.cmd == "lod":
         from fluidsim_tpu.io.vdb import read_vdb, write_vdb, VdbGrid

@@ -1,0 +1,110 @@
+"""Level-set ray tracer (the ``LevelSetRayTracer`` / ``RayIntersector``
+family of the vendored OpenVDB, ``reference/openvdb/tools/RayTracer.h``).
+
+TPU-native formulation: one jitted sphere-trace over the *whole image* at
+once — rays are a (H*W, 3) batch, each ``lax.while_loop`` iteration advances
+every live ray by the trilinearly-sampled SDF value (safe step for a proper
+distance field), and shading is a batched central-difference normal +
+Lambertian.  No per-ray recursion, no hierarchical DDA: at TPU batch sizes
+the dense march saturates the VPU and the whole render is one kernel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from fluidsim_tpu.ops.advect_volume import sample_trilinear
+
+
+def _sample(sdf, p, bound):
+    """Trilinear SDF sample at index-space points ``p`` (Q, 3); points
+    outside the lattice read a large positive distance (empty space)."""
+    v = sample_trilinear(sdf[..., None], p, bound)[..., 0]
+    outside = jnp.any(jnp.abs(p) > bound - 1.001, axis=-1)
+    return jnp.where(outside, jnp.float32(3.0), v)
+
+
+@partial(jax.jit, static_argnames=("bound", "width", "height", "max_steps"))
+def raytrace_levelset(sdf, bound: int, eye, look_at,
+                      width: int = 256, height: int = 256,
+                      fov_deg: float = 40.0, max_steps: int = 128,
+                      light_dir=(0.5, 1.0, 0.3), hit_eps: float = 5e-3):
+    """Render an SDF grid with sphere tracing.
+
+    Args:
+      sdf: (N, N, N) signed distance in index space (``mesh_to_sdf`` /
+        ``particles_to_levelset`` output).
+      eye, look_at: camera position / target in index space.
+    Returns:
+      (H, W, 3) float32 image in [0, 1] (grey Lambertian on sky gradient),
+      (H, W) bool hit mask, (H, W) float32 ray depth (inf where missed).
+    """
+    dtype = sdf.dtype
+    eye = jnp.asarray(eye, dtype)
+    fwd = jnp.asarray(look_at, dtype) - eye
+    fwd = fwd / jnp.linalg.norm(fwd)
+    up0 = jnp.where(jnp.abs(fwd[1]) > 0.99,
+                    jnp.asarray([1.0, 0.0, 0.0], dtype),
+                    jnp.asarray([0.0, 1.0, 0.0], dtype))
+    right = jnp.cross(fwd, up0)
+    right = right / jnp.linalg.norm(right)
+    up = jnp.cross(right, fwd)
+
+    half = jnp.tan(jnp.deg2rad(jnp.asarray(fov_deg, dtype)) / 2)
+    ys = (0.5 - (jnp.arange(height, dtype=dtype) + 0.5) / height) * 2 * half
+    xs = ((jnp.arange(width, dtype=dtype) + 0.5) / width - 0.5) * 2 * half * (width / height)
+    dirs = (fwd[None, None]
+            + xs[None, :, None] * right[None, None]
+            + ys[:, None, None] * up[None, None])
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    d = dirs.reshape(-1, 3)
+    q = d.shape[0]
+
+    def cond(state):
+        t, live, _ = state
+        return jnp.any(live)
+
+    def body(state):
+        t, live, steps = state
+        p = eye[None] + t[:, None] * d
+        dist = _sample(sdf, p, bound)
+        hit = dist < hit_eps
+        t = jnp.where(live & ~hit, t + jnp.maximum(dist, hit_eps), t)
+        out = t > 4.0 * bound
+        live = live & ~hit & ~out & (steps < max_steps)
+        return t, live, steps + 1
+
+    t0 = jnp.full((q,), 1e-3, dtype)
+    t, _, _ = jax.lax.while_loop(
+        cond, body, (t0, jnp.ones((q,), bool), jnp.zeros((), jnp.int32)))
+
+    p = eye[None] + t[:, None] * d
+    hit = (_sample(sdf, p, bound) < 2 * hit_eps) & (t < 4.0 * bound)
+
+    # central-difference normal
+    h = jnp.asarray(0.5, dtype)
+    nx = _sample(sdf, p + jnp.array([1, 0, 0], dtype) * h, bound) - \
+        _sample(sdf, p - jnp.array([1, 0, 0], dtype) * h, bound)
+    ny = _sample(sdf, p + jnp.array([0, 1, 0], dtype) * h, bound) - \
+        _sample(sdf, p - jnp.array([0, 1, 0], dtype) * h, bound)
+    nz = _sample(sdf, p + jnp.array([0, 0, 1], dtype) * h, bound) - \
+        _sample(sdf, p - jnp.array([0, 0, 1], dtype) * h, bound)
+    nrm = jnp.stack([nx, ny, nz], axis=-1)
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+
+    ld = jnp.asarray(light_dir, dtype)
+    ld = ld / jnp.linalg.norm(ld)
+    lam = jnp.clip(jnp.sum(nrm * ld[None], -1), 0.0, 1.0)
+    shade = 0.15 + 0.85 * lam
+    surf = shade[:, None] * jnp.asarray([0.55, 0.75, 0.95], dtype)[None]
+
+    sky_t = 0.5 * (d[:, 1] + 1.0)
+    sky = ((1 - sky_t)[:, None] * jnp.asarray([1.0, 1.0, 1.0], dtype)
+           + sky_t[:, None] * jnp.asarray([0.45, 0.62, 0.85], dtype))
+
+    img = jnp.where(hit[:, None], surf, sky).reshape(height, width, 3)
+    depth = jnp.where(hit, t, jnp.inf).reshape(height, width)
+    return img.astype(jnp.float32), hit.reshape(height, width), depth
