@@ -1,0 +1,289 @@
+"""Pallas TPU kernels: sorted row scatter/gather as windowed MXU matmuls,
+channel-major on the grid side.
+
+XLA's TPU scatter/gather moves one row per index, and every layout change
+between (cells, channels) and (channels, cells) costs a ~20 ms relayout at
+129^3.  These kernels exploit what XLA cannot know: the row indices are
+*sorted* cell ids, so a run of T consecutive particles touches at most T
+distinct cells, and after blocking the cell axis into W-cell windows every
+(particle-chunk, cell-window) interaction is a dense one-hot contraction
+that runs on the MXU:
+
+    gather:   rows[p, :]  = sum_w onehot[p, w] * table[:, bW + w]^T
+    scatter:  grid[:, bW + w] = sum_p onehot[p, w] * u[p, :]^T
+
+Grid-side operands are **channel-major** ``(128, n_cells)`` — cells on
+lanes — which is exactly the layout the ``pallas_shift`` stencil kernels
+want, so the whole fused-transfer pipeline never performs a cell/channel
+transpose.  Particle rows stay row-major ``(P_pad, 128)`` with the
+particle's flat cell id riding in the last lane as an exact f32 (ids <
+2^24).  One-hot operands are exact in bf16, so only the value side needs
+``Precision.HIGHEST``; results are exact.
+
+The chunk list (which sorted particle span hits which cell window) is
+data-dependent but *shape*-static: at most ceil(P/T) full chunks plus one
+partial chunk per window.  The grid runs sequentially (single TensorCore);
+read-only windows are double-buffered across grid steps, and accumulation
+goes through HBM read-modify-write windows so chunk boundaries that share
+an 8-aligned particle-row tile merge correctly: a boundary tile's
+already-written rows are re-read and carried through unchanged (their id
+lane was zeroed by the first writer, matching no window cell — exactly the
+rows the ``valid`` span check masks out).
+
+Semantics match ``table[flat_s]`` / ``zeros.at[flat_s].add(u)`` with sorted
+``flat_s`` up to the channel-major layout (tested against both).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ID_LIMIT = 1 << 24  # exact-integer range of f32
+_CP = 128            # channel lanes (<= 127 payload channels + id lane)
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def build_chunks(flat_s, p: int, ncells: int, w: int, t: int):
+    """Static-shape chunk list: sorted particles split at W-cell window
+    boundaries, then into <= T-particle chunks.
+
+    Returns (blk, pstart, pend): (MC,) int32 each, blk == -1 for unused
+    slots.  MC = ceil(P/T) + n_blocks (each window adds at most one partial
+    chunk).
+    """
+    nb = _ceil_to(ncells, w) // w
+    mc = -(-p // t) + nb
+    edges = jnp.arange(nb + 1, dtype=jnp.int32) * w
+    bounds = jnp.searchsorted(flat_s, edges).astype(jnp.int32)     # (nb+1,)
+    cnt = bounds[1:] - bounds[:-1]
+    nch = -(-cnt // t)                                             # ceil
+    cum = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                           jnp.cumsum(nch).astype(jnp.int32)])     # (nb+1,)
+    j = jnp.arange(mc, dtype=jnp.int32)
+    blk = jnp.searchsorted(cum, j, side="right").astype(jnp.int32) - 1
+    blk = jnp.clip(blk, 0, nb - 1)
+    pstart = bounds[blk] + (j - cum[blk]) * t
+    pend = jnp.minimum(pstart + t, bounds[blk + 1])
+    live = (j < cum[nb]) & (pend > pstart)
+    blk = jnp.where(live, blk, -1)
+    return blk, pstart, pend
+
+
+def pad_rows_with_ids(flat_s, values, t: int):
+    """(P, C<=127) values -> (P_pad, 128) f32 with the flat id in lane 127
+    and enough tail rows that every chunk's 8-aligned (T+8)-row window is in
+    range.  Pad-row ids are -1 (match no window cell).  Callers that already
+    assemble per-particle channel rows should write into this layout
+    directly and only pay for the id lane."""
+    p = flat_s.shape[0]
+    p_pad = _ceil_to(p, 8) + t + 8
+    out = jnp.zeros((p_pad, _CP), jnp.float32)
+    if values is not None:
+        out = out.at[:p, :values.shape[1]].set(values)
+    ids = jnp.pad(flat_s, (0, p_pad - p), constant_values=-1)
+    return out.at[:, _CP - 1].set(ids.astype(jnp.float32)), p_pad
+
+
+def attach_ids(values_padded, flat_s):
+    """Set the id lane of an existing (P_pad, 128) row buffer."""
+    p_pad = values_padded.shape[0]
+    ids = jnp.pad(flat_s, (0, p_pad - flat_s.shape[0]), constant_values=-1)
+    return values_padded.at[:, _CP - 1].set(ids.astype(jnp.float32))
+
+
+def _prefetch(j2, mc, blk_ref, start_fn):
+    """Start the read-only window DMA for grid step ``j2`` if it is live."""
+    @pl.when(j2 < mc)
+    def _():
+        @pl.when(blk_ref[j2] >= 0)
+        def _():
+            start_fn(j2)
+
+
+def _gather_kernel(blk_ref, ps_ref, pe_ref, table_hbm, init_ref, out_hbm,
+                   tbuf2, rowbuf, sems, *, w, t, wc, mc):
+    del init_ref  # aliased with out_hbm (carries the id lane + RMW init)
+    j = pl.program_id(0)
+    b = blk_ref[j]
+
+    def start_tbuf(j2):
+        b2 = blk_ref[j2]
+        pltpu.make_async_copy(
+            table_hbm.at[:, pl.ds(pl.multiple_of(b2 * w, w), w)],
+            tbuf2.at[j2 % 2], sems.at[j2 % 2]).start()
+
+    @pl.when(j == 0)
+    def _():
+        _prefetch(0, mc, blk_ref, start_tbuf)
+    _prefetch(j + 1, mc, blk_ref, start_tbuf)
+
+    @pl.when(b >= 0)
+    def _():
+        pstart = ps_ref[j]
+        pend = pe_ref[j]
+        a = pl.multiple_of((pstart // 8) * 8, 8)
+        tt = t + 8
+        slot = j % 2
+
+        cp_o = pltpu.make_async_copy(out_hbm.at[pl.ds(a, tt)], rowbuf,
+                                     sems.at[2])
+        cp_o.start()
+        pltpu.make_async_copy(
+            table_hbm.at[:, pl.ds(pl.multiple_of(b * w, w), w)],
+            tbuf2.at[slot], sems.at[slot]).wait()
+        cp_o.wait()
+
+        local = (rowbuf[:, _CP - 1:_CP] - jnp.float32(b * w)).astype(jnp.int32)
+        gidx = a + jax.lax.broadcasted_iota(jnp.int32, (tt, 1), 0)
+        valid = (gidx >= pstart) & (gidx < pend)
+
+        acc = None
+        for k in range(w // wc):
+            iota = jax.lax.broadcasted_iota(jnp.int32, (tt, wc), 1) + k * wc
+            oh = (local == iota).astype(jnp.float32)            # (TT, Wc)
+            part = jax.lax.dot_general(
+                oh, tbuf2[slot, :, pl.ds(k * wc, wc)],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)            # (TT, CP)
+            acc = part if acc is None else acc + part
+
+        rowbuf[...] = jnp.where(valid, acc, rowbuf[...])
+        cp_back = pltpu.make_async_copy(rowbuf, out_hbm.at[pl.ds(a, tt)],
+                                        sems.at[2])
+        cp_back.start()
+        cp_back.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("w", "t", "wc", "interpret"))
+def gather_rows_cm(table_cm, init_rows, flat_s, w: int = 512, t: int = 2048,
+                   wc: int = 256, interpret: bool = False):
+    """Channel-major gather: ``out[p, c] = table_cm[c, flat_s[p]]`` for
+    sorted int32 ``flat_s``.
+
+    table_cm: (128, ncells_pad) float32, cells on lanes (``pallas_shift``
+    layout).  init_rows: (P_pad, 128) from ``pad_rows_with_ids`` /
+    ``attach_ids`` — donated; the result reuses its buffer.  Returns
+    (P_pad, 128); lane 127 is scratch.
+    """
+    ncells = table_cm.shape[1]
+    p = flat_s.shape[0]
+    assert ncells < _ID_LIMIT and ncells % w == 0
+    p_pad = init_rows.shape[0]
+    blk, ps, pe = build_chunks(flat_s, p, ncells, w, t)
+    mc = blk.shape[0]
+    tt = t + 8
+
+    return pl.pallas_call(
+        functools.partial(_gather_kernel, w=w, t=t, wc=wc, mc=mc),
+        grid=(mc,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((p_pad, _CP), table_cm.dtype),
+        scratch_shapes=[pltpu.VMEM((2, _CP, w), jnp.float32),
+                        pltpu.VMEM((tt, _CP), jnp.float32),
+                        pltpu.SemaphoreType.DMA((3,))],
+        input_output_aliases={4: 0},
+        interpret=interpret,
+    )(blk, ps, pe, table_cm, init_rows)
+
+
+def _scatter_kernel(blk_ref, ps_ref, pe_ref, u_hbm, init_ref, out_hbm,
+                    ubuf2, wbuf, sems, *, w, t, wc, mc):
+    del init_ref  # aliased with out_hbm (zero init)
+    j = pl.program_id(0)
+    b = blk_ref[j]
+
+    def start_ubuf(j2):
+        a2 = pl.multiple_of((ps_ref[j2] // 8) * 8, 8)
+        pltpu.make_async_copy(u_hbm.at[pl.ds(a2, t + 8)],
+                              ubuf2.at[j2 % 2], sems.at[j2 % 2]).start()
+
+    @pl.when(j == 0)
+    def _():
+        _prefetch(0, mc, blk_ref, start_ubuf)
+    _prefetch(j + 1, mc, blk_ref, start_ubuf)
+
+    @pl.when(b >= 0)
+    def _():
+        pstart = ps_ref[j]
+        pend = pe_ref[j]
+        a = pl.multiple_of((pstart // 8) * 8, 8)
+        tt = t + 8
+        slot = j % 2
+
+        cp_w = pltpu.make_async_copy(
+            out_hbm.at[:, pl.ds(pl.multiple_of(b * w, w), w)], wbuf,
+            sems.at[2])
+        cp_w.start()
+        pltpu.make_async_copy(u_hbm.at[pl.ds(a, tt)], ubuf2.at[slot],
+                              sems.at[slot]).wait()
+        cp_w.wait()
+
+        local = (ubuf2[slot, :, _CP - 1:_CP]
+                 - jnp.float32(b * w)).astype(jnp.int32)        # (TT, 1)
+        gidx = a + jax.lax.broadcasted_iota(jnp.int32, (tt, 1), 0)
+        valid = (gidx >= pstart) & (gidx < pend)
+        um = jnp.where(valid, ubuf2[slot], 0.0)                 # (TT, CP)
+
+        for k in range(w // wc):
+            iota = jax.lax.broadcasted_iota(jnp.int32, (tt, wc), 1) + k * wc
+            oh = (local == iota).astype(jnp.float32)            # (TT, Wc)
+            contrib = jax.lax.dot_general(
+                um, oh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)            # (CP, Wc)
+            wbuf[:, pl.ds(k * wc, wc)] = wbuf[:, pl.ds(k * wc, wc)] + contrib
+
+        cp_back = pltpu.make_async_copy(
+            wbuf, out_hbm.at[:, pl.ds(pl.multiple_of(b * w, w), w)],
+            sems.at[2])
+        cp_back.start()
+        cp_back.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("ncells", "w", "t", "wc",
+                                             "interpret"))
+def scatter_rows_cm(u_rows, flat_s, ncells: int, w: int = 512, t: int = 2048,
+                    wc: int = 256, interpret: bool = False):
+    """Channel-major scatter-add: ``out[c, i] = sum_{flat_s[p]==i} u[p, c]``
+    for sorted int32 ``flat_s``.
+
+    u_rows: (P_pad, 128) from ``pad_rows_with_ids`` (id lane 127).  Returns
+    (128, ncells) with lane-127's row being garbage (id dot products).
+    """
+    p = flat_s.shape[0]
+    assert ncells < _ID_LIMIT and ncells % w == 0
+    blk, ps, pe = build_chunks(flat_s, p, ncells, w, t)
+    mc = blk.shape[0]
+    tt = t + 8
+
+    init = jnp.zeros((_CP, ncells), jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_scatter_kernel, w=w, t=t, wc=wc, mc=mc),
+        grid=(mc,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((_CP, ncells), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, tt, _CP), jnp.float32),
+                        pltpu.VMEM((_CP, w), jnp.float32),
+                        pltpu.SemaphoreType.DMA((3,))],
+        input_output_aliases={4: 0},
+        interpret=interpret,
+    )(blk, ps, pe, u_rows, init)

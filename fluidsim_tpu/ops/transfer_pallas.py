@@ -1,0 +1,167 @@
+"""Fully-Pallas fused transfer path: sorted one-hot MXU scatter/gather +
+single-pass stencil kernels, glued by a shared *haloed channel-major*
+layout so no transpose or pad ever touches the 927 MB intermediate.
+
+Layout: cells live in a (XH + X + XH) x (LH + L + LH) haloed plane-major
+grid (x rows, flattened y*z lanes; ``pallas_shift`` conventions), and a
+cell's *haloed flat id* is its linear index in that layout:
+
+    id(x, y, z) = (x + XH) * LWR  +  LH + y * n + z        (0-based coords)
+
+Sorting particles by this id (same order as the plain flat id) lets the
+one-hot scatter (``pallas_transfer``) write the 108-channel base-cell sums
+*directly* into the haloed array the shift-reduce kernel reads, and lets
+the one-hot gather index the haloed table the expand kernel writes.  The
+measured XLA path spends ~100 ms/frame at 129^3 on the dense shifts plus
+~46 ms on scatter+gather; this pipeline replaces all of it with four Pallas
+kernels totalling ~55 ms.
+
+Haloed ids must stay exact in f32 (< 2^24), which holds through ~200^3 —
+larger grids take the chunked/sharded paths (``FlipSim`` auto-dispatches).
+
+Semantics are identical to ``transfer_fast`` (tested against it).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fluidsim_tpu.core.splines import cround
+from fluidsim_tpu.ops.transfer_fast import _stencil_w
+from fluidsim_tpu.ops import pallas_shift as ps
+from fluidsim_tpu.ops import pallas_transfer as pt
+
+
+@dataclasses.dataclass(frozen=True)
+class HaloLayout:
+    n: int
+    bx: int = 16
+    lblk: int = 512
+
+    @property
+    def l(self) -> int:          # padded y*z lane extent
+        return -(-(self.n * self.n) // self.lblk) * self.lblk
+
+    @property
+    def nxb(self) -> int:
+        return -(-self.n // self.bx) * self.bx
+
+    @property
+    def xr(self) -> int:
+        return ps._XH + self.nxb + ps._XH
+
+    @property
+    def lwr(self) -> int:
+        return ps._LH + self.l + ps._LH
+
+    @property
+    def ncells(self) -> int:
+        return self.xr * self.lwr
+
+
+def sort_by_cell_h(pos, vel, bound: int, layout: HaloLayout):
+    """Sort particles by the haloed flat id of their base cell (same order
+    as ``transfer_fast.sort_by_cell``; different id arithmetic)."""
+    n = 2 * bound + 1
+    base = cround(pos).astype(jnp.int32)
+    bc = jnp.clip(base + bound, 0, n - 1)
+    flat = ((bc[:, 0] + ps._XH) * layout.lwr
+            + ps._LH + bc[:, 1] * n + bc[:, 2])
+    ops = [flat, pos[:, 0], pos[:, 1], pos[:, 2],
+           vel[:, 0], vel[:, 1], vel[:, 2]]
+    out = jax.lax.sort(ops, num_keys=1)
+    return (jnp.stack(out[1:4], axis=-1), jnp.stack(out[4:7], axis=-1),
+            out[0])
+
+
+def masked_weights(pos_s, bound: int, kernel: str = "flip"):
+    """(P, 27) stencil weights, zeroed for out-of-box base cells — computed
+    once per frame and shared by both transfer directions."""
+    w27 = _stencil_w(pos_s, kernel)
+    valid = jnp.all(jnp.abs(cround(pos_s)) <= bound, axis=-1)
+    return jnp.where(valid[:, None], w27, 0.0)
+
+
+def p2g_pallas(pos_s, vel_s, flat_h, solid, bound: int,
+               layout: HaloLayout | None = None, kernel: str = "flip",
+               w27=None, interpret: bool = False):
+    """Drop-in ``p2g_fused`` (weights, mom, occ) on the Pallas path.
+
+    Also returns the (P_pad, 128) particle row buffer so ``g2p_pallas`` can
+    reuse it as its id-carrying output initialiser (saves a 1 GB zeros).
+    """
+    n = 2 * bound + 1
+    lay = layout or HaloLayout(n)
+    p = pos_s.shape[0]
+
+    if w27 is None:
+        w27 = masked_weights(pos_s, bound, kernel)
+    u = jnp.concatenate([w27[..., None],
+                         w27[..., None] * vel_s[:, None, :]],
+                        axis=-1).reshape(p, 108)
+    u_p, _ = pt.pad_rows_with_ids(flat_h, u, 2048)
+
+    d_cm = pt.scatter_rows_cm(u_p, flat_h, lay.ncells,
+                              interpret=interpret)               # (128, NC)
+    acc = ps.reduce_haloed(d_cm.reshape(128, lay.xr, lay.lwr), n,
+                           bx=lay.bx, lblk=lay.lblk,
+                           interpret=interpret)                  # (4,nxb,l)
+    accn = acc[:, :n, :n * n].reshape(4, n, n, n)
+
+    coords = np.abs(np.arange(-bound, bound + 1))
+    win = coords <= bound - 2
+    p2g_mask = jnp.asarray(win[:, None, None] & win[None, :, None]
+                           & win[None, None, :]) & (~solid)      # fluid.cc:288
+    weights = jnp.where(p2g_mask, accn[0], 0.0)
+    mom = jnp.stack([jnp.where(p2g_mask, accn[1 + d], 0.0)
+                     for d in range(3)], axis=-1)
+    occ = jnp.where(~solid, accn[0], 0.0)                        # fluid.cc:870
+    return weights, mom, occ, u_p
+
+
+def g2p_pallas(pos_s, flat_h, fields, bound: int, wall: int,
+               layout: HaloLayout | None = None, kernel: str = "flip",
+               init_rows=None, ids_attached: bool = False, w27=None,
+               interpret: bool = False):
+    """Drop-in ``g2p_fused``: weighted 27-point gather of cell-level
+    ``fields`` (N,N,N,C<=3), weight-normalised over within-wall cells."""
+    n = 2 * bound + 1
+    lay = layout or HaloLayout(n)
+    p = pos_s.shape[0]
+    c = fields.shape[-1]
+
+    coords = np.abs(np.arange(-bound, bound + 1))
+    ok = coords <= wall
+    within = jnp.asarray(ok[:, None, None] & ok[None, :, None]
+                         & ok[None, None, :])
+    wf = within.astype(fields.dtype)
+    chans = [jnp.where(within, fields[..., d], 0.0).reshape(n, n * n)
+             for d in range(c)]
+    chans += [jnp.zeros((n, n * n), fields.dtype)] * (3 - c)
+    chans.append(wf.reshape(n, n * n))                           # mask last
+    fm = jnp.stack(chans, axis=0)                                # (4, n, n^2)
+    fm_h = jnp.pad(fm, ((0, 0), (ps._XH, lay.xr - n - ps._XH),
+                        (ps._LH, lay.lwr - n * n - ps._LH)))
+
+    table = ps.expand_haloed(fm_h, n, bx=lay.bx, lblk=lay.lblk,
+                             interpret=interpret)                # (128,XR,LWR)
+    if init_rows is None:
+        init_rows, _ = pt.pad_rows_with_ids(flat_h, None, 2048)
+    elif not ids_attached:
+        init_rows = pt.attach_ids(init_rows, flat_h)
+    rows = pt.gather_rows_cm(table.reshape(128, lay.ncells), init_rows,
+                             flat_h, interpret=interpret)[:p, :108]
+    rows = rows.reshape(p, 27, 4)
+
+    if w27 is None:
+        w27 = masked_weights(pos_s, bound, kernel)
+    wm = w27 * rows[..., 3]                   # zero where neighbour invalid
+    num = jnp.sum(wm[..., None] * rows[..., :c], axis=1)
+    den = jnp.sum(wm, axis=1)
+    safe = jnp.where(den != 0, den, 1.0)
+    return jnp.where(den[:, None] != 0, num / safe[:, None], 0.0)
