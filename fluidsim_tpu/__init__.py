@@ -40,4 +40,7 @@ def __getattr__(name):
     if name == "raytrace_levelset":
         from fluidsim_tpu.ops.raytrace import raytrace_levelset
         return raytrace_levelset
+    if name == "volume_to_mesh":
+        from fluidsim_tpu.ops.volume_to_mesh import volume_to_mesh
+        return volume_to_mesh
     raise AttributeError(name)

@@ -57,6 +57,19 @@ def offset(sdf, d: float):
     return sdf - d
 
 
+def fracture(sdf, cutter):
+    """Split a level set with a cutter level set —
+    ``tools::LevelSetFracture::fracture``: the fragment is the part of
+    ``sdf`` inside the cutter, the residual is what remains.  The
+    reference additionally re-tracks each piece's narrow band; callers
+    wanting true distances away from the cut run
+    ``levelset_tools.redistance`` on the outputs (CSG max/min fields are
+    only lower bounds off the surface, same as the reference pre-rebuild).
+    Returns ``(fragment, residual)``.
+    """
+    return csg_intersection(sdf, cutter), csg_difference(sdf, cutter)
+
+
 def particles_to_levelset(pos, bound: int, radius: float = 1.0,
                           background: float = 3.0):
     """Union-of-spheres SDF from a particle cloud
