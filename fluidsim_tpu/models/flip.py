@@ -65,6 +65,9 @@ class FlipParams:
                                      # scatter/gather + single-pass stencils);
                                      # FlipSim turns this on automatically on
                                      # TPU backends where the layout fits
+    walls_only_solid: bool = False   # scene solid == box walls exactly;
+                                     # enables the analytic bounce probe
+                                     # (auto-detected by FlipSim)
     preconditioner: str = "jacobi"  # "jacobi" or "multigrid" (V-cycle)
     # multigrid cuts CG iterations ~10x (110 -> 11 at 129^3) but the
     # V-cycle overhead makes it a wash on these easy systems (the
@@ -92,7 +95,8 @@ def lookup_bool(grid, cells, bound: int):
     return grid.reshape(-1)[flat_index(idx, n)] & inb
 
 
-def advect_bounce(pos, vel, dt, solid, bound: int, e: float, rounding: str):
+def advect_bounce(pos, vel, dt, solid, bound: int, e: float, rounding: str,
+                  analytic_wall: int | None = None):
     """Advection with per-axis solid bounce (``FLIPadvect``,
     ``fluid.cc:1000-1036`` / ``mpm.cc:934-966``).
 
@@ -101,17 +105,34 @@ def advect_bounce(pos, vel, dt, solid, bound: int, e: float, rounding: str):
     moved coordinate on the probed axis with the *truncated* original
     position on the others (the reference passes doubles to the int Coord
     constructor, ``fluid.cc:951-959``).
+
+    ``analytic_wall``: when the scene's solid mask is exactly the box walls
+    (``|c| > wall`` on any axis, the reference's default geometry,
+    ``fluid.cc:1256-1260``), the four per-particle solid *gathers* below
+    collapse to elementwise coordinate tests — the dominant cost of this
+    phase on TPU (gathers move one row per index).  ``FlipSim``/``MpmSim``
+    auto-detect this and pass the wall radius; scenes with obstacles keep
+    the general grid probe.
     """
     rnd = cround if rounding == "round" else cround_out
+
+    if analytic_wall is not None:
+        def probe_solid(c):
+            inb = jnp.all(jnp.abs(c) <= bound, axis=-1)
+            return jnp.any(jnp.abs(c) > analytic_wall, axis=-1) & inb
+    else:
+        def probe_solid(c):
+            return lookup_bool(solid, c, bound)
+
     pnew = pos + dt * vel
     r = rnd(pnew).astype(jnp.int32)
-    hit = lookup_bool(solid, r, bound)
+    hit = probe_solid(r)
 
     ptrunc = jnp.trunc(pos).astype(jnp.int32)
     velm = []
     for d in range(3):
         probe = ptrunc.at[:, d].set(r[:, d])
-        hit_d = lookup_bool(solid, probe, bound)
+        hit_d = probe_solid(probe)
         velm.append(jnp.where(hit & hit_d, -e * vel[:, d], vel[:, d]))
     velm = jnp.stack(velm, axis=-1)
     pos_out = jnp.where(hit[:, None], pos + velm * dt, pnew)
@@ -290,7 +311,9 @@ def flip_step(params: FlipParams, solid, state: FlipState):
                        params.max_dt)
 
     # -- advect + bounce (fluid.cc:1000-1036) --
-    pos, vel = advect_bounce(pos, vel, dt_new, solid, B, e, rounding="round")
+    pos, vel = advect_bounce(
+        pos, vel, dt_new, solid, B, e, rounding="round",
+        analytic_wall=params.wall if params.walls_only_solid else None)
 
     new_state = FlipState(pos=pos, vel=vel, dt=dt_new,
                           t=state.t + dt_new, frame=state.frame + 1,
@@ -325,6 +348,15 @@ class FlipSim:
             params = FlipParams(bound=scene.spec.bound, wall=scene.spec.wall,
                                 dx=scene.spec.dx,
                                 gravity=tuple(scene.gravity))
+        # Walls-only scenes (no obstacles) take the analytic bounce probe —
+        # the per-particle solid gathers are the advection phase's dominant
+        # TPU cost (see advect_bounce docstring).
+        if (not params.walls_only_solid
+                and params.wall == scene.spec.wall
+                and params.bound == scene.spec.bound
+                and np.array_equal(np.asarray(scene.solid),
+                                   scene.spec.wall_mask())):
+            params = dataclasses.replace(params, walls_only_solid=True)
         # The fused transfers build two ~N^3 x 128-lane tables; past ~200^3
         # that exceeds single-chip HBM, so fall back to the naive schedule
         # (slower but O(P) memory).  Multi-chip sharding is the real answer

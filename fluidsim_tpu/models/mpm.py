@@ -70,6 +70,8 @@ class MpmParams:
     fast_transfer: bool = False  # sorted channel-fused transfers (ops.mpm_fast);
     # default off at reference scale (31^3 / ~6k particles, where the naive
     # path is already sub-ms); turn on for scaled-up MPM scenes.
+    walls_only_solid: bool = False  # scene solid == box walls exactly;
+    # enables the analytic bounce probe (auto-detected by MpmSim)
 
     @property
     def mu0(self) -> float:
@@ -241,7 +243,9 @@ def mpm_step(params: MpmParams, solid, state: MpmState):
     dt_new = jnp.where(max_speed != 0,
                        jnp.minimum(params.max_dt, params.dx / max_speed),
                        params.max_dt)
-    pos, vel = advect_bounce(pos, vel, dt_new, solid, B, e=0.0, rounding="out")
+    pos, vel = advect_bounce(
+        pos, vel, dt_new, solid, B, e=0.0, rounding="out",
+        analytic_wall=params.wall if params.walls_only_solid else None)
 
     new_state = MpmState(pos=pos, vel=vel, FE=fe_new, FP=fp_new, volume=volume,
                          dt=dt_new, t=state.t + dt_new, frame=state.frame + 1)
@@ -273,6 +277,12 @@ class MpmSim:
         if params is None:
             params = MpmParams(bound=scene.spec.bound, wall=scene.spec.wall,
                                dx=scene.spec.dx, gravity=tuple(scene.gravity))
+        if (not params.walls_only_solid
+                and params.wall == scene.spec.wall
+                and params.bound == scene.spec.bound
+                and np.array_equal(np.asarray(scene.solid),
+                                   scene.spec.wall_mask())):
+            params = dataclasses.replace(params, walls_only_solid=True)
         self.scene = scene
         self.params = params
         self.solid = jnp.asarray(scene.solid)

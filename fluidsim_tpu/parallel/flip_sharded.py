@@ -305,8 +305,9 @@ def _sharded_step(params: FlipParams, nl: int, cap: int, mig_cap: int,
 
     # ---- advect + bounce (solid replicated; positions are global) ----
     e = 0.0 if params.mode == "flip" else 0.5
-    pos_new, vel_new = advect_bounce(pos, vel, dt_new, solid_full, B, e,
-                                     rounding="round")
+    pos_new, vel_new = advect_bounce(
+        pos, vel, dt_new, solid_full, B, e, rounding="round",
+        analytic_wall=params.wall if params.walls_only_solid else None)
     pos = jnp.where(alive[:, None], pos_new, SENTINEL)
     vel = jnp.where(alive[:, None], vel_new, 0.0)
 
@@ -370,6 +371,12 @@ class ShardedFlipSim:
                                 dx=scene.spec.dx, gravity=tuple(scene.gravity))
         if mesh is None:
             mesh = Mesh(np.asarray(jax.devices()), (AX,))
+        if (not params.walls_only_solid
+                and params.wall == scene.spec.wall
+                and params.bound == scene.spec.bound
+                and np.array_equal(np.asarray(scene.solid),
+                                   scene.spec.wall_mask())):
+            params = dataclasses.replace(params, walls_only_solid=True)
         self.scene, self.params, self.mesh = scene, params, mesh
         ndev = mesh.devices.size
         n = scene.spec.n

@@ -193,8 +193,9 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
     dt_new = jnp.where(max_speed != 0,
                        jnp.minimum(params.max_dt, params.dx / max_speed),
                        params.max_dt)
-    pos_new, vel_new = advect_bounce(pos, vel, dt_new, solid_full, B, 0.0,
-                                     rounding="out")
+    pos_new, vel_new = advect_bounce(
+        pos, vel, dt_new, solid_full, B, 0.0, rounding="out",
+        analytic_wall=params.wall if params.walls_only_solid else None)
     pos = jnp.where(alive[:, None], pos_new, SENTINEL)
     vel = jnp.where(alive[:, None], vel_new, 0.0)
 
@@ -257,6 +258,12 @@ class ShardedMpmSim:
                                dx=scene.spec.dx, gravity=tuple(scene.gravity))
         if mesh is None:
             mesh = Mesh(np.asarray(jax.devices()), (AX,))
+        if (not params.walls_only_solid
+                and params.wall == scene.spec.wall
+                and params.bound == scene.spec.bound
+                and np.array_equal(np.asarray(scene.solid),
+                                   scene.spec.wall_mask())):
+            params = dataclasses.replace(params, walls_only_solid=True)
         self.scene, self.params, self.mesh = scene, params, mesh
         ndev = mesh.devices.size
         n = scene.spec.n

@@ -84,3 +84,33 @@ def test_occupancy_tracks_cube():
     b = sim.params.bound
     cube = occ[b - 4:b + 5, b - 4:b + 5, b - 4:b + 5]
     assert cube.sum() > 0.5 * occ.sum() * (cube.size / occ.size) * 5
+
+
+def test_analytic_wall_bounce_matches_grid_probe():
+    """The walls-only analytic solid probe must reproduce the grid-gather
+    probe exactly, including particles that step outside the box (where the
+    OpenVDB background read is False — not solid)."""
+    from fluidsim_tpu.models.flip import advect_bounce
+
+    scene = get_scene("water_cube_drop", bound=12, density=4.0)
+    solid = jnp.asarray(scene.solid)
+    rng = np.random.default_rng(3)
+    p = 4096
+    # positions spanning inside, near-wall, and outside-the-box
+    pos = jnp.asarray(rng.uniform(-15, 15, size=(p, 3)).astype(np.float32))
+    vel = jnp.asarray(rng.normal(0, 30, size=(p, 3)).astype(np.float32))
+    for rounding in ("round", "out"):
+        for e in (0.0, 0.5):
+            pg, vg = advect_bounce(pos, vel, 0.1, solid, 12, e, rounding)
+            pa, va = advect_bounce(pos, vel, 0.1, solid, 12, e, rounding,
+                                   analytic_wall=scene.spec.wall)
+            np.testing.assert_array_equal(np.asarray(pg), np.asarray(pa))
+            np.testing.assert_array_equal(np.asarray(vg), np.asarray(va))
+
+
+def test_walls_only_autodetect():
+    """FlipSim flips walls_only_solid on for pure-wall scenes and leaves it
+    off when obstacles are present."""
+    assert FlipSim(get_scene("water_cube_drop", bound=12,
+                             density=2.0)).params.walls_only_solid
+    assert not FlipSim(get_scene("two_blocks")).params.walls_only_solid
