@@ -60,11 +60,12 @@ class FlipParams:
     fast_transfer: bool = True       # sorted channel-fused transfers (ops.transfer_fast)
     transfer_chunks: int = 0         # >0: x-slab-chunked tables (ops.transfer_chunked)
                                      # for grids whose fused tables exceed HBM
-    pallas_transfer: bool = False    # fully-Pallas transfer pipeline
+    pallas_transfer: bool | None = None  # fully-Pallas transfer pipeline
                                      # (ops.transfer_pallas: one-hot MXU
-                                     # scatter/gather + single-pass stencils);
-                                     # FlipSim turns this on automatically on
-                                     # TPU backends where the layout fits
+                                     # scatter/gather + single-pass stencils).
+                                     # None = FlipSim decides (on for TPU
+                                     # backends where the layout fits);
+                                     # True/False are respected as given.
     walls_only_solid: bool = False   # scene solid == box walls exactly;
                                      # enables the analytic bounce probe
                                      # (auto-detected by FlipSim)
@@ -383,12 +384,14 @@ class FlipSim:
             params = dataclasses.replace(params, transfer_chunks=chunks)
         # Fully-Pallas transfer pipeline: ~1.7x faster frames on TPU.  Needs
         # a real TPU backend (Mosaic) and haloed flat ids exact in f32.
-        if (params.fast_transfer and params.transfer_chunks == 0
-                and params.mode != "apic" and not params.pallas_transfer):
+        # None = auto; an explicit True/False is respected.
+        if params.pallas_transfer is None:
             from fluidsim_tpu.ops.transfer_pallas import HaloLayout
-            if (jax.default_backend() != "cpu"
-                    and HaloLayout(scene.spec.n).ncells < (1 << 24)):
-                params = dataclasses.replace(params, pallas_transfer=True)
+            auto = (params.fast_transfer and params.transfer_chunks == 0
+                    and params.mode != "apic"
+                    and jax.default_backend() != "cpu"
+                    and HaloLayout(scene.spec.n).ncells < (1 << 24))
+            params = dataclasses.replace(params, pallas_transfer=auto)
         self.scene = scene
         self.params = params
         self.solid = jnp.asarray(scene.solid)

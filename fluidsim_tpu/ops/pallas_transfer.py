@@ -46,6 +46,46 @@ from jax.experimental.pallas import tpu as pltpu
 _ID_LIMIT = 1 << 24  # exact-integer range of f32
 _CP = 128            # channel lanes (<= 127 payload channels + id lane)
 
+# One-hot operands are exact in bf16, so the contraction error is set by the
+# value side alone: "highest" (6-pass bf16) is bit-exact vs the XLA scatter/
+# gather; "split3" splits the value operand into hi+mid+lo bf16 terms
+# (24 = 3 x 8 mantissa bits) and runs three native-speed bf16 MXU passes
+# against the exact bf16 one-hot — f32-mantissa-exact (<= 1 ulp vs
+# "highest", measured 0 on water-cube data) at half the MXU cost.  Mosaic
+# rejects Precision.HIGH in-kernel, hence the manual split.
+_PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
+               "split3": "split3",
+               "default": jax.lax.Precision.DEFAULT}
+
+
+def _split3(x):
+    """f32 -> (hi, mid, lo) bf16 with hi+mid+lo == x to f32 mantissa."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _onehot_dot(oh, val, dims, prec, oh_is_lhs: bool):
+    """dot_general with one 0/1 one-hot operand (exact in bf16) and one f32
+    value operand.  ``prec`` "split3" runs three bf16 passes over a
+    hi/mid/lo split of the value side; otherwise a single dot_general at
+    the given jax precision."""
+    lhs, rhs = (oh, val) if oh_is_lhs else (val, oh)
+    if prec == "split3":
+        ohb = oh.astype(jnp.bfloat16)
+        acc = None
+        for part in _split3(val):
+            l, r = (ohb, part) if oh_is_lhs else (part, ohb)
+            d = jax.lax.dot_general(l, r, dims,
+                                    preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+        return acc
+    return jax.lax.dot_general(lhs, rhs, dims,
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
+
 
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -109,7 +149,7 @@ def _prefetch(j2, mc, blk_ref, start_fn):
 
 
 def _gather_kernel(blk_ref, ps_ref, pe_ref, table_hbm, init_ref, out_hbm,
-                   tbuf2, rowbuf, sems, *, w, t, wc, mc):
+                   tbuf2, rowbuf, sems, *, w, t, wc, mc, prec):
     del init_ref  # aliased with out_hbm (carries the id lane + RMW init)
     j = pl.program_id(0)
     b = blk_ref[j]
@@ -149,11 +189,10 @@ def _gather_kernel(blk_ref, ps_ref, pe_ref, table_hbm, init_ref, out_hbm,
         for k in range(w // wc):
             iota = jax.lax.broadcasted_iota(jnp.int32, (tt, wc), 1) + k * wc
             oh = (local == iota).astype(jnp.float32)            # (TT, Wc)
-            part = jax.lax.dot_general(
+            part = _onehot_dot(
                 oh, tbuf2[slot, :, pl.ds(k * wc, wc)],
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)            # (TT, CP)
+                (((1,), (1,)), ((), ())), prec,
+                oh_is_lhs=True)                                 # (TT, CP)
             acc = part if acc is None else acc + part
 
         rowbuf[...] = jnp.where(valid, acc, rowbuf[...])
@@ -163,9 +202,11 @@ def _gather_kernel(blk_ref, ps_ref, pe_ref, table_hbm, init_ref, out_hbm,
         cp_back.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("w", "t", "wc", "interpret"))
+@functools.partial(jax.jit, static_argnames=("w", "t", "wc", "interpret",
+                                             "precision"))
 def gather_rows_cm(table_cm, init_rows, flat_s, w: int = 512, t: int = 2048,
-                   wc: int = 256, interpret: bool = False):
+                   wc: int = 256, interpret: bool = False,
+                   precision: str = "highest"):
     """Channel-major gather: ``out[p, c] = table_cm[c, flat_s[p]]`` for
     sorted int32 ``flat_s``.
 
@@ -183,7 +224,8 @@ def gather_rows_cm(table_cm, init_rows, flat_s, w: int = 512, t: int = 2048,
     tt = t + 8
 
     return pl.pallas_call(
-        functools.partial(_gather_kernel, w=w, t=t, wc=wc, mc=mc),
+        functools.partial(_gather_kernel, w=w, t=t, wc=wc, mc=mc,
+                          prec=_PRECISIONS[precision]),
         grid=(mc,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -201,7 +243,7 @@ def gather_rows_cm(table_cm, init_rows, flat_s, w: int = 512, t: int = 2048,
 
 
 def _scatter_kernel(blk_ref, ps_ref, pe_ref, u_hbm, init_ref, out_hbm,
-                    ubuf2, wbuf, sems, *, w, t, wc, mc):
+                    ubuf2, wbuf, sems, *, w, t, wc, mc, prec):
     del init_ref  # aliased with out_hbm (zero init)
     j = pl.program_id(0)
     b = blk_ref[j]
@@ -237,14 +279,25 @@ def _scatter_kernel(blk_ref, ps_ref, pe_ref, u_hbm, init_ref, out_hbm,
         gidx = a + jax.lax.broadcasted_iota(jnp.int32, (tt, 1), 0)
         valid = (gidx >= pstart) & (gidx < pend)
         um = jnp.where(valid, ubuf2[slot], 0.0)                 # (TT, CP)
+        um_split = _split3(um) if prec == "split3" else None
 
+        dims = (((0,), (0,)), ((), ()))
         for k in range(w // wc):
             iota = jax.lax.broadcasted_iota(jnp.int32, (tt, wc), 1) + k * wc
             oh = (local == iota).astype(jnp.float32)            # (TT, Wc)
-            contrib = jax.lax.dot_general(
-                um, oh, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)            # (CP, Wc)
+            if prec == "split3":
+                ohb = oh.astype(jnp.bfloat16)
+                contrib = None
+                for part in um_split:                           # (CP, Wc)
+                    d = jax.lax.dot_general(
+                        part, ohb, dims,
+                        preferred_element_type=jnp.float32)
+                    contrib = d if contrib is None else contrib + d
+            else:
+                contrib = jax.lax.dot_general(
+                    um, oh, dims,
+                    preferred_element_type=jnp.float32,
+                    precision=prec)                             # (CP, Wc)
             wbuf[:, pl.ds(k * wc, wc)] = wbuf[:, pl.ds(k * wc, wc)] + contrib
 
         cp_back = pltpu.make_async_copy(
@@ -255,9 +308,10 @@ def _scatter_kernel(blk_ref, ps_ref, pe_ref, u_hbm, init_ref, out_hbm,
 
 
 @functools.partial(jax.jit, static_argnames=("ncells", "w", "t", "wc",
-                                             "interpret"))
+                                             "interpret", "precision"))
 def scatter_rows_cm(u_rows, flat_s, ncells: int, w: int = 512, t: int = 2048,
-                    wc: int = 256, interpret: bool = False):
+                    wc: int = 256, interpret: bool = False,
+                    precision: str = "highest"):
     """Channel-major scatter-add: ``out[c, i] = sum_{flat_s[p]==i} u[p, c]``
     for sorted int32 ``flat_s``.
 
@@ -272,7 +326,8 @@ def scatter_rows_cm(u_rows, flat_s, ncells: int, w: int = 512, t: int = 2048,
 
     init = jnp.zeros((_CP, ncells), jnp.float32)
     return pl.pallas_call(
-        functools.partial(_scatter_kernel, w=w, t=t, wc=wc, mc=mc),
+        functools.partial(_scatter_kernel, w=w, t=t, wc=wc, mc=mc,
+                          prec=_PRECISIONS[precision]),
         grid=(mc,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -37,6 +37,14 @@ from fluidsim_tpu.ops import pallas_shift as ps
 from fluidsim_tpu.ops import pallas_transfer as pt
 
 
+# Matmul precision for the one-hot contractions: "split3" (default) runs
+# three native bf16 MXU passes over a hi/mid/lo split of the value operand —
+# f32-mantissa-exact (gather bit-exact, scatter <= 1 ulp) and ~1.5x faster
+# than "highest" (6-pass); "highest" = bit-exact vs the XLA scatter/gather.
+# Read at trace time; set before the first jitted step.
+PRECISION = "split3"
+
+
 @dataclasses.dataclass(frozen=True)
 class HaloLayout:
     n: int
@@ -107,7 +115,8 @@ def p2g_pallas(pos_s, vel_s, flat_h, solid, bound: int,
     u_p, _ = pt.pad_rows_with_ids(flat_h, u, 2048)
 
     d_cm = pt.scatter_rows_cm(u_p, flat_h, lay.ncells,
-                              interpret=interpret)               # (128, NC)
+                              interpret=interpret,
+                              precision=PRECISION)               # (128, NC)
     acc = ps.reduce_haloed(d_cm.reshape(128, lay.xr, lay.lwr), n,
                            bx=lay.bx, lblk=lay.lblk,
                            interpret=interpret)                  # (4,nxb,l)
@@ -155,7 +164,8 @@ def g2p_pallas(pos_s, flat_h, fields, bound: int, wall: int,
     elif not ids_attached:
         init_rows = pt.attach_ids(init_rows, flat_h)
     rows = pt.gather_rows_cm(table.reshape(128, lay.ncells), init_rows,
-                             flat_h, interpret=interpret)[:p, :108]
+                             flat_h, interpret=interpret,
+                             precision=PRECISION)[:p, :108]
     rows = rows.reshape(p, 27, 4)
 
     if w27 is None:
