@@ -220,18 +220,18 @@ def main(argv=None) -> int:
         return _print_vdb(args)
     if args.cmd == "render":
         from fluidsim_tpu.io.vdb import read_vdb
-        from fluidsim_tpu.io.render import render_volume, write_png
+        from fluidsim_tpu.io.render import render_volume, write_image
         g = read_vdb(args.file)[args.grid]
         img = render_volume(g.values, axis=args.axis,
                             absorption=args.absorption)
         out = args.output or (os.path.splitext(args.file)[0] + ".png")
-        write_png(out, img)
+        write_image(out, img)
         print(f"wrote {out} ({img.shape[1]}x{img.shape[0]})")
         return 0
     if args.cmd == "raytrace":
         import numpy as _np
         from fluidsim_tpu.io.vdb import read_vdb
-        from fluidsim_tpu.io.render import write_png
+        from fluidsim_tpu.io.render import write_image
         from fluidsim_tpu.ops.raytrace import raytrace_levelset
         g = read_vdb(args.file)[args.grid]
         vals = _np.asarray(g.values, _np.float32)
@@ -263,7 +263,7 @@ def main(argv=None) -> int:
                                         tuple(look - off), width=args.size[0],
                                         height=args.size[1], fov_deg=args.fov)
         out = args.output or (os.path.splitext(args.file)[0] + "_ray.png")
-        write_png(out, _np.asarray(img) * 255.0)
+        write_image(out, _np.asarray(img) * 255.0)
         print(f"wrote {out} ({args.size[0]}x{args.size[1]}, "
               f"{float(_np.asarray(hit).mean()):.1%} coverage)")
         return 0

@@ -4,8 +4,10 @@
 ``render_volume`` is an orthographic emission-absorption integrator over a
 dense density grid with simple depth cueing — enough to produce the
 water-cube-drop frames the reference showcases (``screenshots/grid*_*.png``)
-without GL or EXR dependencies.  Output is PNG via a minimal zlib-based
-encoder (no imaging libraries in this environment).
+without GL dependencies.  Output formats match ``vdb_render``'s suffix
+dispatch: ``.png`` (minimal zlib encoder), ``.ppm`` (binary P6), and
+``.exr`` (minimal uncompressed scanline FLOAT OpenEXR) — no imaging
+libraries in this environment.
 
 ``build_lod`` produces the mean-pooled mip pyramid of ``vdb_lod``.
 """
@@ -85,3 +87,123 @@ def build_lod(values: np.ndarray, levels: int | None = None):
         if levels is not None and len(out) > levels:
             break
     return out
+
+
+def write_ppm(path: str, img: np.ndarray):
+    """Binary P6 PPM, as ``vdb_render``'s ``.ppm`` path writes
+    (``openvdb/cmd/openvdb_render/main.cc:405-408``)."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        img = np.clip(img, 0, 255).astype(np.uint8)
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=-1)
+    h, w = img.shape[:2]
+    with open(path, "wb") as f:
+        f.write(b"P6\n%d %d\n255\n" % (w, h))
+        f.write(img.tobytes())
+
+
+def write_exr(path: str, img: np.ndarray):
+    """Minimal OpenEXR 2.0 writer: single-part scanline, FLOAT channels,
+    no compression — the format ``vdb_render`` emits for ``.exr`` targets
+    (``openvdb/cmd/openvdb_render/main.cc:410``), readable by any EXR
+    consumer.  ``img``: (H, W) gray, (H, W, 3) RGB or (H, W, 4) RGBA;
+    uint8 inputs are mapped to [0, 1] floats.
+    """
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    img = img.astype("<f4")
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, nch = img.shape
+    names = {1: ["Y"], 3: ["R", "G", "B"], 4: ["R", "G", "B", "A"]}[nch]
+
+    def attr(name: bytes, typ: bytes, payload: bytes) -> bytes:
+        return (name + b"\0" + typ + b"\0"
+                + struct.pack("<i", len(payload)) + payload)
+
+    # channel list: sorted by name, each {name, pixel_type=2 (FLOAT),
+    # pLinear, reserved[3], xSampling, ySampling}
+    order = sorted(range(nch), key=lambda i: names[i])
+    chl = b"".join(names[i].encode() + b"\0"
+                   + struct.pack("<i4B2i", 2, 0, 0, 0, 0, 1, 1)
+                   for i in order) + b"\0"
+    box = struct.pack("<4i", 0, 0, w - 1, h - 1)
+    header = (attr(b"channels", b"chlist", chl)
+              + attr(b"compression", b"compression", b"\0")      # NONE
+              + attr(b"dataWindow", b"box2i", box)
+              + attr(b"displayWindow", b"box2i", box)
+              + attr(b"lineOrder", b"lineOrder", b"\0")          # INCREASING_Y
+              + attr(b"pixelAspectRatio", b"float", struct.pack("<f", 1.0))
+              + attr(b"screenWindowCenter", b"v2f",
+                     struct.pack("<2f", 0.0, 0.0))
+              + attr(b"screenWindowWidth", b"float", struct.pack("<f", 1.0))
+              + b"\0")
+    magic = struct.pack("<i", 20000630) + struct.pack("<i", 2)   # version 2
+    line_bytes = 8 + w * 4 * nch          # y + size + pixel data
+    table_pos = len(magic) + len(header)
+    data_pos = table_pos + 8 * h
+    offsets = b"".join(struct.pack("<Q", data_pos + y * line_bytes)
+                       for y in range(h))
+    with open(path, "wb") as f:
+        f.write(magic + header + offsets)
+        for y in range(h):
+            f.write(struct.pack("<2i", y, w * 4 * nch))
+            for i in order:                       # per-channel planar rows
+                f.write(img[y, :, i].tobytes())
+
+
+def read_exr(path: str):
+    """Read back files produced by ``write_exr`` (uncompressed scanline
+    FLOAT) — test oracle and a convenience for pipelines without an EXR
+    library."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    assert struct.unpack("<i", buf[:4])[0] == 20000630, "not an EXR"
+    pos = 8
+    channels, width, height = [], None, None
+    while buf[pos] != 0:
+        e = buf.index(b"\0", pos); name = buf[pos:e].decode(); pos = e + 1
+        e = buf.index(b"\0", pos); typ = buf[pos:e].decode(); pos = e + 1
+        (sz,) = struct.unpack_from("<i", buf, pos); pos += 4
+        payload = buf[pos:pos + sz]; pos += sz
+        if name == "channels":
+            q = 0
+            while payload[q] != 0:
+                ce = payload.index(b"\0", q)
+                cname = payload[q:ce].decode()
+                ptype = struct.unpack_from("<i", payload, ce + 1)[0]
+                assert ptype == 2, "only FLOAT channels supported"
+                channels.append(cname)
+                q = ce + 1 + 16
+        elif name == "dataWindow":
+            x0, y0, x1, y1 = struct.unpack("<4i", payload)
+            width, height = x1 - x0 + 1, y1 - y0 + 1
+        elif name == "compression":
+            assert payload[0] == 0, "only uncompressed supported"
+    pos += 1                                   # header terminator
+    pos += 8 * height                          # offset table
+    out = np.empty((height, width, len(channels)), np.float32)
+    for _ in range(height):
+        y, sz = struct.unpack_from("<2i", buf, pos); pos += 8
+        row = np.frombuffer(buf, "<f4", width * len(channels), pos)
+        out[y] = row.reshape(len(channels), width).T
+        pos += sz
+    # reorder sorted-channel planes back to R,G,B(,A) / Y
+    srt = sorted(channels)
+    want = [c for c in ("R", "G", "B", "A", "Y") if c in channels]
+    idx = [srt.index(c) for c in want]
+    return out[..., idx], want
+
+
+def write_image(path: str, img: np.ndarray):
+    """Extension-dispatched image writer: .png / .ppm / .exr, matching
+    ``vdb_render``'s output selection by file suffix."""
+    low = path.lower()
+    if low.endswith(".ppm"):
+        write_ppm(path, img)
+    elif low.endswith(".exr"):
+        write_exr(path, img)
+    else:
+        write_png(path, img)

@@ -168,3 +168,55 @@ def test_cli_render_lod(tmp_path):
     assert os.path.exists(os.path.join(out, "mygrids0.png"))
     assert cli_main(["lod", vdb]) == 0
     assert os.path.exists(os.path.join(out, "mygrids0_lod.vdb"))
+
+
+def test_image_writers_roundtrip(tmp_path):
+    """PPM (binary P6) and minimal uncompressed EXR, the two formats the
+    reference's vdb_render emits (cmd/openvdb_render/main.cc:405-410)."""
+    import numpy as np
+    from fluidsim_tpu.io.render import (write_ppm, write_exr, read_exr,
+                                        write_image)
+
+    img = np.random.default_rng(0).random((6, 4, 3)).astype(np.float32)
+    p = str(tmp_path / "a.exr")
+    write_exr(p, img)
+    back, ch = read_exr(p)
+    assert ch == ["R", "G", "B"]
+    np.testing.assert_array_equal(back, img)
+
+    # grayscale EXR
+    write_exr(p, img[..., 0])
+    back, ch = read_exr(p)
+    assert ch == ["Y"] and back.shape == (6, 4, 1)
+    np.testing.assert_array_equal(back[..., 0], img[..., 0])
+
+    u8 = (img * 255).astype(np.uint8)
+    pp = str(tmp_path / "a.ppm")
+    write_ppm(pp, u8)
+    raw = open(pp, "rb").read()
+    assert raw.startswith(b"P6\n4 6\n255\n")
+    got = np.frombuffer(raw[len(b"P6\n4 6\n255\n"):], np.uint8)
+    np.testing.assert_array_equal(got.reshape(6, 4, 3), u8)
+
+    # extension dispatch
+    for ext in ("png", "ppm", "exr"):
+        f = str(tmp_path / f"d.{ext}")
+        write_image(f, u8)
+        assert os.path.getsize(f) > 0
+
+
+def test_cli_render_exr_ppm(tmp_path):
+    from fluidsim_tpu.cli import main as cli_main
+    from fluidsim_tpu.io.render import read_exr
+    out = str(tmp_path / "sim")
+    cli_main(["fluid", "--scene", "water_cube_drop", "--bound", "10",
+              "--density", "3", "--frames", "1", "--out", out, "--no-accum",
+              "--echo-every", "100"])
+    vdb = os.path.join(out, "mygrids0.vdb")
+    exr = os.path.join(out, "f.exr")
+    assert cli_main(["render", vdb, "-o", exr]) == 0
+    img, ch = read_exr(exr)
+    assert ch == ["R", "G", "B"] and img.shape[-1] == 3
+    ppm = os.path.join(out, "f.ppm")
+    assert cli_main(["render", vdb, "-o", ppm]) == 0
+    assert open(ppm, "rb").read(2) == b"P6"
