@@ -85,6 +85,8 @@ class FlipState:
     t: jax.Array         # () — accumulated simulation time
     frame: jax.Array     # () int32
     aff: jax.Array | None = None   # (P, 3, 3) APIC affine matrices (mode="apic")
+    pressure: jax.Array | None = None  # (N,N,N) last pressure solution —
+                                       # warm-starts the next frame's PCG
 
 
 def lookup_bool(grid, cells, bound: int):
@@ -140,7 +142,7 @@ def advect_bounce(pos, vel, dt, solid, bound: int, e: float, rounding: str,
     return pos_out, velm
 
 
-def project(params: FlipParams, velg, fluid, solid, dt):
+def project(params: FlipParams, velg, fluid, solid, dt, p0=None):
     """Pressure projection.
 
     ``compat_projection=True`` (default): the reference's do-while
@@ -153,7 +155,15 @@ def project(params: FlipParams, velg, fluid, solid, dt):
     Produces markedly better volume conservation (hydrostatic pools hold
     their height) at the cost of diverging from the reference's trajectory.
 
-    Returns (velg', err, n_outer, cg_iters_total, div_rms).
+    ``p0``: warm-start pressure (typically the previous frame's solution,
+    masked here to the current fluid cells).  The reference rebuilds its
+    Eigen solver from scratch every frame; CG from a one-frame-old pressure
+    reaches the same ``pcg_rtol`` in ~2-3x fewer iterations and changes the
+    answer only within that tolerance.  Outer passes beyond the first warm-
+    start from the previous pass's solution (the systems are near-identical:
+    the pass-to-pass RHS change is what ``outer_tol`` bounds).
+
+    Returns (velg', err, n_outer, cg_iters_total, div_rms, pressure).
     """
     g = jnp.asarray(params.gravity, velg.dtype)
     dx, rho = params.dx, params.rho
@@ -169,6 +179,8 @@ def project(params: FlipParams, velg, fluid, solid, dt):
         return jnp.sqrt(jnp.sum((x * x).astype(jnp.float32)))
 
     nfluid = jnp.maximum(jnp.sum(fluid), 1)
+    p0 = (jnp.zeros_like(velg[..., 0]) if p0 is None
+          else jnp.where(fluid, p0, 0.0))
 
     if not params.compat_projection:
         # clean mode: v += g*dt once, then one full-strength solve
@@ -176,7 +188,7 @@ def project(params: FlipParams, velg, fluid, solid, dt):
         velg = velg + g[None, None, None, :] * dt * fl[..., None]
         rhs = pr.set_rhs(velg, fluid, solid, jnp.zeros_like(g), dt, dx)
         b = pr.divergence_rhs(velg, rhs, fluid, solid, dx)
-        res = pcg(apply_a, b, precond=precond,
+        res = pcg(apply_a, b, x0=p0, precond=precond,
                   rtol=params.pcg_rtol, maxiter=params.pcg_maxiter)
         velg = pr.vel_update(velg, res.x, fluid, solid, g, dt, rho, dx,
                              gradient_scale=1.0, add_gravity=False)
@@ -185,35 +197,35 @@ def project(params: FlipParams, velg, fluid, solid, dt):
         bn = norm(b)
         err = jnp.where(bn > 0, norm(b2) / jnp.where(bn > 0, bn, 1.0), 0.0)
         div_rms = norm(b2) / jnp.sqrt(nfluid.astype(jnp.float32))
-        return velg, err, jnp.ones((), jnp.int32), res.iters, div_rms
+        return velg, err, jnp.ones((), jnp.int32), res.iters, div_rms, res.x
 
-    def one_pass(velg):
+    def one_pass(velg, x0):
         rhs = pr.set_rhs(velg, fluid, solid, g, dt, dx)
         b = pr.divergence_rhs(velg, rhs, fluid, solid, dx)
-        res = pcg(apply_a, b, precond=precond,
+        res = pcg(apply_a, b, x0=x0, precond=precond,
                   rtol=params.pcg_rtol, maxiter=params.pcg_maxiter)
         velg2 = pr.vel_update(velg, res.x, fluid, solid, g, dt, rho, dx)
         rhs2 = pr.set_rhs(velg2, fluid, solid, g, dt, dx)
         b2 = pr.divergence_rhs(velg2, rhs2, fluid, solid, dx)
         bn = norm(b)
         err = jnp.where(bn > 0, norm(b - b2) / jnp.where(bn > 0, bn, 1.0), 0.0)
-        return velg2, err, res.iters, b2
+        return velg2, err, res.iters, b2, res.x
 
     def body(carry):
-        velg, _, n, cg_tot, _ = carry
-        velg, err, iters, b2 = one_pass(velg)
-        return velg, err, n + 1, cg_tot + iters, b2
+        velg, _, n, cg_tot, _, x0 = carry
+        velg, err, iters, b2, p = one_pass(velg, x0)
+        return velg, err, n + 1, cg_tot + iters, b2, p
 
     init = body((velg, jnp.inf, jnp.zeros((), jnp.int32),
-                 jnp.zeros((), jnp.int32), jnp.zeros_like(velg[..., 0])))
+                 jnp.zeros((), jnp.int32), jnp.zeros_like(velg[..., 0]), p0))
 
     def cond(carry):
-        _, err, n, _, _ = carry
+        _, err, n, _, _, _ = carry
         return (err > params.outer_tol) & (n < params.max_outer)
 
-    velg, err, n, cg_tot, b2 = jax.lax.while_loop(cond, body, init)
+    velg, err, n, cg_tot, b2, p = jax.lax.while_loop(cond, body, init)
     div_rms = norm(b2) / jnp.sqrt(nfluid.astype(jnp.float32))
-    return velg, err, n, cg_tot, div_rms
+    return velg, err, n, cg_tot, div_rms, p
 
 
 def flip_step(params: FlipParams, solid, state: FlipState):
@@ -265,7 +277,8 @@ def flip_step(params: FlipParams, solid, state: FlipState):
     velb = velg  # velBeforeUpdate (fluid.cc:1455)
 
     # -- pressure projection do-while (fluid.cc:1457-1484) --
-    velg, err, n_outer, cg_iters, div_rms = project(params, velg, fluid, solid, dt)
+    velg, err, n_outer, cg_iters, div_rms, pressure = project(
+        params, velg, fluid, solid, dt, p0=state.pressure)
 
     # -- FLIP / PIC / APIC grid-to-particle (fluid.cc:1490) --
     vc_new = cell_center_velocity(velg)
@@ -318,7 +331,7 @@ def flip_step(params: FlipParams, solid, state: FlipState):
 
     new_state = FlipState(pos=pos, vel=vel, dt=dt_new,
                           t=state.t + dt_new, frame=state.frame + 1,
-                          aff=aff)
+                          aff=aff, pressure=pressure)
     metrics = {
         "error": err,
         "dt_used": dt,
@@ -402,7 +415,7 @@ class FlipSim:
             pos=jnp.asarray(pos, dtype), vel=jnp.asarray(vel, dtype),
             dt=jnp.asarray(params.max_dt, dtype),
             t=jnp.zeros((), dtype), frame=jnp.zeros((), jnp.int32),
-            aff=aff)
+            aff=aff, pressure=jnp.zeros(scene.spec.shape, dtype))
         self._step = jax.jit(partial(flip_step, params), donate_argnums=(1,))
 
     @property

@@ -209,6 +209,9 @@ def mpm_step(params: MpmParams, solid, state: MpmState):
         out = wv + beta_dt2 * (-df.reshape(n, n, n, 3)) / mass_safe
         return jnp.where(active[..., None], out, wv)
 
+    # (no warm start: A = I + beta*dt^2*H/m is so well-conditioned that CG
+    # converges in ~5 iterations from zero; x0=b saved only one iteration
+    # and perturbed the fast-vs-naive equivalence oracle)
     res = pcg(matvec, b, rtol=params.cg_rtol, maxiter=params.cg_maxiter)
     velg = jnp.where(active[..., None], res.x, 0.0)  # updateVelocity, mpm.cc:705-737
 

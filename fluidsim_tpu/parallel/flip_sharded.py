@@ -55,6 +55,7 @@ class ShardedFlipState:
     dt: jax.Array       # () replicated
     t: jax.Array
     frame: jax.Array
+    pressure: jax.Array | None = None  # (ndev*nl, n, n) slab-sharded warm start
 
 
 def _local_scatter(cells, values, weights_mask, x0, nl, n, width):
@@ -242,12 +243,12 @@ def _sharded_step(params: FlipParams, nl: int, cap: int, mig_cap: int,
 
     fluid_ext = exchange_halo(fluid, 1, AX)
 
-    def one_pass(vg):
+    def one_pass(vg, px0):
         vg_ext = exchange_halo(vg, 1, AX)
         rhs = pr.set_rhs(vg_ext, fluid_ext, solid_ext1, g, dt, dx)[1:-1]
         rhs_ext = exchange_halo(rhs, 1, AX)
         b = pr.divergence_rhs(vg_ext, rhs_ext, fluid_ext, solid_ext1, dx)[1:-1]
-        res = pcg(apply_a, b, precond=precond, rtol=params.pcg_rtol,
+        res = pcg(apply_a, b, x0=px0, precond=precond, rtol=params.pcg_rtol,
                   maxiter=params.pcg_maxiter, reduce_fn=psum)
         p_ext = exchange_halo(jnp.where(fluid, res.x, 0.0), 1, AX)
         vg2 = pr.vel_update(vg_ext, p_ext, fluid_ext, solid_ext1, g, dt,
@@ -259,16 +260,23 @@ def _sharded_step(params: FlipParams, nl: int, cap: int, mig_cap: int,
                                dx)[1:-1]
         bn = norm(b)
         err = jnp.where(bn > 0, norm(b - b2) / jnp.where(bn > 0, bn, 1.0), 0.0)
-        return vg2, err, res.iters
+        return vg2, err, res.iters, res.x
+
+    # warm start: previous frame's slab pressure, masked to current fluid
+    # cells (see models/flip.py:project); later passes reuse the previous
+    # pass's solution
+    p_prev = (jnp.zeros_like(fluid, dtype=velg.dtype)
+              if state.pressure is None
+              else jnp.where(fluid, state.pressure, 0.0))
 
     def body(carry):
-        vg, _, it, cg_tot = carry
-        vg, err, iters = one_pass(vg)
-        return vg, err, it + 1, cg_tot + iters
+        vg, _, it, cg_tot, px = carry
+        vg, err, iters, px = one_pass(vg, px)
+        return vg, err, it + 1, cg_tot + iters, px
 
     carry = body((velg, jnp.inf, jnp.zeros((), jnp.int32),
-                  jnp.zeros((), jnp.int32)))
-    velg, err, n_outer, cg_iters = jax.lax.while_loop(
+                  jnp.zeros((), jnp.int32), p_prev))
+    velg, err, n_outer, cg_iters, pressure = jax.lax.while_loop(
         lambda c: (c[1] > params.outer_tol) & (c[2] < params.max_outer),
         body, carry)
 
@@ -335,7 +343,8 @@ def _sharded_step(params: FlipParams, nl: int, cap: int, mig_cap: int,
     lost = psum(dropped + jnp.sum(valid & (free_idx >= cap)))
 
     new_state = ShardedFlipState(pos=pos, vel=vel, alive=alive, dt=dt_new,
-                                 t=state.t + dt_new, frame=state.frame + 1)
+                                 t=state.t + dt_new, frame=state.frame + 1,
+                                 pressure=pressure)
     metrics = {
         "error": err,
         "dt": dt_new,
@@ -416,10 +425,13 @@ class ShardedFlipSim:
             alive=jax.device_put(jnp.asarray(alive_all.reshape(-1)), shard),
             dt=jax.device_put(jnp.asarray(params.max_dt, dtype), rep),
             t=jax.device_put(jnp.zeros((), dtype), rep),
-            frame=jax.device_put(jnp.zeros((), jnp.int32), rep))
+            frame=jax.device_put(jnp.zeros((), jnp.int32), rep),
+            pressure=jax.device_put(
+                jnp.zeros((npad, n, n), dtype), shard))
 
         state_specs = ShardedFlipState(
-            pos=P(AX), vel=P(AX), alive=P(AX), dt=P(), t=P(), frame=P())
+            pos=P(AX), vel=P(AX), alive=P(AX), dt=P(), t=P(), frame=P(),
+            pressure=P(AX))
         metric_specs = {k: P() for k in
                         ("error", "dt", "dt_used", "outer_iters", "cg_iters",
                          "max_speed", "kinetic_energy", "num_fluid_cells",

@@ -94,7 +94,7 @@ def test_projection_reduces_divergence():
     vel = jnp.asarray(rng.normal(scale=1.0, size=spec.shape + (3,)), jnp.float32)
     params = FlipParams(bound=spec.bound, wall=spec.wall)
     dt = jnp.asarray(0.1, jnp.float32)
-    velg, err, n_outer, cg_iters, div_rms = jax.jit(
+    velg, err, n_outer, cg_iters, div_rms, _p = jax.jit(
         lambda v: project(params, v, fluid, solid, dt))(vel)
     assert float(err) <= params.outer_tol + 1e-6
     assert int(n_outer) >= 1
