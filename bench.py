@@ -10,7 +10,8 @@ measured number is stored in ``BASELINE_CPU.json``.  Run
 ``python bench.py --measure-cpu-baseline`` to (re)generate it.
 
 NOTE (axon TPU tunnel): ``block_until_ready`` does not reliably block, so
-every frame timing forces a host fetch of a scalar.
+timing forces a host fetch of a scalar whose value depends on every frame
+in the window (see the sync note in ``measure_tpu``).
 """
 
 import argparse
@@ -24,7 +25,8 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 BASELINE_PATH = os.path.join(HERE, "BASELINE_CPU.json")
 
 
-def measure_tpu(bound: int, density: float, warmup: int, frames: int):
+def measure_tpu(bound: int, density: float, warmup: int, frames: int,
+                sync_every_frame: bool = False):
     import numpy as np
     from fluidsim_tpu.models.flip import FlipSim
     from fluidsim_tpu.scenes import get_scene
@@ -40,14 +42,20 @@ def measure_tpu(bound: int, density: float, warmup: int, frames: int):
     print(f"# warmup ({warmup} frames incl. compile): {time.time()-t0:.1f}s",
           file=sys.stderr)
 
-    # best of two measurement windows: the TPU tunnel occasionally adds
-    # hundreds of ms of unrelated latency to a window
+    # Timing sync: frame N's state depends on frame N-1's, so fetching the
+    # LAST frame's kinetic energy forces the whole window's compute — that
+    # measures throughput, which is what a 500-frame production run sees.
+    # --sync-every-frame instead fetches per frame (adds the ~30 ms tunnel
+    # round-trip to every frame; reports latency rather than throughput).
+    # Best of two windows: the tunnel occasionally adds unrelated latency.
     best = float("inf")
     for _ in range(2):
         t0 = time.time()
         for _ in range(frames):
             m = sim.step()
-            _ = float(m["kinetic_energy"])  # forced host fetch (module note)
+            if sync_every_frame:
+                _ = float(m["kinetic_energy"])
+        _ = float(m["kinetic_energy"])      # forced host fetch (module note)
         best = min(best, (time.time() - t0) / frames)
     dt = best
     return {
@@ -80,6 +88,9 @@ def main():
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--frames", type=int, default=10)
     ap.add_argument("--measure-cpu-baseline", action="store_true")
+    ap.add_argument("--sync-every-frame", action="store_true",
+                    help="fetch a scalar per frame (latency mode) instead of "
+                         "once per window (throughput mode)")
     ap.add_argument("--suite", action="store_true",
                     help="run the full BASELINE.json config ladder and write "
                          "BENCH_DETAILS.json (headline line still printed)")
@@ -128,7 +139,8 @@ def main():
               file=sys.stderr)
         res = details["flip_129cube_2M"]
     else:
-        res = measure_tpu(args.bound, args.density, args.warmup, args.frames)
+        res = measure_tpu(args.bound, args.density, args.warmup, args.frames,
+                          sync_every_frame=args.sync_every_frame)
 
     vs_baseline = 0.0
     if os.path.exists(BASELINE_PATH):

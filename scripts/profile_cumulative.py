@@ -1,0 +1,96 @@
+"""Cumulative phase timing of the Pallas FLIP frame: jit prefixes of the
+step and difference successive timings, cancelling the per-dispatch tunnel
+overhead that pollutes standalone phase timings.
+
+Usage: python scripts/profile_cumulative.py [--bound 64] [--density 25]
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def timeit(fn, *args, iters=8, warmup=2):
+    for _ in range(warmup):
+        _ = float(jnp.asarray(fn(*args)).ravel()[0])
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.time()
+        _ = float(jnp.asarray(fn(*args)).ravel()[0])
+        best = min(best, time.time() - t0)
+    return best * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bound", type=int, default=64)
+    ap.add_argument("--density", type=float, default=25.0)
+    ap.add_argument("--iters", type=int, default=8)
+    args = ap.parse_args()
+
+    from fluidsim_tpu.models.flip import FlipSim, project, advect_bounce
+    from fluidsim_tpu.scenes import get_scene
+    from fluidsim_tpu.core.gridspec import cell_center_velocity
+    from fluidsim_tpu.ops import transfer_pallas as tp
+    from fluidsim_tpu.ops import transfer as tr
+
+    sim = FlipSim(get_scene("water_cube_drop", bound=args.bound,
+                            density=args.density))
+    for _ in range(3):
+        sim.step()
+    params = sim.params
+    B, wall = params.bound, params.wall
+    lay = tp.HaloLayout(2 * B + 1)
+    solid = sim.solid
+    st = sim.state
+    print(f"grid {2*B+1}^3  particles {sim.num_particles}")
+
+    def upto(stage):
+        def fn(pos0, vel0, dt, p_prev):
+            pos, vel, flat = tp.sort_by_cell_h(pos0, vel0, B, lay)
+            w27 = tp.masked_weights(pos, B, params.kernel)
+            if stage == "sort":
+                return jnp.sum(w27) + jnp.sum(flat)
+            weights, mom, occ, u_rows = tp.p2g_pallas(
+                pos, vel, flat, solid, B, lay, params.kernel, w27=w27)
+            velg = tr.normalize_velocity(weights, mom)
+            fluid = (occ > 0) & (~solid)
+            if stage == "p2g":
+                return jnp.sum(velg) + jnp.sum(fluid)
+            velb = velg
+            velg, err, n_outer, cg_iters, div_rms, pressure = project(
+                params, velg, fluid, solid, dt, p0=p_prev)
+            if stage == "project":
+                return jnp.sum(velg) + err
+            vc_new = cell_center_velocity(velg)
+            vc_old = cell_center_velocity(velb)
+            delta = tp.g2p_pallas(pos, flat, vc_new - vc_old, B, wall, lay,
+                                  params.kernel, init_rows=u_rows,
+                                  ids_attached=True, w27=w27)
+            vel2 = vel + delta
+            if stage == "g2p":
+                return jnp.sum(vel2)
+            speed = jnp.sqrt(jnp.sum(vel2 * vel2, axis=-1))
+            max_speed = jnp.max(speed)
+            dt_new = jnp.where(max_speed != 0,
+                               jnp.minimum(params.max_dt, params.dx / max_speed),
+                               params.max_dt)
+            pos2, vel3 = advect_bounce(
+                pos, vel2, dt_new, solid, B, 0.0, rounding="round",
+                analytic_wall=params.wall if params.walls_only_solid else None)
+            ke = 0.5 * jnp.sum((vel3 * vel3).astype(jnp.float32))
+            return jnp.sum(pos2) + ke
+        return jax.jit(fn)
+
+    prev = 0.0
+    for stage in ("sort", "p2g", "project", "g2p", "advect"):
+        ms = timeit(upto(stage), st.pos, st.vel, st.dt, st.pressure,
+                    iters=args.iters)
+        print(f"upto {stage:8s} {ms:8.1f} ms   (+{ms - prev:6.1f})")
+        prev = ms
+
+
+if __name__ == "__main__":
+    main()
