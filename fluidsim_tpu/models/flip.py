@@ -256,7 +256,7 @@ def flip_step(params: FlipParams, solid, state: FlipState):
         lay = tp.HaloLayout(2 * B + 1)
         pos, vel, flat = tp.sort_by_cell_h(pos, vel, B, lay)
         w27 = tp.masked_weights(pos, B, params.kernel)
-        weights, mom, occ, u_rows = tp.p2g_pallas(
+        weights, mom, occ, wv_rows = tp.p2g_pallas(
             pos, vel, flat, solid, B, lay, params.kernel, w27=w27)
         velg = transfer.normalize_velocity(weights, mom)
     elif params.fast_transfer:
@@ -293,8 +293,7 @@ def flip_step(params: FlipParams, solid, state: FlipState):
             return out
         if params.fast_transfer and params.pallas_transfer:
             return tp.g2p_pallas(pos, flat, fields, B, wall, lay,
-                                 params.kernel, init_rows=u_rows,
-                                 ids_attached=True, w27=w27)
+                                 params.kernel, wv_rows=wv_rows)
         if params.fast_transfer:
             return tf.g2p_fused(pos, flat, fields, B, wall, params.kernel)
         return None

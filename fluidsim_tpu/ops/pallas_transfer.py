@@ -342,3 +342,288 @@ def scatter_rows_cm(u_rows, flat_s, ncells: int, w: int = 512, t: int = 2048,
         input_output_aliases={4: 0},
         interpret=interpret,
     )(blk, ps, pe, u_rows, init)
+
+
+# ---- fused weight/velocity variants ----------------------------------------
+#
+# The 108 u-channels (w, w*vx, w*vy, w*vz per stencil offset) and the final
+# 27-weight G2P contraction are *linear expansions/reductions of 32 packed
+# per-particle lanes* (27 weights + [1, vx, vy, vz] + id).  Building the
+# (P_pad, 128) u rows in XLA and writing them through HBM cost ~19 ms/frame
+# at 2M particles, and the post-gather XLA contraction another HBM round
+# trip.  These kernels DMA only the packed 32-lane rows and do the
+# expansion/contraction in-kernel with tiny exact 0/1 matmuls:
+#
+#   u       = (buf @ R) * (buf @ T)      R: repeat w27 4x,  T: tile [1,v] 27x
+#   out[,c] = (acc * (buf @ R)) @ S      S: sum lanes j with j % 4 == c
+#
+# All value selections go through the split3 path, so weights/velocities are
+# reproduced exactly; only the final 27-term sums differ from the XLA order
+# by f32 rounding.  The G2P mask re-multiply is idempotent (fields are
+# pre-masked, mask is exactly 0/1), so num and den are both linear in the
+# gathered rows — that is what lets the contraction live in the kernel.
+
+# Packed layout: lanes 0-26 w27, lane 27 the constant 1, lanes 28-30 the
+# velocity, lane 127 the flat id.  Rows are 128 lanes wide because Mosaic
+# DMA requires lane widths aligned to the (1, 128) tiling — the win over
+# the old path is not DMA bytes but skipping the XLA u build, whose
+# (P, 27, 4) intermediate lives in a 4-minor-lane layout that relayouts
+# catastrophically, and skipping the post-gather XLA contraction round trip.
+
+
+def pack_wv_rows(flat_s, w27, vel, t: int):
+    """(P, 27) weights + (P, 3) velocities -> (P_pad, 128) packed rows."""
+    p = w27.shape[0]
+    vals = jnp.concatenate(
+        [w27, jnp.ones((p, 1), w27.dtype)]
+        + ([vel] if vel is not None else []), axis=1)
+    # +128 tail: gather_wv_cm uses 128-aligned windows of t+128 rows
+    return pad_rows_with_ids(flat_s, vals, t + 128)
+
+
+def _wv_mats():
+    """In-kernel constant selection matrices (exact in bf16)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (_CP, _CP), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (_CP, _CP), 0)
+    live = col < 108
+    r = ((row == col // 4) & live).astype(jnp.bfloat16)       # w27 repeat
+    tm = ((row == 27 + col % 4) & live).astype(jnp.bfloat16)  # v4 tile
+    return r, tm
+
+
+def _wv_expand(buf, r, tm):
+    """(TT, 32) packed rows -> exact (wrep, u): each output column selects a
+    single input lane, so the 3-pass split reconstruction is exact."""
+    parts = _split3(buf)
+    wrep = None
+    vtile = None
+    for part in parts:
+        dw = jax.lax.dot_general(part, r, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dv = jax.lax.dot_general(part, tm, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        wrep = dw if wrep is None else wrep + dw
+        vtile = dv if vtile is None else vtile + dv
+    return wrep, wrep * vtile
+
+
+def _scatter_wv_kernel(blk_ref, ps_ref, pe_ref, wv_hbm, init_ref, out_hbm,
+                       wvbuf2, wbuf, sems, *, w, t, wc, mc):
+    del init_ref  # aliased with out_hbm (zero init)
+    j = pl.program_id(0)
+    b = blk_ref[j]
+
+    def start_wv(j2):
+        a2 = pl.multiple_of((ps_ref[j2] // 8) * 8, 8)
+        pltpu.make_async_copy(wv_hbm.at[pl.ds(a2, t + 8)],
+                              wvbuf2.at[j2 % 2], sems.at[j2 % 2]).start()
+
+    @pl.when(j == 0)
+    def _():
+        _prefetch(0, mc, blk_ref, start_wv)
+    _prefetch(j + 1, mc, blk_ref, start_wv)
+
+    @pl.when(b >= 0)
+    def _():
+        pstart = ps_ref[j]
+        pend = pe_ref[j]
+        a = pl.multiple_of((pstart // 8) * 8, 8)
+        tt = t + 8
+        slot = j % 2
+
+        cp_w = pltpu.make_async_copy(
+            out_hbm.at[:, pl.ds(pl.multiple_of(b * w, w), w)], wbuf,
+            sems.at[2])
+        cp_w.start()
+        pltpu.make_async_copy(wv_hbm.at[pl.ds(a, tt)], wvbuf2.at[slot],
+                              sems.at[slot]).wait()
+        cp_w.wait()
+
+        buf = wvbuf2[slot]
+        local = (buf[:, _CP - 1:_CP]).astype(jnp.int32) - b * w   # (TT, 1)
+        gidx = a + jax.lax.broadcasted_iota(jnp.int32, (tt, 1), 0)
+        valid = (gidx >= pstart) & (gidx < pend)
+
+        r, tm = _wv_mats()
+        _, u = _wv_expand(buf, r, tm)                             # (TT, CP)
+        um = jnp.where(valid, u, 0.0)
+        um_split = _split3(um)
+
+        dims = (((0,), (0,)), ((), ()))
+        for k in range(w // wc):
+            iota = jax.lax.broadcasted_iota(jnp.int32, (tt, wc), 1) + k * wc
+            oh = (local == iota).astype(jnp.bfloat16)             # (TT, Wc)
+            contrib = None
+            for part in um_split:                                 # (CP, Wc)
+                d = jax.lax.dot_general(part, oh, dims,
+                                        preferred_element_type=jnp.float32)
+                contrib = d if contrib is None else contrib + d
+            wbuf[:, pl.ds(k * wc, wc)] = wbuf[:, pl.ds(k * wc, wc)] + contrib
+
+        cp_back = pltpu.make_async_copy(
+            wbuf, out_hbm.at[:, pl.ds(pl.multiple_of(b * w, w), w)],
+            sems.at[2])
+        cp_back.start()
+        cp_back.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("ncells", "w", "t", "wc",
+                                             "interpret"))
+def scatter_wv_cm(wv_rows, flat_s, ncells: int, w: int = 512, t: int = 2048,
+                  wc: int = 256, interpret: bool = False):
+    """Channel-major scatter-add of in-kernel-built u rows:
+    ``out[4o+c, i] = sum_{flat_s[p]==i} w27[p,o] * [1,v][p,c]``.
+
+    wv_rows: (P_pad, 128) from ``pack_wv_rows``.  Returns (128, ncells);
+    lanes 108..127 are exactly zero.
+    """
+    p = flat_s.shape[0]
+    assert ncells < _ID_LIMIT and ncells % w == 0
+    blk, ps, pe = build_chunks(flat_s, p, ncells, w, t)
+    mc = blk.shape[0]
+    tt = t + 8
+
+    init = jnp.zeros((_CP, ncells), jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_scatter_wv_kernel, w=w, t=t, wc=wc, mc=mc),
+        grid=(mc,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((_CP, ncells), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, tt, _CP), jnp.float32),
+                        pltpu.VMEM((_CP, w), jnp.float32),
+                        pltpu.SemaphoreType.DMA((3,))],
+        input_output_aliases={4: 0},
+        interpret=interpret,
+    )(blk, ps, pe, wv_rows, init)
+
+
+def _gather_wv_kernel(blk_ref, ps_ref, pe_ref, table_hbm, wv_hbm, init_ref,
+                      out_hbm, tbuf2, wvbuf2, outbuf, sems, *, w, t, wc, mc):
+    """Chunk windows here are 128-aligned (not 8-): the channel-major
+    (8, P_padL) output is sliced along LANES, and Mosaic DMA lane slices
+    must be aligned to the (1, 128) tiling."""
+    del init_ref  # aliased with out_hbm (zero init)
+    j = pl.program_id(0)
+    b = blk_ref[j]
+    tt = t + 128
+
+    def start_tbuf(j2):
+        b2 = blk_ref[j2]
+        pltpu.make_async_copy(
+            table_hbm.at[:, pl.ds(pl.multiple_of(b2 * w, w), w)],
+            tbuf2.at[j2 % 2], sems.at[j2 % 2]).start()
+
+    def start_wv(j2):
+        a2 = pl.multiple_of((ps_ref[j2] // 128) * 128, 128)
+        pltpu.make_async_copy(wv_hbm.at[pl.ds(a2, tt)],
+                              wvbuf2.at[j2 % 2], sems.at[2 + j2 % 2]).start()
+
+    @pl.when(j == 0)
+    def _():
+        _prefetch(0, mc, blk_ref, start_tbuf)
+        _prefetch(0, mc, blk_ref, start_wv)
+    _prefetch(j + 1, mc, blk_ref, start_tbuf)
+    _prefetch(j + 1, mc, blk_ref, start_wv)
+
+    @pl.when(b >= 0)
+    def _():
+        pstart = ps_ref[j]
+        pend = pe_ref[j]
+        a = pl.multiple_of((pstart // 128) * 128, 128)
+        slot = j % 2
+
+        cp_o = pltpu.make_async_copy(out_hbm.at[:, pl.ds(a, tt)], outbuf,
+                                     sems.at[4])
+        cp_o.start()
+        pltpu.make_async_copy(
+            table_hbm.at[:, pl.ds(pl.multiple_of(b * w, w), w)],
+            tbuf2.at[slot], sems.at[slot]).wait()
+        pltpu.make_async_copy(wv_hbm.at[pl.ds(a, tt)], wvbuf2.at[slot],
+                              sems.at[2 + slot]).wait()
+        cp_o.wait()
+
+        buf = wvbuf2[slot]
+        local = (buf[:, _CP - 1:_CP]).astype(jnp.int32) - b * w
+        gidx = a + jax.lax.broadcasted_iota(jnp.int32, (1, tt), 1)
+        valid = (gidx >= pstart) & (gidx < pend)                  # (1, TT)
+
+        acc = None
+        for k in range(w // wc):
+            iota = jax.lax.broadcasted_iota(jnp.int32, (tt, wc), 1) + k * wc
+            oh = (local == iota).astype(jnp.bfloat16)             # (TT, Wc)
+            part = None
+            for tpart in _split3(tbuf2[slot, :, pl.ds(k * wc, wc)]):
+                d = jax.lax.dot_general(oh, tpart, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                part = d if part is None else part + d
+            acc = part if acc is None else acc + part             # (TT, CP)
+
+        r, tm = _wv_mats()
+        wrep, _ = _wv_expand(buf, r, tm)
+        m = acc * wrep                                            # (TT, CP)
+
+        # sT[c, j] = (j % 4 == c) for live j: output row c sums channel c
+        # over the 27 offsets -> rows [num_x, num_y, num_z, den, 0...];
+        # contracting sT against m directly yields the (8, TT) transposed
+        # result the channel-major output wants (no in-kernel transpose).
+        outc = jax.lax.broadcasted_iota(jnp.int32, (8, _CP), 0)
+        colj = jax.lax.broadcasted_iota(jnp.int32, (8, _CP), 1)
+        st = ((colj % 4 == outc) & (colj < 108)).astype(jnp.bfloat16)
+        out4 = None
+        for mpart in _split3(m):
+            d = jax.lax.dot_general(st, mpart, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            out4 = d if out4 is None else out4 + d                # (8, TT)
+
+        outbuf[...] = jnp.where(valid, out4, outbuf[...])
+        cp_back = pltpu.make_async_copy(outbuf, out_hbm.at[:, pl.ds(a, tt)],
+                                        sems.at[4])
+        cp_back.start()
+        cp_back.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("w", "t", "wc", "interpret"))
+def gather_wv_cm(table_cm, wv_rows, flat_s, w: int = 512, t: int = 2048,
+                 wc: int = 256, interpret: bool = False):
+    """One-hot gather + in-kernel 27-weight contraction:
+    ``out[c, p] = sum_o w27[p, o] * table_cm[4o+c, flat_s[p]]`` for c < 4.
+
+    Returns channel-major (8, P_padL): rows 0-2 the weighted field sums,
+    row 3 the weighted mask sum (the G2P denominator), rows 4-7 zero.
+    """
+    ncells = table_cm.shape[1]
+    p = flat_s.shape[0]
+    assert ncells < _ID_LIMIT and ncells % w == 0
+    p_pad = wv_rows.shape[0]
+    assert p_pad >= _ceil_to(p, 8) + t + 136, (
+        "wv_rows too short for 128-aligned gather windows — pack with "
+        "pack_wv_rows(..., t)")
+    blk, ps, pe = build_chunks(flat_s, p, ncells, w, t)
+    mc = blk.shape[0]
+    tt = t + 128
+    p_padl = _ceil_to(p_pad, 128)
+
+    init = jnp.zeros((8, p_padl), jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_gather_wv_kernel, w=w, t=t, wc=wc, mc=mc),
+        grid=(mc,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((8, p_padl), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, _CP, w), jnp.float32),
+                        pltpu.VMEM((2, tt, _CP), jnp.float32),
+                        pltpu.VMEM((8, tt), jnp.float32),
+                        pltpu.SemaphoreType.DMA((5,))],
+        input_output_aliases={5: 0},
+        interpret=interpret,
+    )(blk, ps, pe, table_cm, wv_rows, init)

@@ -109,14 +109,9 @@ def p2g_pallas(pos_s, vel_s, flat_h, solid, bound: int,
 
     if w27 is None:
         w27 = masked_weights(pos_s, bound, kernel)
-    u = jnp.concatenate([w27[..., None],
-                         w27[..., None] * vel_s[:, None, :]],
-                        axis=-1).reshape(p, 108)
-    u_p, _ = pt.pad_rows_with_ids(flat_h, u, 2048)
-
-    d_cm = pt.scatter_rows_cm(u_p, flat_h, lay.ncells,
-                              interpret=interpret,
-                              precision=PRECISION)               # (128, NC)
+    wv, _ = pt.pack_wv_rows(flat_h, w27, vel_s, 2048)
+    d_cm = pt.scatter_wv_cm(wv, flat_h, lay.ncells,
+                            interpret=interpret)                 # (128, NC)
     acc = ps.reduce_haloed(d_cm.reshape(128, lay.xr, lay.lwr), n,
                            bx=lay.bx, lblk=lay.lblk,
                            interpret=interpret)                  # (4,nxb,l)
@@ -130,15 +125,18 @@ def p2g_pallas(pos_s, vel_s, flat_h, solid, bound: int,
     mom = jnp.stack([jnp.where(p2g_mask, accn[1 + d], 0.0)
                      for d in range(3)], axis=-1)
     occ = jnp.where(~solid, accn[0], 0.0)                        # fluid.cc:870
-    return weights, mom, occ, u_p
+    return weights, mom, occ, wv
 
 
 def g2p_pallas(pos_s, flat_h, fields, bound: int, wall: int,
                layout: HaloLayout | None = None, kernel: str = "flip",
-               init_rows=None, ids_attached: bool = False, w27=None,
-               interpret: bool = False):
+               wv_rows=None, w27=None, interpret: bool = False):
     """Drop-in ``g2p_fused``: weighted 27-point gather of cell-level
-    ``fields`` (N,N,N,C<=3), weight-normalised over within-wall cells."""
+    ``fields`` (N,N,N,C<=3), weight-normalised over within-wall cells.
+
+    ``wv_rows``: packed (P_pad, 32) rows from ``p2g_pallas`` — reused so the
+    gather+contraction kernel reads 32 lanes/particle instead of 128.
+    """
     n = 2 * bound + 1
     lay = layout or HaloLayout(n)
     p = pos_s.shape[0]
@@ -159,19 +157,16 @@ def g2p_pallas(pos_s, flat_h, fields, bound: int, wall: int,
 
     table = ps.expand_haloed(fm_h, n, bx=lay.bx, lblk=lay.lblk,
                              interpret=interpret)                # (128,XR,LWR)
-    if init_rows is None:
-        init_rows, _ = pt.pad_rows_with_ids(flat_h, None, 2048)
-    elif not ids_attached:
-        init_rows = pt.attach_ids(init_rows, flat_h)
-    rows = pt.gather_rows_cm(table.reshape(128, lay.ncells), init_rows,
-                             flat_h, interpret=interpret,
-                             precision=PRECISION)[:p, :108]
-    rows = rows.reshape(p, 27, 4)
-
-    if w27 is None:
-        w27 = masked_weights(pos_s, bound, kernel)
-    wm = w27 * rows[..., 3]                   # zero where neighbour invalid
-    num = jnp.sum(wm[..., None] * rows[..., :c], axis=1)
-    den = jnp.sum(wm, axis=1)
+    if wv_rows is None:
+        if w27 is None:
+            w27 = masked_weights(pos_s, bound, kernel)
+        wv_rows, _ = pt.pack_wv_rows(flat_h, w27, None, 2048)
+    out = pt.gather_wv_cm(table.reshape(128, lay.ncells), wv_rows,
+                          flat_h, interpret=interpret)
+    # rows 0..2: sum_o w*mask*field; row 3: sum_o w*mask (the masked
+    # fields are zero wherever the mask is, so the mask re-multiply of the
+    # XLA formulation is idempotent and both sums are linear in the rows)
+    num = out[:c, :p].T
+    den = out[3, :p]
     safe = jnp.where(den != 0, den, 1.0)
     return jnp.where(den[:, None] != 0, num / safe[:, None], 0.0)

@@ -53,7 +53,7 @@ def main():
             w27 = tp.masked_weights(pos, B, params.kernel)
             if stage == "sort":
                 return jnp.sum(w27) + jnp.sum(flat)
-            weights, mom, occ, u_rows = tp.p2g_pallas(
+            weights, mom, occ, wv_rows = tp.p2g_pallas(
                 pos, vel, flat, solid, B, lay, params.kernel, w27=w27)
             velg = tr.normalize_velocity(weights, mom)
             fluid = (occ > 0) & (~solid)
@@ -67,8 +67,7 @@ def main():
             vc_new = cell_center_velocity(velg)
             vc_old = cell_center_velocity(velb)
             delta = tp.g2p_pallas(pos, flat, vc_new - vc_old, B, wall, lay,
-                                  params.kernel, init_rows=u_rows,
-                                  ids_attached=True, w27=w27)
+                                  params.kernel, wv_rows=wv_rows)
             vel2 = vel + delta
             if stage == "g2p":
                 return jnp.sum(vel2)

@@ -66,8 +66,8 @@ def main():
 
     f_p2g = jax.jit(lambda p, v, f, w: tp.p2g_pallas(
         p, v, f, solid, B, lay, params.kernel, w27=w))
-    ms, (weights, mom, occ, u_rows) = timeit(f_p2g, pos, vel, flat, w27,
-                                             iters=args.iters)
+    ms, (weights, mom, occ, wv_rows) = timeit(f_p2g, pos, vel, flat, w27,
+                                              iters=args.iters)
     print(f"p2g_pallas          {ms:8.1f} ms")
 
     velg = tr.normalize_velocity(weights, mom)
@@ -82,10 +82,9 @@ def main():
     vc_new = cell_center_velocity(velg2)
     vc_old = cell_center_velocity(velg)
 
-    f_g2p = jax.jit(lambda p, f, fields, ur, w: tp.g2p_pallas(
-        p, f, fields, B, params.wall, lay, params.kernel, init_rows=ur,
-        ids_attached=True, w27=w))
-    ms, delta = timeit(f_g2p, pos, flat, vc_new - vc_old, u_rows, w27,
+    f_g2p = jax.jit(lambda p, f, fields, wv: tp.g2p_pallas(
+        p, f, fields, B, params.wall, lay, params.kernel, wv_rows=wv))
+    ms, delta = timeit(f_g2p, pos, flat, vc_new - vc_old, wv_rows,
                        iters=args.iters)
     print(f"g2p_pallas          {ms:8.1f} ms")
 

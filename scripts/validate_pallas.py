@@ -51,7 +51,7 @@ def main():
 
     # --- P2G ---
     w27 = jax.jit(lambda p: tp.masked_weights(p, B, "flip"))(pos)
-    wP, momP, occP, u_rows = jax.jit(
+    wP, momP, occP, wv_rows = jax.jit(
         lambda p, v, f, w: tp.p2g_pallas(p, v, f, solid, B, lay, "flip",
                                          w27=w))(pos, vel, flat, w27)
 
@@ -72,9 +72,9 @@ def main():
     from fluidsim_tpu.core.gridspec import cell_center_velocity
     velg = tr.normalize_velocity(wP, momP)
     vc = cell_center_velocity(velg)
-    dP = jax.jit(lambda p, f, fields, ur, w: tp.g2p_pallas(
-        p, f, fields, B, scene.spec.wall, lay, "flip", init_rows=ur,
-        ids_attached=True, w27=w))(pos, flat, vc, u_rows, w27)
+    dP = jax.jit(lambda p, f, fields, wv: tp.g2p_pallas(
+        p, f, fields, B, scene.spec.wall, lay, "flip",
+        wv_rows=wv))(pos, flat, vc, wv_rows)
     dX = jax.jit(lambda p, f, fields: tf.g2p_fused(
         p, f, fields, B, scene.spec.wall, "flip"))(pos2, flat2, vc)
     d = float(jnp.max(jnp.abs(dP - dX)))
