@@ -119,7 +119,8 @@ def main():
             _ = float(sim.step()["kinetic_energy"])
         t0 = time.time()
         for _ in range(args.frames):
-            _ = float(sim.step()["kinetic_energy"])
+            m = sim.step()
+        _ = float(m["kinetic_energy"])      # window-end sync (see measure_tpu)
         details["apic_129cube_2M"] = {
             "steps_per_sec": args.frames / (time.time() - t0),
             "particles": sim.num_particles}
@@ -129,7 +130,8 @@ def main():
             _ = float(msim.step()["kinetic_energy"])
         t0 = time.time()
         for _ in range(50):
-            _ = float(msim.step()["kinetic_energy"])
+            m = msim.step()
+        _ = float(m["kinetic_energy"])      # window-end sync
         details["mpm_cone_ref"] = {"steps_per_sec": 50 / (time.time() - t0),
                                    "particles": msim.num_particles}
         with open(os.path.join(HERE, "BENCH_DETAILS.json"), "w") as f:

@@ -234,7 +234,17 @@ def flip_step(params: FlipParams, solid, state: FlipState):
     pos, vel, dt = state.pos, state.vel, state.dt
 
     aff = state.aff
-    if params.mode == "apic":
+    if params.mode == "apic" and params.fast_transfer and params.pallas_transfer:
+        from fluidsim_tpu.ops import transfer_pallas as tp
+        lay = tp.HaloLayout(2 * B + 1)
+        pos, vel, flat, aff_flat = tp.sort_by_cell_h(
+            pos, vel, B, lay, extra=state.aff.reshape(-1, 9))
+        aff = aff_flat.reshape(-1, 3, 3)
+        w27 = tp.masked_weights(pos, B, params.kernel)
+        weights, mom, occ, wv_rows = tp.p2g_pallas(
+            pos, vel, flat, solid, B, lay, params.kernel, w27=w27, aff=aff)
+        velg = transfer.normalize_velocity(weights, mom)
+    elif params.mode == "apic":
         from fluidsim_tpu.ops import transfer_fast as tf
         from fluidsim_tpu.ops import apic
         pos, vel, flat, aff_flat = tf.sort_by_cell(
@@ -299,8 +309,13 @@ def flip_step(params: FlipParams, solid, state: FlipState):
         return None
 
     if params.mode == "apic":
-        from fluidsim_tpu.ops import apic
-        vel, aff = apic.g2p_apic(pos, flat, vc_new, B, wall, params.kernel)
+        if params.fast_transfer and params.pallas_transfer:
+            vel, aff = tp.g2p_apic_pallas(pos, flat, vc_new, B, wall, lay,
+                                          params.kernel, wv_rows=wv_rows)
+        else:
+            from fluidsim_tpu.ops import apic
+            vel, aff = apic.g2p_apic(pos, flat, vc_new, B, wall,
+                                     params.kernel)
         e = 0.5
     elif params.mode == "flip":
         vc_old = cell_center_velocity(velb)
@@ -379,11 +394,22 @@ class FlipSim:
             raise NotImplementedError(
                 "transfer_chunks is not supported with mode='apic' yet; "
                 "use ShardedFlipSim for large APIC grids")
-        if params.mode == "apic" and table_bytes > 8 * 1024 ** 3:
+        # Fully-Pallas transfer pipeline: ~2x faster frames on TPU (FLIP
+        # and APIC).  Needs a real TPU backend (Mosaic) and haloed flat ids
+        # exact in f32.  None = auto; an explicit True/False is respected.
+        if params.pallas_transfer is None:
+            from fluidsim_tpu.ops.transfer_pallas import HaloLayout
+            auto = (params.fast_transfer and params.transfer_chunks == 0
+                    and jax.default_backend() != "cpu"
+                    and HaloLayout(scene.spec.n).ncells < (1 << 24))
+            params = dataclasses.replace(params, pallas_transfer=auto)
+        if (params.mode == "apic" and not params.pallas_transfer
+                and table_bytes > 8 * 1024 ** 3):
             raise NotImplementedError(
                 f"grid {scene.spec.n}^3 exceeds single-chip HBM for APIC "
-                "fused transfers; use ShardedFlipSim")
+                "XLA fused transfers; use ShardedFlipSim")
         if (params.fast_transfer and params.transfer_chunks == 0
+                and params.mode != "apic" and not params.pallas_transfer
                 and table_bytes > 8 * 1024 ** 3):
             import math
             import warnings
@@ -394,16 +420,6 @@ class FlipSim:
                 "(multi-chip ShardedFlipSim is the preferred route)",
                 stacklevel=2)
             params = dataclasses.replace(params, transfer_chunks=chunks)
-        # Fully-Pallas transfer pipeline: ~1.7x faster frames on TPU.  Needs
-        # a real TPU backend (Mosaic) and haloed flat ids exact in f32.
-        # None = auto; an explicit True/False is respected.
-        if params.pallas_transfer is None:
-            from fluidsim_tpu.ops.transfer_pallas import HaloLayout
-            auto = (params.fast_transfer and params.transfer_chunks == 0
-                    and params.mode != "apic"
-                    and jax.default_backend() != "cpu"
-                    and HaloLayout(scene.spec.n).ncells < (1 << 24))
-            params = dataclasses.replace(params, pallas_transfer=auto)
         self.scene = scene
         self.params = params
         self.solid = jnp.asarray(scene.solid)

@@ -371,24 +371,44 @@ def scatter_rows_cm(u_rows, flat_s, ncells: int, w: int = 512, t: int = 2048,
 # catastrophically, and skipping the post-gather XLA contraction round trip.
 
 
-def pack_wv_rows(flat_s, w27, vel, t: int):
-    """(P, 27) weights + (P, 3) velocities -> (P_pad, 128) packed rows."""
+def pack_wv_rows(flat_s, w27, vel, t: int, aff=None):
+    """(P, 27) weights + (P, 3) velocities [+ (P, 3, 3) affine C] ->
+    (P_pad, 128) packed rows.  For APIC pass ``vel`` = veff = v + C e
+    (e = base - pos) so channel 4o+c expands to w*(veff + C off_o)."""
     p = w27.shape[0]
-    vals = jnp.concatenate(
-        [w27, jnp.ones((p, 1), w27.dtype)]
-        + ([vel] if vel is not None else []), axis=1)
+    vals = [w27, jnp.ones((p, 1), w27.dtype)]
+    if vel is not None:
+        vals.append(vel)
+    if aff is not None:
+        vals.append(aff.reshape(p, 9))
     # +128 tail: gather_wv_cm uses 128-aligned windows of t+128 rows
-    return pad_rows_with_ids(flat_s, vals, t + 128)
+    return pad_rows_with_ids(flat_s, jnp.concatenate(vals, axis=1), t + 128)
+
+
+def _off(o, k):
+    """k-th component of transfer._OFFSETS[o] from iota arithmetic
+    (the offsets enumerate (-1,0,1)^3 in row-major order)."""
+    return (o // (3 ** (2 - k))) % 3 - 1
 
 
 def _wv_mats():
-    """In-kernel constant selection matrices (exact in bf16)."""
+    """In-kernel constant expansion matrices (entries in {-1,0,1}, exact
+    in bf16).  ``tm`` includes the APIC affine block (lanes 31-39 hold the
+    row-major C matrix): channel 4o+c (c>=1) gets veff_{c-1} plus
+    sum_k C[c-1,k]*off_k(o).  FLIP rows carry zeros in those lanes, so the
+    same matrix serves both modes."""
     col = jax.lax.broadcasted_iota(jnp.int32, (_CP, _CP), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (_CP, _CP), 0)
     live = col < 108
-    r = ((row == col // 4) & live).astype(jnp.bfloat16)       # w27 repeat
-    tm = ((row == 27 + col % 4) & live).astype(jnp.bfloat16)  # v4 tile
-    return r, tm
+    o, c = col // 4, col % 4
+    r = ((row == o) & (col // 4 < 27) & live).astype(jnp.bfloat16)  # w repeat
+    tm = jnp.zeros((_CP, _CP), jnp.int32)
+    tm = tm + jnp.where(live & (row == 27 + c), 1, 0)      # 1 / veff lanes
+    for k in range(3):
+        ck = jnp.where(live & (c >= 1) & (row == 31 + 3 * (c - 1) + k),
+                       _off(o, k), 0)
+        tm = tm + ck
+    return r, tm.astype(jnp.bfloat16)
 
 
 def _wv_expand(buf, r, tm):
@@ -405,6 +425,46 @@ def _wv_expand(buf, r, tm):
         wrep = dw if wrep is None else wrep + dw
         vtile = dv if vtile is None else vtile + dv
     return wrep, wrep * vtile
+
+
+_SYM_PAIRS = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+
+
+def _contract_mat(nout: int):
+    """Transposed contraction matrix (nout, 128), entries in {-1,0,1}.
+
+    nout=8 (FLIP/PIC): rows [num_x, num_y, num_z, den, 0...] — row c sums
+    gathered channel c over the 27 offsets.
+
+    nout=24 (APIC): the offset moments of the gathered rows —
+      row 0         den   = sum_o w*mask
+      rows 1-3      vnum_c = sum_o w*f_c
+      rows 4-6      mbar_k = sum_o w*mask*off_k
+      rows 7-15     F_{c,k} = sum_o w*f_c*off_k       (row 7+3c+k)
+      rows 16-21    M_{kl}  = sum_o w*mask*off_k*off_l (sym pairs)
+    combined host-side with e = base - pos into the centred B/D fit
+    (d_o = e + off_o splits every moment into constant-offset terms).
+    """
+    colj = jax.lax.broadcasted_iota(jnp.int32, (nout, _CP), 1)
+    outr = jax.lax.broadcasted_iota(jnp.int32, (nout, _CP), 0)
+    live = colj < 108
+    o, c = colj // 4, colj % 4
+    if nout == 8:
+        return ((c == outr) & live).astype(jnp.bfloat16)
+    st = jnp.zeros((nout, _CP), jnp.int32)
+    st = st + jnp.where(live & (outr == 0) & (c == 3), 1, 0)
+    st = st + jnp.where(live & (outr >= 1) & (outr <= 3)
+                        & (c == outr - 1), 1, 0)
+    for k in range(3):
+        st = st + jnp.where(live & (outr == 4 + k) & (c == 3),
+                            _off(o, k), 0)
+        for cv in range(3):
+            st = st + jnp.where(live & (outr == 7 + 3 * cv + k) & (c == cv),
+                                _off(o, k), 0)
+    for idx, (k, l) in enumerate(_SYM_PAIRS):
+        st = st + jnp.where(live & (outr == 16 + idx) & (c == 3),
+                            _off(o, k) * _off(o, l), 0)
+    return st.astype(jnp.bfloat16)
 
 
 def _scatter_wv_kernel(blk_ref, ps_ref, pe_ref, wv_hbm, init_ref, out_hbm,
@@ -503,7 +563,8 @@ def scatter_wv_cm(wv_rows, flat_s, ncells: int, w: int = 512, t: int = 2048,
 
 
 def _gather_wv_kernel(blk_ref, ps_ref, pe_ref, table_hbm, wv_hbm, init_ref,
-                      out_hbm, tbuf2, wvbuf2, outbuf, sems, *, w, t, wc, mc):
+                      out_hbm, tbuf2, wvbuf2, outbuf, sems, *, w, t, wc, mc,
+                      nout):
     """Chunk windows here are 128-aligned (not 8-): the channel-major
     (8, P_padL) output is sliced along LANES, and Mosaic DMA lane slices
     must be aligned to the (1, 128) tiling."""
@@ -567,18 +628,12 @@ def _gather_wv_kernel(blk_ref, ps_ref, pe_ref, table_hbm, wv_hbm, init_ref,
         wrep, _ = _wv_expand(buf, r, tm)
         m = acc * wrep                                            # (TT, CP)
 
-        # sT[c, j] = (j % 4 == c) for live j: output row c sums channel c
-        # over the 27 offsets -> rows [num_x, num_y, num_z, den, 0...];
-        # contracting sT against m directly yields the (8, TT) transposed
-        # result the channel-major output wants (no in-kernel transpose).
-        outc = jax.lax.broadcasted_iota(jnp.int32, (8, _CP), 0)
-        colj = jax.lax.broadcasted_iota(jnp.int32, (8, _CP), 1)
-        st = ((colj % 4 == outc) & (colj < 108)).astype(jnp.bfloat16)
+        st = _contract_mat(nout)
         out4 = None
         for mpart in _split3(m):
             d = jax.lax.dot_general(st, mpart, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-            out4 = d if out4 is None else out4 + d                # (8, TT)
+            out4 = d if out4 is None else out4 + d                # (nout, TT)
 
         outbuf[...] = jnp.where(valid, out4, outbuf[...])
         cp_back = pltpu.make_async_copy(outbuf, out_hbm.at[:, pl.ds(a, tt)],
@@ -587,14 +642,15 @@ def _gather_wv_kernel(blk_ref, ps_ref, pe_ref, table_hbm, wv_hbm, init_ref,
         cp_back.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("w", "t", "wc", "interpret"))
+@functools.partial(jax.jit, static_argnames=("w", "t", "wc", "interpret",
+                                             "nout"))
 def gather_wv_cm(table_cm, wv_rows, flat_s, w: int = 512, t: int = 2048,
-                 wc: int = 256, interpret: bool = False):
-    """One-hot gather + in-kernel 27-weight contraction:
-    ``out[c, p] = sum_o w27[p, o] * table_cm[4o+c, flat_s[p]]`` for c < 4.
+                 wc: int = 256, interpret: bool = False, nout: int = 8):
+    """One-hot gather + in-kernel contraction against ``_contract_mat``.
 
-    Returns channel-major (8, P_padL): rows 0-2 the weighted field sums,
-    row 3 the weighted mask sum (the G2P denominator), rows 4-7 zero.
+    nout=8 (default): channel-major (8, P_padL) with rows 0-2 the weighted
+    field sums and row 3 the weighted mask sum (the G2P denominator).
+    nout=24: the APIC offset moments (see ``_contract_mat``).
     """
     ncells = table_cm.shape[1]
     p = flat_s.shape[0]
@@ -608,9 +664,10 @@ def gather_wv_cm(table_cm, wv_rows, flat_s, w: int = 512, t: int = 2048,
     tt = t + 128
     p_padl = _ceil_to(p_pad, 128)
 
-    init = jnp.zeros((8, p_padl), jnp.float32)
+    init = jnp.zeros((nout, p_padl), jnp.float32)
     return pl.pallas_call(
-        functools.partial(_gather_wv_kernel, w=w, t=t, wc=wc, mc=mc),
+        functools.partial(_gather_wv_kernel, w=w, t=t, wc=wc, mc=mc,
+                          nout=nout),
         grid=(mc,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -619,10 +676,10 @@ def gather_wv_cm(table_cm, wv_rows, flat_s, w: int = 512, t: int = 2048,
                   pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((8, p_padl), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nout, p_padl), jnp.float32),
         scratch_shapes=[pltpu.VMEM((2, _CP, w), jnp.float32),
                         pltpu.VMEM((2, tt, _CP), jnp.float32),
-                        pltpu.VMEM((8, tt), jnp.float32),
+                        pltpu.VMEM((nout, tt), jnp.float32),
                         pltpu.SemaphoreType.DMA((5,))],
         input_output_aliases={5: 0},
         interpret=interpret,

@@ -72,9 +72,10 @@ class HaloLayout:
         return self.xr * self.lwr
 
 
-def sort_by_cell_h(pos, vel, bound: int, layout: HaloLayout):
+def sort_by_cell_h(pos, vel, bound: int, layout: HaloLayout, extra=None):
     """Sort particles by the haloed flat id of their base cell (same order
-    as ``transfer_fast.sort_by_cell``; different id arithmetic)."""
+    as ``transfer_fast.sort_by_cell``; different id arithmetic).  ``extra``:
+    optional (P, K) payload sorted along (e.g. flattened APIC C)."""
     n = 2 * bound + 1
     base = cround(pos).astype(jnp.int32)
     bc = jnp.clip(base + bound, 0, n - 1)
@@ -82,9 +83,16 @@ def sort_by_cell_h(pos, vel, bound: int, layout: HaloLayout):
             + ps._LH + bc[:, 1] * n + bc[:, 2])
     ops = [flat, pos[:, 0], pos[:, 1], pos[:, 2],
            vel[:, 0], vel[:, 1], vel[:, 2]]
+    k = 0
+    if extra is not None:
+        k = extra.shape[1]
+        ops += [extra[:, i] for i in range(k)]
     out = jax.lax.sort(ops, num_keys=1)
-    return (jnp.stack(out[1:4], axis=-1), jnp.stack(out[4:7], axis=-1),
-            out[0])
+    pos_s = jnp.stack(out[1:4], axis=-1)
+    vel_s = jnp.stack(out[4:7], axis=-1)
+    if extra is None:
+        return pos_s, vel_s, out[0]
+    return pos_s, vel_s, out[0], jnp.stack(out[7:7 + k], axis=-1)
 
 
 def masked_weights(pos_s, bound: int, kernel: str = "flip"):
@@ -97,11 +105,16 @@ def masked_weights(pos_s, bound: int, kernel: str = "flip"):
 
 def p2g_pallas(pos_s, vel_s, flat_h, solid, bound: int,
                layout: HaloLayout | None = None, kernel: str = "flip",
-               w27=None, interpret: bool = False):
+               w27=None, aff=None, interpret: bool = False):
     """Drop-in ``p2g_fused`` (weights, mom, occ) on the Pallas path.
 
-    Also returns the (P_pad, 128) particle row buffer so ``g2p_pallas`` can
-    reuse it as its id-carrying output initialiser (saves a 1 GB zeros).
+    Also returns the (P_pad, 128) packed particle rows so the g2p kernels
+    can reuse them (weights + ids ride along).
+
+    ``aff``: (P, 3, 3) APIC C matrices — momentum channels then expand to
+    ``w * (v + C (x_o - x_p))`` entirely in-kernel, with the offset part
+    of ``x_o - x_p`` folded into the constant expansion matrix and the
+    ``base - pos`` part folded into an effective velocity here.
     """
     n = 2 * bound + 1
     lay = layout or HaloLayout(n)
@@ -109,7 +122,10 @@ def p2g_pallas(pos_s, vel_s, flat_h, solid, bound: int,
 
     if w27 is None:
         w27 = masked_weights(pos_s, bound, kernel)
-    wv, _ = pt.pack_wv_rows(flat_h, w27, vel_s, 2048)
+    if aff is not None:
+        e = cround(pos_s) - pos_s                       # (P, 3) base - pos
+        vel_s = vel_s + jnp.einsum("pck,pk->pc", aff, e)
+    wv, _ = pt.pack_wv_rows(flat_h, w27, vel_s, 2048, aff=aff)
     d_cm = pt.scatter_wv_cm(wv, flat_h, lay.ncells,
                             interpret=interpret)                 # (128, NC)
     acc = ps.reduce_haloed(d_cm.reshape(128, lay.xr, lay.lwr), n,
@@ -170,3 +186,79 @@ def g2p_pallas(pos_s, flat_h, fields, bound: int, wall: int,
     den = out[3, :p]
     safe = jnp.where(den != 0, den, 1.0)
     return jnp.where(den[:, None] != 0, num / safe[:, None], 0.0)
+
+
+def g2p_apic_pallas(pos_s, flat_h, vc, bound: int, wall: int,
+                    layout: HaloLayout | None = None, kernel: str = "flip",
+                    wv_rows=None, w27=None, interpret: bool = False):
+    """Drop-in ``apic.g2p_apic`` on the Pallas path: (velocity, C) per
+    particle from cell-centred ``vc``.
+
+    The gather kernel emits the 24 offset moments (``pallas_transfer.
+    _contract_mat``); the centred B/D affine fit then needs only (P, k)
+    arithmetic here because ``d_o = (base - pos) + off_o`` splits every
+    moment into a per-particle part and constant-offset parts.  Matches
+    ``ops.apic.g2p_apic`` (same centred fit + ridge + adjugate inverse).
+    """
+    import numpy as _np
+
+    n = 2 * bound + 1
+    lay = layout or HaloLayout(n)
+    p = pos_s.shape[0]
+    c = vc.shape[-1]
+    assert c == 3
+
+    coords = _np.abs(_np.arange(-bound, bound + 1))
+    ok = coords <= wall
+    within = jnp.asarray(ok[:, None, None] & ok[None, :, None]
+                         & ok[None, None, :])
+    wf = within.astype(vc.dtype)
+    chans = [jnp.where(within, vc[..., d], 0.0).reshape(n, n * n)
+             for d in range(3)]
+    chans.append(wf.reshape(n, n * n))
+    fm = jnp.stack(chans, axis=0)
+    fm_h = jnp.pad(fm, ((0, 0), (ps._XH, lay.xr - n - ps._XH),
+                        (ps._LH, lay.lwr - n * n - ps._LH)))
+    table = ps.expand_haloed(fm_h, n, bx=lay.bx, lblk=lay.lblk,
+                             interpret=interpret)
+
+    if wv_rows is None:
+        if w27 is None:
+            w27 = masked_weights(pos_s, bound, kernel)
+        wv_rows, _ = pt.pack_wv_rows(flat_h, w27, None, 2048)
+    mo = pt.gather_wv_cm(table.reshape(128, lay.ncells), wv_rows,
+                         flat_h, interpret=interpret, nout=24)
+
+    den = mo[0, :p]
+    vnum = mo[1:4, :p].T                                 # (P, 3)
+    mbar_n = mo[4:7, :p].T                               # sum w*mask*off
+    f_n = mo[7:16, :p].T.reshape(p, 3, 3)                # sum w*f*off (c,k)
+    msym = mo[16:22, :p].T                               # sym pairs of off
+    mmat = jnp.stack(
+        [jnp.stack([msym[:, 0], msym[:, 1], msym[:, 2]], -1),
+         jnp.stack([msym[:, 1], msym[:, 3], msym[:, 4]], -1),
+         jnp.stack([msym[:, 2], msym[:, 4], msym[:, 5]], -1)], -2)
+
+    e = cround(pos_s) - pos_s                            # (P, 3) base - pos
+    safe = jnp.where(den != 0, den, 1.0)
+    vel = jnp.where(den[:, None] != 0, vnum / safe[:, None], 0.0)
+
+    dbar = e + mbar_n / safe[:, None]
+    # sum w f d^T = vnum e^T + F;  sum w*mask d d^T = den e e^T
+    #   + e mbar^T + mbar e^T + M
+    b = ((vnum[:, :, None] * e[:, None, :] + f_n) / safe[:, None, None]
+         - vel[:, :, None] * dbar[:, None, :])
+    dmat = ((den[:, None, None] * e[:, :, None] * e[:, None, :]
+             + e[:, :, None] * mbar_n[:, None, :]
+             + mbar_n[:, :, None] * e[:, None, :] + mmat)
+            / safe[:, None, None]
+            - dbar[:, :, None] * dbar[:, None, :])
+
+    from fluidsim_tpu.ops.svd3 import cofactor3, det3
+    eye = jnp.eye(3, dtype=pos_s.dtype)
+    dreg = dmat + 1e-3 * eye
+    det = det3(dreg)
+    inv = jnp.swapaxes(cofactor3(dreg), -1, -2) / det[..., None, None]
+    cm = b @ inv
+    cm = jnp.where(den[:, None, None] != 0, cm, 0.0)
+    return vel, cm

@@ -98,7 +98,22 @@ def main():
     dpos = float(jnp.max(jnp.abs(jnp.sort(simA.state.pos, axis=0)
                                  - jnp.sort(simB.state.pos, axis=0))))
     print(f"sorted-position max diff after {args.frames} frames: {dpos:.3e}")
-    print("PALLAS PIPELINE VALIDATED")
+
+    # --- APIC full-step trajectory: pallas vs XLA fused ---
+    from fluidsim_tpu.models.flip import FlipParams
+    apic_params = FlipParams(bound=args.bound, wall=scene.spec.wall,
+                             mode="apic")
+    simA = FlipSim(scene, params=apic_params)
+    simB = FlipSim(scene, params=dataclasses.replace(
+        apic_params, pallas_transfer=False))
+    assert simA.params.pallas_transfer and not simB.params.pallas_transfer
+    for i in range(args.frames):
+        kea = float(simA.step()["kinetic_energy"])
+        keb = float(simB.step()["kinetic_energy"])
+        rel = abs(kea - keb) / (abs(keb) + 1e-30)
+        print(f"APIC frame {i}: KE pallas {kea:.6e} xla {keb:.6e} rel {rel:.2e}")
+        assert rel < 1e-3
+    print("PALLAS PIPELINE VALIDATED (FLIP + APIC)")
 
 
 if __name__ == "__main__":

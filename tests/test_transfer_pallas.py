@@ -70,3 +70,45 @@ def test_g2p_without_p2g_rows(state):
     # particles whose stencil is fully inside
     inner = np.all(np.abs(np.asarray(pos)) < scene.spec.wall - 2, axis=-1)
     np.testing.assert_allclose(np.asarray(out)[inner], 1.0, atol=1e-5)
+
+
+def test_apic_p2g_g2p_match_xla(state):
+    """APIC fused kernels vs ops.apic: affine-augmented momentum scatter
+    and the centred B/D affine fit from in-kernel offset moments."""
+    from fluidsim_tpu.ops import apic
+
+    scene, solid, st = state
+    B = BOUND
+    rng = np.random.default_rng(7)
+    aff = jnp.asarray(rng.normal(scale=0.5,
+                                 size=(st.pos.shape[0], 3, 3)),
+                      jnp.float32)
+
+    lay = tp.HaloLayout(2 * B + 1)
+    pos, vel, flat, aff_f = tp.sort_by_cell_h(st.pos, st.vel, B, lay,
+                                              extra=aff.reshape(-1, 9))
+    aff_s = aff_f.reshape(-1, 3, 3)
+    w27 = tp.masked_weights(pos, B, "flip")
+    wP, momP, occP, wv = tp.p2g_pallas(pos, vel, flat, solid, B, lay,
+                                       "flip", w27=w27, aff=aff_s,
+                                       interpret=True)
+
+    pos2, vel2, flat2, aff_f2 = tf.sort_by_cell(st.pos, st.vel, B,
+                                                extra=aff.reshape(-1, 9))
+    aff_s2 = aff_f2.reshape(-1, 3, 3)
+    wX, momX, occX = apic.p2g_apic(pos2, vel2, aff_s2, flat2, solid, B,
+                                   "flip")
+    for name, a, b in (("weights", wP, wX), ("momentum", momP, momX),
+                       ("occupancy", occP, occX)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4, err_msg=name)
+
+    velg = tr.normalize_velocity(wP, momP)
+    vc = cell_center_velocity(velg)
+    vP, cP = tp.g2p_apic_pallas(pos, flat, vc, B, scene.spec.wall, lay,
+                                "flip", wv_rows=wv, interpret=True)
+    vX, cX = apic.g2p_apic(pos2, flat2, vc, B, scene.spec.wall, "flip")
+    np.testing.assert_allclose(np.asarray(vP), np.asarray(vX),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(cP), np.asarray(cX),
+                               atol=5e-4, rtol=5e-3)
