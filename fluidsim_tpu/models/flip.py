@@ -168,12 +168,39 @@ def project(params: FlipParams, velg, fluid, solid, dt, p0=None):
     g = jnp.asarray(params.gravity, velg.dtype)
     dx, rho = params.dx, params.rho
     adiag = pr.laplacian_diag(fluid, solid, dt, rho, dx, dtype=velg.dtype)
-    apply_a = lambda p: pr.apply_laplacian(p, adiag, fluid, dt, rho, dx)
-    if params.preconditioner == "multigrid":
-        from fluidsim_tpu.ops.multigrid import mg_preconditioner
-        precond = mg_preconditioner(fluid, solid, dt, rho, dx)
+
+    # On the Pallas path the whole CG loop runs in the packed (Npx, L)
+    # layout (x rows, flattened y/z lanes): the fused stencil kernel does
+    # one pass over HBM per apply, and the axpys/dots work on well-tiled
+    # lane-128 arrays instead of the (N,N,N) layout whose 129-lane minor
+    # dim XLA pads to 256.  Pad/unpad happens once per solve (~10 MB).
+    packed = bool(params.pallas_transfer)
+    if packed:
+        from fluidsim_tpu.ops.pallas_stencil import (
+            apply_laplacian_padded, pad_x, unpad_x)
+        nn = velg.shape[0]
+        ad_p = pad_x(adiag)
+        scale = dt / (rho * dx * dx)
+        apply_a = lambda q: apply_laplacian_padded(q, ad_p, scale, nn)
+        safe_ad = jnp.where(ad_p > 0, ad_p, 1.0)
+        precond = lambda r: jnp.where(ad_p > 0, r / safe_ad, 0.0)
+
+        def solve(b, x0):
+            res = pcg(apply_a, pad_x(b), x0=pad_x(x0), precond=precond,
+                      rtol=params.pcg_rtol, maxiter=params.pcg_maxiter)
+            return unpad_x(res.x, nn), res.iters
     else:
-        precond = jacobi_preconditioner(adiag, mask=fluid)
+        apply_a = lambda p: pr.apply_laplacian(p, adiag, fluid, dt, rho, dx)
+        if params.preconditioner == "multigrid":
+            from fluidsim_tpu.ops.multigrid import mg_preconditioner
+            precond = mg_preconditioner(fluid, solid, dt, rho, dx)
+        else:
+            precond = jacobi_preconditioner(adiag, mask=fluid)
+
+        def solve(b, x0):
+            res = pcg(apply_a, b, x0=x0, precond=precond,
+                      rtol=params.pcg_rtol, maxiter=params.pcg_maxiter)
+            return res.x, res.iters
 
     def norm(x):
         return jnp.sqrt(jnp.sum((x * x).astype(jnp.float32)))
@@ -188,28 +215,26 @@ def project(params: FlipParams, velg, fluid, solid, dt, p0=None):
         velg = velg + g[None, None, None, :] * dt * fl[..., None]
         rhs = pr.set_rhs(velg, fluid, solid, jnp.zeros_like(g), dt, dx)
         b = pr.divergence_rhs(velg, rhs, fluid, solid, dx)
-        res = pcg(apply_a, b, x0=p0, precond=precond,
-                  rtol=params.pcg_rtol, maxiter=params.pcg_maxiter)
-        velg = pr.vel_update(velg, res.x, fluid, solid, g, dt, rho, dx,
+        x, iters = solve(b, p0)
+        velg = pr.vel_update(velg, x, fluid, solid, g, dt, rho, dx,
                              gradient_scale=1.0, add_gravity=False)
         rhs2 = pr.set_rhs(velg, fluid, solid, jnp.zeros_like(g), dt, dx)
         b2 = pr.divergence_rhs(velg, rhs2, fluid, solid, dx)
         bn = norm(b)
         err = jnp.where(bn > 0, norm(b2) / jnp.where(bn > 0, bn, 1.0), 0.0)
         div_rms = norm(b2) / jnp.sqrt(nfluid.astype(jnp.float32))
-        return velg, err, jnp.ones((), jnp.int32), res.iters, div_rms, res.x
+        return velg, err, jnp.ones((), jnp.int32), iters, div_rms, x
 
     def one_pass(velg, x0):
         rhs = pr.set_rhs(velg, fluid, solid, g, dt, dx)
         b = pr.divergence_rhs(velg, rhs, fluid, solid, dx)
-        res = pcg(apply_a, b, x0=x0, precond=precond,
-                  rtol=params.pcg_rtol, maxiter=params.pcg_maxiter)
-        velg2 = pr.vel_update(velg, res.x, fluid, solid, g, dt, rho, dx)
+        x, iters = solve(b, x0)
+        velg2 = pr.vel_update(velg, x, fluid, solid, g, dt, rho, dx)
         rhs2 = pr.set_rhs(velg2, fluid, solid, g, dt, dx)
         b2 = pr.divergence_rhs(velg2, rhs2, fluid, solid, dx)
         bn = norm(b)
         err = jnp.where(bn > 0, norm(b - b2) / jnp.where(bn > 0, bn, 1.0), 0.0)
-        return velg2, err, res.iters, b2, res.x
+        return velg2, err, iters, b2, x
 
     def body(carry):
         velg, _, n, cg_tot, _, x0 = carry
