@@ -172,12 +172,19 @@ def _mpm_base(spec: GridSpec, seed_mask, name, density=400.0) -> Scene:
 @register("mpm_cone")
 def mpm_cone(bound: int = 15, density: float = 400.0) -> Scene:
     """Headline MPM scene (``mpm.cc:1061-1076``): a small cone whose radius
-    grows with height, r = (j + 13) / 2 for j in [-13, -10]."""
+    grows with height, r = (j + 13) / 2 for j in [-13, -10].
+
+    At the reference ``bound=15`` this is exactly the reference geometry
+    (4 layers); larger bounds scale the cone height proportionally
+    (``4 * bound / 15`` layers, same radius slope) so scaled benchmarks
+    grow the workload instead of just the empty box.
+    """
     spec = GridSpec(bound=bound, wall=bound - 2)
     c = spec.coords()
     seed = np.zeros(spec.shape, dtype=bool)
     lo = -(bound - 2)
-    for j in range(lo, lo + 4):
+    layers = max(4, round(4 * bound / 15))
+    for j in range(lo, lo + layers):
         r = (j - lo) / 2.0
         disk = (c[:, None] ** 2 + c[None, :] ** 2) <= r * r
         seed[:, j + bound, :] |= disk
