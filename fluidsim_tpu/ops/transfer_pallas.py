@@ -37,14 +37,6 @@ from fluidsim_tpu.ops import pallas_shift as ps
 from fluidsim_tpu.ops import pallas_transfer as pt
 
 
-# Matmul precision for the one-hot contractions: "split3" (default) runs
-# three native bf16 MXU passes over a hi/mid/lo split of the value operand —
-# f32-mantissa-exact (gather bit-exact, scatter <= 1 ulp) and ~1.5x faster
-# than "highest" (6-pass); "highest" = bit-exact vs the XLA scatter/gather.
-# Read at trace time; set before the first jitted step.
-PRECISION = "split3"
-
-
 @dataclasses.dataclass(frozen=True)
 class HaloLayout:
     n: int

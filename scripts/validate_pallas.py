@@ -7,7 +7,6 @@ physically-typical particle distribution, plus full-step trajectories over
 a few frames.
 
 Usage: python scripts/validate_pallas.py [--bound 24] [--density 6]
-       [--precision highest]
 """
 
 import argparse
@@ -22,8 +21,6 @@ def main():
     ap.add_argument("--bound", type=int, default=24)
     ap.add_argument("--density", type=float, default=6.0)
     ap.add_argument("--frames", type=int, default=3)
-    ap.add_argument("--precision", default=None,
-                    help="override transfer_pallas matmul precision")
     args = ap.parse_args()
 
     from fluidsim_tpu.models.flip import FlipSim, FlipParams
@@ -31,9 +28,6 @@ def main():
     from fluidsim_tpu.ops import transfer_pallas as tp
     from fluidsim_tpu.ops import transfer_fast as tf
     from fluidsim_tpu.ops import transfer as tr
-
-    if args.precision is not None:
-        tp.PRECISION = args.precision
 
     scene = get_scene("water_cube_drop", bound=args.bound,
                       density=args.density)
