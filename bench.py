@@ -134,6 +134,13 @@ def main():
         _ = float(m["kinetic_energy"])      # window-end sync
         details["mpm_cone_ref"] = {"steps_per_sec": 50 / (time.time() - t0),
                                    "particles": msim.num_particles}
+        # NOTE: a scaled-MPM config (63^3 cone, 46k particles) exists —
+        # mpm_cone(bound=31) with fast_transfer — and compiles+runs on CPU
+        # (17 s compile), but the axon remote TPU compiler hangs on that
+        # exact program shape (reproduced twice, wedging the tunnel), so it
+        # is excluded from the suite.  C++ single-core baselines at scale:
+        # 63^3/46k = 1.82 steps/s, 97^3/210k = 0.445 steps/s (native/
+        # ref_mpm, measured 2026-08-17).
         with open(os.path.join(HERE, "BENCH_DETAILS.json"), "w") as f:
             json.dump(details, f, indent=1)
         print(json.dumps({"suite": {k: round(v["steps_per_sec"], 3)
