@@ -684,3 +684,231 @@ def gather_wv_cm(table_cm, wv_rows, flat_s, w: int = 512, t: int = 2048,
         input_output_aliases={5: 0},
         interpret=interpret,
     )(blk, ps, pe, table_cm, wv_rows, init)
+
+
+# ---- span-chunked variants (measured SLOWER; kept as documentation) --------
+#
+# build_chunks allocates one grid slot per cell WINDOW (plus full chunks),
+# so at 129^3 the kernels run ~6400 grid steps of which ~75% are inert
+# (unoccupied windows).  The span formulation instead walks ceil(P/T)
+# fixed-stride particle chunks and fori_loops over the windows each chunk
+# touches; fixed strides also delete the gather's output read-modify-write.
+# MEASURED on v5e at 129^3/2M: window-chunk pipeline 11.16 steps/s, spans
+# 10.16, spans + double-buffered window DMA 10.68 — the inert grid steps
+# are cheaper than the dynamic-trip-count inner loop (Mosaic pipelines the
+# static grid better than a data-dependent fori_loop), so the production
+# pipeline uses the *_cm window-chunk kernels.  Correctness of both is
+# pinned by the interpret-mode tests.
+
+
+def build_spans(flat_s, p: int, w: int, t: int):
+    """Per-chunk touched-window ranges: (blo, bhi) int32 (ceil(P/T),)."""
+    nch = -(-p // t)
+    starts = jnp.arange(nch, dtype=jnp.int32) * t
+    ends = jnp.minimum(starts + t, p) - 1
+    return flat_s[starts] // w, flat_s[ends] // w
+
+
+def _scatter_wv_spans_kernel(blo_ref, bhi_ref, wv_hbm, init_ref, out_hbm,
+                             wvbuf2, wbuf2, sems, *, w, t, wc, nch, p):
+    """RMW window reads are double-buffered against compute: the chunk's
+    first window read starts before the (u-expansion) prologue, and the
+    inner loop prefetches window wb+1 into the alternate slot while
+    accumulating wb.  Writes stay synchronous, which also makes boundary
+    windows shared between consecutive chunks safe (the next chunk's first
+    read begins only after this kernel body — all writes — finished)."""
+    del init_ref  # aliased with out_hbm (zero init)
+    j = pl.program_id(0)
+    blo = blo_ref[j]
+    bhi = bhi_ref[j]
+
+    def start_wv(j2):
+        pltpu.make_async_copy(wv_hbm.at[pl.ds(j2 * t, t)],
+                              wvbuf2.at[j2 % 2], sems.at[j2 % 2]).start()
+
+    def start_win(wb):
+        pltpu.make_async_copy(
+            out_hbm.at[:, pl.ds(pl.multiple_of(wb * w, w), w)],
+            wbuf2.at[wb % 2], sems.at[2 + wb % 2]).start()
+
+    @pl.when(j == 0)
+    def _():
+        start_wv(0)
+    start_win(blo)
+    @pl.when(j + 1 < nch)
+    def _():
+        start_wv(j + 1)
+
+    slot = j % 2
+    pltpu.make_async_copy(wv_hbm.at[pl.ds(j * t, t)], wvbuf2.at[slot],
+                          sems.at[slot]).wait()
+    buf = wvbuf2[slot]
+    local0 = (buf[:, _CP - 1:_CP]).astype(jnp.int32)          # (T, 1) ids
+    r, tm = _wv_mats()
+    _, u = _wv_expand(buf, r, tm)                             # (T, CP)
+    # pad-row ids are -1 and their packed lanes zero, so no valid mask is
+    # needed: they match no window cell and contribute exact zeros.
+    um_split = _split3(u)
+
+    def body(wb, _):
+        ws = wb % 2
+        woff = pl.multiple_of(wb * w, w)
+        @pl.when(wb < bhi)
+        def _():
+            start_win(wb + 1)
+        pltpu.make_async_copy(out_hbm.at[:, pl.ds(woff, w)],
+                              wbuf2.at[ws], sems.at[2 + ws]).wait()
+        local = local0 - woff
+        dims = (((0,), (0,)), ((), ()))
+        for k in range(w // wc):
+            iota = jax.lax.broadcasted_iota(jnp.int32, (t, wc), 1) + k * wc
+            oh = (local == iota).astype(jnp.bfloat16)
+            contrib = None
+            for part in um_split:
+                d = jax.lax.dot_general(part, oh, dims,
+                                        preferred_element_type=jnp.float32)
+                contrib = d if contrib is None else contrib + d
+            wbuf2[ws, :, pl.ds(k * wc, wc)] = (
+                wbuf2[ws, :, pl.ds(k * wc, wc)] + contrib)
+        cp_b = pltpu.make_async_copy(wbuf2.at[ws],
+                                     out_hbm.at[:, pl.ds(woff, w)],
+                                     sems.at[4])
+        cp_b.start()
+        cp_b.wait()
+        return 0
+
+    jax.lax.fori_loop(blo, bhi + 1, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("ncells", "w", "t", "wc",
+                                             "interpret"))
+def scatter_wv_spans(wv_rows, flat_s, ncells: int, w: int = 512,
+                     t: int = 2048, wc: int = 256, interpret: bool = False):
+    """Span-chunked ``scatter_wv_cm`` (same contract, ~no inert steps)."""
+    p = flat_s.shape[0]
+    assert ncells < _ID_LIMIT and ncells % w == 0
+    blo, bhi = build_spans(flat_s, p, w, t)
+    nch = blo.shape[0]
+    assert wv_rows.shape[0] >= nch * t
+
+    init = jnp.zeros((_CP, ncells), jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_scatter_wv_spans_kernel, w=w, t=t, wc=wc,
+                          nch=nch, p=p),
+        grid=(nch,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((_CP, ncells), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, t, _CP), jnp.float32),
+                        pltpu.VMEM((2, _CP, w), jnp.float32),
+                        pltpu.SemaphoreType.DMA((5,))],
+        input_output_aliases={3: 0},
+        interpret=interpret,
+    )(blo, bhi, wv_rows, init)
+
+
+def _gather_wv_spans_kernel(blo_ref, bhi_ref, table_hbm, wv_hbm, out_hbm,
+                            tbuf2, wvbuf2, outbuf, sems, *, w, t, wc, nch,
+                            nout):
+    """Table window reads double-buffered against compute; see the scatter
+    twin.  Windows are read-only here, so cross-chunk boundary windows need
+    no ordering beyond the sequential grid."""
+    j = pl.program_id(0)
+    blo = blo_ref[j]
+    bhi = bhi_ref[j]
+
+    def start_wv(j2):
+        pltpu.make_async_copy(wv_hbm.at[pl.ds(j2 * t, t)],
+                              wvbuf2.at[j2 % 2], sems.at[j2 % 2]).start()
+
+    def start_win(wb):
+        pltpu.make_async_copy(
+            table_hbm.at[:, pl.ds(pl.multiple_of(wb * w, w), w)],
+            tbuf2.at[wb % 2], sems.at[2 + wb % 2]).start()
+
+    @pl.when(j == 0)
+    def _():
+        start_wv(0)
+    start_win(blo)
+    @pl.when(j + 1 < nch)
+    def _():
+        start_wv(j + 1)
+
+    slot = j % 2
+    pltpu.make_async_copy(wv_hbm.at[pl.ds(j * t, t)], wvbuf2.at[slot],
+                          sems.at[slot]).wait()
+    buf = wvbuf2[slot]
+    local0 = (buf[:, _CP - 1:_CP]).astype(jnp.int32)
+
+    def body(wb, acc):
+        ws = wb % 2
+        woff = pl.multiple_of(wb * w, w)
+        @pl.when(wb < bhi)
+        def _():
+            start_win(wb + 1)
+        pltpu.make_async_copy(table_hbm.at[:, pl.ds(woff, w)],
+                              tbuf2.at[ws], sems.at[2 + ws]).wait()
+        local = local0 - woff
+        for k in range(w // wc):
+            iota = jax.lax.broadcasted_iota(jnp.int32, (t, wc), 1) + k * wc
+            oh = (local == iota).astype(jnp.bfloat16)
+            part = None
+            for tpart in _split3(tbuf2[ws, :, pl.ds(k * wc, wc)]):
+                d = jax.lax.dot_general(oh, tpart, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                part = d if part is None else part + d
+            acc = acc + part
+        return acc
+
+    acc = jax.lax.fori_loop(blo, bhi + 1, body,
+                            jnp.zeros((t, _CP), jnp.float32))
+
+    r, tm = _wv_mats()
+    wrep, _ = _wv_expand(buf, r, tm)
+    m = acc * wrep
+    st = _contract_mat(nout)
+    out4 = None
+    for mpart in _split3(m):
+        d = jax.lax.dot_general(st, mpart, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        out4 = d if out4 is None else out4 + d                # (nout, T)
+    outbuf[...] = out4
+    cp_b = pltpu.make_async_copy(outbuf, out_hbm.at[:, pl.ds(j * t, t)],
+                                 sems.at[4])
+    cp_b.start()
+    cp_b.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("w", "t", "wc", "interpret",
+                                             "nout"))
+def gather_wv_spans(table_cm, wv_rows, flat_s, w: int = 512, t: int = 2048,
+                    wc: int = 256, interpret: bool = False, nout: int = 8):
+    """Span-chunked ``gather_wv_cm``: same contract, no output RMW (fixed
+    strides make every output lane window written exactly once)."""
+    ncells = table_cm.shape[1]
+    p = flat_s.shape[0]
+    assert ncells < _ID_LIMIT and ncells % w == 0
+    blo, bhi = build_spans(flat_s, p, w, t)
+    nch = blo.shape[0]
+    assert wv_rows.shape[0] >= nch * t
+    p_padl = nch * t                     # t is a multiple of 128
+
+    return pl.pallas_call(
+        functools.partial(_gather_wv_spans_kernel, w=w, t=t, wc=wc,
+                          nch=nch, nout=nout),
+        grid=(nch,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((nout, p_padl), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, _CP, w), jnp.float32),
+                        pltpu.VMEM((2, t, _CP), jnp.float32),
+                        pltpu.VMEM((nout, t), jnp.float32),
+                        pltpu.SemaphoreType.DMA((5,))],
+        interpret=interpret,
+    )(blo, bhi, table_cm, wv_rows)
