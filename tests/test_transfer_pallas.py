@@ -112,3 +112,32 @@ def test_apic_p2g_g2p_match_xla(state):
                                atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(cP), np.asarray(cX),
                                atol=5e-4, rtol=5e-3)
+
+
+def test_packed_projection_matches_xla(state):
+    """The packed-layout CG solve (Pallas stencil + lane-128 axpys) must
+    reproduce the XLA-layout projection; covered compiled on TPU by
+    scripts/validate_pallas.py, here in Mosaic interpret mode."""
+    import dataclasses
+    from jax.experimental.pallas import tpu as pltpu
+    from fluidsim_tpu.models.flip import FlipParams, project
+    from fluidsim_tpu.ops import transfer_fast as tf
+
+    scene, solid, st = state
+    B = BOUND
+    params = FlipParams(bound=B, wall=scene.spec.wall)
+    pos2, vel2, flat2 = tf.sort_by_cell(st.pos, st.vel, B)
+    w, mom, occ = tf.p2g_fused(pos2, vel2, flat2, solid, B, "flip")
+    velg = tr.normalize_velocity(w, mom)
+    fluid = (occ > 0) & (~solid)
+    dt = jnp.asarray(0.1, jnp.float32)
+
+    ref = project(params, velg, fluid, solid, dt)
+    with pltpu.force_tpu_interpret_mode():
+        packed = project(dataclasses.replace(params, pallas_transfer=True),
+                         velg, fluid, solid, dt)
+
+    np.testing.assert_allclose(np.asarray(packed[0]), np.asarray(ref[0]),
+                               atol=5e-4, rtol=1e-3)     # velocity field
+    assert int(packed[2]) == int(ref[2])                 # outer iterations
+    np.testing.assert_allclose(float(packed[1]), float(ref[1]), atol=1e-3)
