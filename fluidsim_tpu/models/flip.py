@@ -174,7 +174,12 @@ def project(params: FlipParams, velg, fluid, solid, dt, p0=None):
     # one pass over HBM per apply, and the axpys/dots work on well-tiled
     # lane-128 arrays instead of the (N,N,N) layout whose 129-lane minor
     # dim XLA pads to 256.  Pad/unpad happens once per solve (~10 MB).
-    packed = bool(params.pallas_transfer)
+    # APIC keeps the XLA solve: inside the APIC step program XLA stack-
+    # allocates the stencil kernel's (Npx, L) output in scoped VMEM and
+    # overflows the 16 MB budget at 129^3 (the FLIP program schedules the
+    # same kernel with an HBM-resident output).  Fix candidate: rewrite the
+    # stencil with an ANY-space output + manual block DMA.
+    packed = bool(params.pallas_transfer) and params.mode != "apic"
     if packed:
         from fluidsim_tpu.ops.pallas_stencil import (
             apply_laplacian_padded, pad_x, unpad_x)
