@@ -132,8 +132,13 @@ def main():
         for _ in range(50):
             m = msim.step()
         _ = float(m["kinetic_energy"])      # window-end sync
-        details["mpm_cone_ref"] = {"steps_per_sec": 50 / (time.time() - t0),
-                                   "particles": msim.num_particles}
+        details["mpm_cone_ref"] = {
+            "steps_per_sec": 50 / (time.time() - t0),
+            "particles": msim.num_particles,
+            "note": "suite single-window measurement; standalone best-of-2 "
+                    "with window-end sync measures 13.3 steps/s (75 ms/"
+                    "frame) — the tiny 31^3 workload is tunnel-dispatch-"
+                    "bound and noisy"}
         # NOTE: a scaled-MPM config (63^3 cone, 46k particles) exists —
         # mpm_cone(bound=31) with fast_transfer — and compiles+runs on CPU
         # (17 s compile), but the axon remote TPU compiler hangs on that

@@ -174,26 +174,30 @@ def project(params: FlipParams, velg, fluid, solid, dt, p0=None):
     # one pass over HBM per apply, and the axpys/dots work on well-tiled
     # lane-128 arrays instead of the (N,N,N) layout whose 129-lane minor
     # dim XLA pads to 256.  Pad/unpad happens once per solve (~10 MB).
-    # APIC keeps the XLA solve: inside the APIC step program XLA stack-
-    # allocates the stencil kernel's (Npx, L) output in scoped VMEM and
-    # overflows the 16 MB budget at 129^3 (the FLIP program schedules the
-    # same kernel with an HBM-resident output).  Fix candidate: rewrite the
-    # stencil with an ANY-space output + manual block DMA.
-    packed = bool(params.pallas_transfer) and params.mode != "apic"
+    # (The stencil kernel writes through an ANY-space output with manual
+    # block DMA: a VMEM-space out block made XLA stack-allocate the whole
+    # (Npx, L) result in scoped VMEM inside the APIC step at 129^3.)
+    packed = bool(params.pallas_transfer)
     if packed:
         from fluidsim_tpu.ops.pallas_stencil import (
             apply_laplacian_padded, pad_x, unpad_x)
         nn = velg.shape[0]
-        ad_p = pad_x(adiag)
+        # APIC runs bx=16: at bx=32 the kernel's scoped-VMEM footprint
+        # plus XLA's stack-allocated copy of the (Npx, L) operand
+        # overflowed the 16 MB budget in the APIC step program at 129^3.
+        # FLIP keeps bx=32 (the measured-best block for the headline).
+        bxs = 16 if params.mode == "apic" else 32
+        ad_p = pad_x(adiag, bx=bxs)
         scale = dt / (rho * dx * dx)
-        apply_a = lambda q: apply_laplacian_padded(q, ad_p, scale, nn)
+        apply_a = lambda q: apply_laplacian_padded(q, ad_p, scale, nn, bx=bxs)
         safe_ad = jnp.where(ad_p > 0, ad_p, 1.0)
         precond = lambda r: jnp.where(ad_p > 0, r / safe_ad, 0.0)
 
         def solve(b, x0):
-            res = pcg(apply_a, pad_x(b), x0=pad_x(x0), precond=precond,
+            res = pcg(apply_a, pad_x(b, bx=bxs), x0=pad_x(x0, bx=bxs),
+                      precond=precond,
                       rtol=params.pcg_rtol, maxiter=params.pcg_maxiter)
-            return unpad_x(res.x, nn), res.iters
+            return unpad_x(res.x, nn, bx=bxs), res.iters
     else:
         apply_a = lambda p: pr.apply_laplacian(p, adiag, fluid, dt, rho, dx)
         if params.preconditioner == "multigrid":

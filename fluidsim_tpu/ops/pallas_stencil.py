@@ -34,7 +34,7 @@ _W = 16  # window slack rows (8-aligned halo on each side)
 _LEAD = 8  # leading zero rows
 
 
-def _kernel(scale_ref, p_hbm, a_hbm, out_ref, p_buf, a_buf, sems,
+def _kernel(scale_ref, p_hbm, a_hbm, out_hbm, p_buf, a_buf, out_buf, sems,
             *, bx, n, npx, l):
     i = pl.program_id(0)
     scale = scale_ref[0]
@@ -74,7 +74,15 @@ def _kernel(scale_ref, p_hbm, a_hbm, out_ref, p_buf, a_buf, sems,
     a_mid = a_buf[pl.ds(pl.multiple_of(d0, 8), bx)]
     acc = (a_mid * mid
            - scale * (x_minus + x_plus + y_minus + y_plus + z_minus + z_plus))
-    out_ref[...] = jnp.where(a_mid > 0, acc, 0.0)
+    # ANY-space output + manual DMA: with a VMEM-space out block, XLA may
+    # stack-allocate the whole (Npx, L) result in scoped VMEM inside large
+    # step programs (observed OOM in the APIC step at 129^3); an ANY output
+    # gets a plain HBM buffer like the transfer kernels' tables.
+    out_buf[...] = jnp.where(a_mid > 0, acc, 0.0)
+    cp = pltpu.make_async_copy(out_buf, out_hbm.at[pl.ds(start, bx)],
+                               sems.at[2])
+    cp.start()
+    cp.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("n", "bx"))
@@ -89,11 +97,12 @@ def apply_laplacian_padded(p_pad, adiag_pad, scale, n: int, bx: int = 32):
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((bx, l), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((npx, l), p_pad.dtype),
         scratch_shapes=[pltpu.VMEM((bx + _W, l), p_pad.dtype),
                         pltpu.VMEM((bx + _W, l), p_pad.dtype),
-                        pltpu.SemaphoreType.DMA((2,))],
+                        pltpu.VMEM((bx, l), p_pad.dtype),
+                        pltpu.SemaphoreType.DMA((3,))],
     )(jnp.asarray([scale], p_pad.dtype), p_pad, adiag_pad)
 
 
