@@ -101,6 +101,21 @@ def cell_center_velocity(vel):
     return jnp.stack(out, axis=-1)
 
 
+def cell_center_velocity_cm(vel_cm):
+    """``cell_center_velocity`` for channel-major (3,N,N,N) MAC velocity.
+
+    The Pallas transfer pipeline keeps grid velocity channel-major end-to-
+    end: component extraction is a contiguous slice there, while the
+    (N,N,N,3) layout's 3-minor axis costs XLA a relayout on every
+    per-component op.
+    """
+    out = []
+    for d in range(3):
+        vd = vel_cm[d]
+        out.append(0.5 * (vd + shift_to_plus(vd, d)))
+    return jnp.stack(out, axis=0)
+
+
 def shift_to_plus(a, d):
     """result[c] = a[c + e_d] (zero-padded): read the plus-side neighbour."""
     pad = [(0, 0)] * 3

@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fluidsim_tpu.core.gridspec import cell_center_velocity, flat_index
+from fluidsim_tpu.core.gridspec import (cell_center_velocity,
+                                        cell_center_velocity_cm, flat_index)
 from fluidsim_tpu.core.splines import cround, cround_out
 from fluidsim_tpu.ops import transfer
 from fluidsim_tpu.ops import pressure as pr
@@ -142,8 +143,14 @@ def advect_bounce(pos, vel, dt, solid, bound: int, e: float, rounding: str,
     return pos_out, velm
 
 
-def project(params: FlipParams, velg, fluid, solid, dt, p0=None):
+def project(params: FlipParams, velg, fluid, solid, dt, p0=None,
+            cm: bool = False):
     """Pressure projection.
+
+    ``cm=True``: ``velg`` is channel-major (3,N,N,N) — the layout the
+    Pallas transfer pipeline keeps grid velocity in end-to-end (per-
+    component slices are contiguous; the (N,N,N,3) layout costs XLA a
+    relayout per component op).  The returned velocity keeps that layout.
 
     ``compat_projection=True`` (default): the reference's do-while
     (``fluid.cc:1457-1484``) with its quirks — ``velUpdate`` at 1/10 gradient
@@ -181,7 +188,7 @@ def project(params: FlipParams, velg, fluid, solid, dt, p0=None):
     if packed:
         from fluidsim_tpu.ops.pallas_stencil import (
             apply_laplacian_padded, pad_x, unpad_x)
-        nn = velg.shape[0]
+        nn = fluid.shape[0]
         # APIC runs bx=16: at bx=32 the kernel's scoped-VMEM footprint
         # plus XLA's stack-allocated copy of the (Npx, L) operand
         # overflowed the 16 MB budget in the APIC step program at 129^3.
@@ -215,32 +222,37 @@ def project(params: FlipParams, velg, fluid, solid, dt, p0=None):
         return jnp.sqrt(jnp.sum((x * x).astype(jnp.float32)))
 
     nfluid = jnp.maximum(jnp.sum(fluid), 1)
-    p0 = (jnp.zeros_like(velg[..., 0]) if p0 is None
+    p0 = (jnp.zeros(fluid.shape, velg.dtype) if p0 is None
           else jnp.where(fluid, p0, 0.0))
 
     if not params.compat_projection:
         # clean mode: v += g*dt once, then one full-strength solve
         fl = fluid.astype(velg.dtype)
-        velg = velg + g[None, None, None, :] * dt * fl[..., None]
-        rhs = pr.set_rhs(velg, fluid, solid, jnp.zeros_like(g), dt, dx)
-        b = pr.divergence_rhs(velg, rhs, fluid, solid, dx)
+        if cm:
+            velg = velg + g[:, None, None, None] * dt * fl[None]
+        else:
+            velg = velg + g[None, None, None, :] * dt * fl[..., None]
+        rhs = pr.set_rhs(velg, fluid, solid, jnp.zeros_like(g), dt, dx,
+                         cm=cm)
+        b = pr.divergence_rhs(velg, rhs, fluid, solid, dx, cm=cm)
         x, iters = solve(b, p0)
         velg = pr.vel_update(velg, x, fluid, solid, g, dt, rho, dx,
-                             gradient_scale=1.0, add_gravity=False)
-        rhs2 = pr.set_rhs(velg, fluid, solid, jnp.zeros_like(g), dt, dx)
-        b2 = pr.divergence_rhs(velg, rhs2, fluid, solid, dx)
+                             gradient_scale=1.0, add_gravity=False, cm=cm)
+        rhs2 = pr.set_rhs(velg, fluid, solid, jnp.zeros_like(g), dt, dx,
+                          cm=cm)
+        b2 = pr.divergence_rhs(velg, rhs2, fluid, solid, dx, cm=cm)
         bn = norm(b)
         err = jnp.where(bn > 0, norm(b2) / jnp.where(bn > 0, bn, 1.0), 0.0)
         div_rms = norm(b2) / jnp.sqrt(nfluid.astype(jnp.float32))
         return velg, err, jnp.ones((), jnp.int32), iters, div_rms, x
 
     def one_pass(velg, x0):
-        rhs = pr.set_rhs(velg, fluid, solid, g, dt, dx)
-        b = pr.divergence_rhs(velg, rhs, fluid, solid, dx)
+        rhs = pr.set_rhs(velg, fluid, solid, g, dt, dx, cm=cm)
+        b = pr.divergence_rhs(velg, rhs, fluid, solid, dx, cm=cm)
         x, iters = solve(b, x0)
-        velg2 = pr.vel_update(velg, x, fluid, solid, g, dt, rho, dx)
-        rhs2 = pr.set_rhs(velg2, fluid, solid, g, dt, dx)
-        b2 = pr.divergence_rhs(velg2, rhs2, fluid, solid, dx)
+        velg2 = pr.vel_update(velg, x, fluid, solid, g, dt, rho, dx, cm=cm)
+        rhs2 = pr.set_rhs(velg2, fluid, solid, g, dt, dx, cm=cm)
+        b2 = pr.divergence_rhs(velg2, rhs2, fluid, solid, dx, cm=cm)
         bn = norm(b)
         err = jnp.where(bn > 0, norm(b - b2) / jnp.where(bn > 0, bn, 1.0), 0.0)
         return velg2, err, iters, b2, x
@@ -251,7 +263,8 @@ def project(params: FlipParams, velg, fluid, solid, dt, p0=None):
         return velg, err, n + 1, cg_tot + iters, b2, p
 
     init = body((velg, jnp.inf, jnp.zeros((), jnp.int32),
-                 jnp.zeros((), jnp.int32), jnp.zeros_like(velg[..., 0]), p0))
+                 jnp.zeros((), jnp.int32),
+                 jnp.zeros(fluid.shape, velg.dtype), p0))
 
     def cond(carry):
         _, err, n, _, _, _ = carry
@@ -268,6 +281,13 @@ def flip_step(params: FlipParams, solid, state: FlipState):
     pos, vel, dt = state.pos, state.vel, state.dt
 
     aff = state.aff
+    # On the Pallas path grid velocity is CHANNEL-MAJOR (3,N,N,N) for the
+    # whole grid phase (p2g epilogue -> projection -> cell centring -> g2p
+    # table build): every consumer slices per component, which is contiguous
+    # channel-major but costs XLA a relayout per op in the (N,N,N,3) layout
+    # (~12 ms/frame at 129^3 just for the p2g epilogue transpose).
+    cm_grid = bool(params.fast_transfer and params.pallas_transfer
+                   and (params.mode == "apic" or params.transfer_chunks == 0))
     if params.mode == "apic" and params.fast_transfer and params.pallas_transfer:
         from fluidsim_tpu.ops import transfer_pallas as tp
         lay = tp.HaloLayout(2 * B + 1)
@@ -276,8 +296,9 @@ def flip_step(params: FlipParams, solid, state: FlipState):
         aff = aff_flat.reshape(-1, 3, 3)
         w27 = tp.masked_weights(pos, B, params.kernel)
         weights, mom, occ, wv_rows = tp.p2g_pallas(
-            pos, vel, flat, solid, B, lay, params.kernel, w27=w27, aff=aff)
-        velg = transfer.normalize_velocity(weights, mom)
+            pos, vel, flat, solid, B, lay, params.kernel, w27=w27, aff=aff,
+            channel_major=True)
+        velg = transfer.normalize_velocity_cm(weights, mom)
     elif params.mode == "apic":
         from fluidsim_tpu.ops import transfer_fast as tf
         from fluidsim_tpu.ops import apic
@@ -301,8 +322,9 @@ def flip_step(params: FlipParams, solid, state: FlipState):
         pos, vel, flat = tp.sort_by_cell_h(pos, vel, B, lay)
         w27 = tp.masked_weights(pos, B, params.kernel)
         weights, mom, occ, wv_rows = tp.p2g_pallas(
-            pos, vel, flat, solid, B, lay, params.kernel, w27=w27)
-        velg = transfer.normalize_velocity(weights, mom)
+            pos, vel, flat, solid, B, lay, params.kernel, w27=w27,
+            channel_major=True)
+        velg = transfer.normalize_velocity_cm(weights, mom)
     elif params.fast_transfer:
         from fluidsim_tpu.ops import transfer_fast as tf
         pos, vel, flat = tf.sort_by_cell(pos, vel, B)
@@ -322,10 +344,11 @@ def flip_step(params: FlipParams, solid, state: FlipState):
 
     # -- pressure projection do-while (fluid.cc:1457-1484) --
     velg, err, n_outer, cg_iters, div_rms, pressure = project(
-        params, velg, fluid, solid, dt, p0=state.pressure)
+        params, velg, fluid, solid, dt, p0=state.pressure, cm=cm_grid)
 
     # -- FLIP / PIC / APIC grid-to-particle (fluid.cc:1490) --
-    vc_new = cell_center_velocity(velg)
+    vc_new = (cell_center_velocity_cm(velg) if cm_grid
+              else cell_center_velocity(velg))
 
     def g2p(fields):
         """Normalised 27-point gather via whichever schedule is active."""
@@ -337,7 +360,8 @@ def flip_step(params: FlipParams, solid, state: FlipState):
             return out
         if params.fast_transfer and params.pallas_transfer:
             return tp.g2p_pallas(pos, flat, fields, B, wall, lay,
-                                 params.kernel, wv_rows=wv_rows)
+                                 params.kernel, wv_rows=wv_rows,
+                                 channel_major=cm_grid)
         if params.fast_transfer:
             return tf.g2p_fused(pos, flat, fields, B, wall, params.kernel)
         return None
@@ -345,14 +369,16 @@ def flip_step(params: FlipParams, solid, state: FlipState):
     if params.mode == "apic":
         if params.fast_transfer and params.pallas_transfer:
             vel, aff = tp.g2p_apic_pallas(pos, flat, vc_new, B, wall, lay,
-                                          params.kernel, wv_rows=wv_rows)
+                                          params.kernel, wv_rows=wv_rows,
+                                          channel_major=cm_grid)
         else:
             from fluidsim_tpu.ops import apic
             vel, aff = apic.g2p_apic(pos, flat, vc_new, B, wall,
                                      params.kernel)
         e = 0.5
     elif params.mode == "flip":
-        vc_old = cell_center_velocity(velb)
+        vc_old = (cell_center_velocity_cm(velb) if cm_grid
+                  else cell_center_velocity(velb))
         delta = g2p(vc_new - vc_old)
         if delta is None:
             delta = transfer.g2p_flip_delta(pos, vc_new, vc_old, B, wall,

@@ -26,20 +26,24 @@ import jax.numpy as jnp
 from fluidsim_tpu.core.gridspec import shift_to_plus, shift_to_minus
 
 
-def set_rhs(vel, fluid, solid, gravity, dt, dx):
+def set_rhs(vel, fluid, solid, gravity, dt, dx, cm: bool = False):
     """Solid-wall RHS terms (``setRHS``, ``fluid.cc:414-479``).
 
     For each fluid cell, for each axis d: if the minus-neighbour is solid,
     subtract ``(v[c,d] + g_d*dt)/dx``; if the plus-neighbour is solid, add
     ``(v[c+e_d,d] + g_d*dt)/dx``.  Out-of-box neighbours read as non-solid
     (OpenVDB background 0), reproduced by zero-padded shifts.
+
+    ``cm``: velocity is channel-major (3,N,N,N) — the layout the Pallas
+    transfer pipeline keeps grid velocity in (contiguous per-component
+    slices; the (N,N,N,3) layout pays an XLA relayout per component).
     """
     scale = 1.0 / dx
     rhs = jnp.zeros(fluid.shape, vel.dtype)
     solid_f = solid.astype(vel.dtype)
     for d in range(3):
         g_d = gravity[d] * dt
-        vd = vel[..., d]
+        vd = vel[d] if cm else vel[..., d]
         sm = shift_to_minus(solid_f, d)    # solid(c - e_d)
         sp = shift_to_plus(solid_f, d)     # solid(c + e_d)
         vp = shift_to_plus(vd, d)          # v[c + e_d, d]
@@ -47,15 +51,15 @@ def set_rhs(vel, fluid, solid, gravity, dt, dx):
     return jnp.where(fluid, rhs, 0.0)
 
 
-def divergence_rhs(vel, rhs, fluid, solid, dx):
+def divergence_rhs(vel, rhs, fluid, solid, dx, cm: bool = False):
     """``diver = rhs - div(v)`` on fluid cells (``setDiver``, ``fluid.cc:566-610``).
 
     Per the reference quirk, the whole axis term ``(v[c+e_d,d] - v[c,d])/dx``
-    is dropped when the plus-neighbour is solid.
+    is dropped when the plus-neighbour is solid.  ``cm``: see ``set_rhs``.
     """
     div = jnp.zeros(fluid.shape, vel.dtype)
     for d in range(3):
-        vd = vel[..., d]
+        vd = vel[d] if cm else vel[..., d]
         vp = shift_to_plus(vd, d)
         open_p = ~shift_to_plus(solid, d)  # pad False == non-solid outside
         div = div + jnp.where(open_p, (vp - vd) / dx, 0.0)
@@ -85,7 +89,8 @@ def apply_laplacian(p, adiag, fluid, dt, rho, dx):
 
 
 def vel_update(vel, p, fluid, solid, gravity, dt, rho, dx,
-               gradient_scale: float = 0.1, add_gravity: bool = True):
+               gradient_scale: float = 0.1, add_gravity: bool = True,
+               cm: bool = False):
     """Pressure-gradient + gravity + solid-BC velocity update
     (``velUpdate``, ``fluid.cc:612-703``; invoked with ``dt/10``,
     ``fluid.cc:1475`` — hence the default ``gradient_scale=0.1`` and
@@ -102,10 +107,10 @@ def vel_update(vel, p, fluid, solid, gravity, dt, rho, dx,
     fl = fluid.astype(vel.dtype)
     out = []
     for d in range(3):
-        vd = vel[..., d]
+        vd = vel[d] if cm else vel[..., d]
         vd = vd - pf + shift_to_minus(pf, d)
         if add_gravity:
             vd = vd + gravity[d] * dt * fl
         blocked = solid | shift_to_minus(solid, d)
         out.append(jnp.where(blocked, 0.0, vd))
-    return jnp.stack(out, axis=-1)
+    return jnp.stack(out, axis=0 if cm else -1)

@@ -110,6 +110,12 @@ def normalize_velocity(weights, mom):
     return jnp.where(w > 0, mom / jnp.where(w > 0, w, 1.0), mom)
 
 
+def normalize_velocity_cm(weights, mom_cm):
+    """``normalize_velocity`` for channel-major (3,N,N,N) momentum."""
+    w = weights[None]
+    return jnp.where(w > 0, mom_cm / jnp.where(w > 0, w, 1.0), mom_cm)
+
+
 def g2p_gather(pos, vc, bound: int, wall: int, kernel: str = "flip"):
     """PIC gather of cell-centred velocity (``clampedCatmullRom``,
     ``fluid.cc:125-207``): contributions only from cells within ``|c| <= wall``,

@@ -97,7 +97,8 @@ def masked_weights(pos_s, bound: int, kernel: str = "flip"):
 
 def p2g_pallas(pos_s, vel_s, flat_h, solid, bound: int,
                layout: HaloLayout | None = None, kernel: str = "flip",
-               w27=None, aff=None, interpret: bool = False):
+               w27=None, aff=None, interpret: bool = False,
+               channel_major: bool = False):
     """Drop-in ``p2g_fused`` (weights, mom, occ) on the Pallas path.
 
     Also returns the (P_pad, 128) packed particle rows so the g2p kernels
@@ -130,17 +131,27 @@ def p2g_pallas(pos_s, vel_s, flat_h, solid, bound: int,
     p2g_mask = jnp.asarray(win[:, None, None] & win[None, :, None]
                            & win[None, None, :]) & (~solid)      # fluid.cc:288
     weights = jnp.where(p2g_mask, accn[0], 0.0)
-    mom = jnp.stack([jnp.where(p2g_mask, accn[1 + d], 0.0)
-                     for d in range(3)], axis=-1)
+    if channel_major:
+        # (3,N,N,N) momentum: stays in the kernel's channel-major layout,
+        # skipping the 3-minor transpose the (N,N,N,3) stack costs XLA
+        # (~12 ms/frame at 129^3 — see docs/architecture.md ledger).
+        mom = jnp.where(p2g_mask[None], accn[1:4], 0.0)
+    else:
+        mom = jnp.stack([jnp.where(p2g_mask, accn[1 + d], 0.0)
+                         for d in range(3)], axis=-1)
     occ = jnp.where(~solid, accn[0], 0.0)                        # fluid.cc:870
     return weights, mom, occ, wv
 
 
 def g2p_pallas(pos_s, flat_h, fields, bound: int, wall: int,
                layout: HaloLayout | None = None, kernel: str = "flip",
-               wv_rows=None, w27=None, interpret: bool = False):
+               wv_rows=None, w27=None, interpret: bool = False,
+               channel_major: bool = False):
     """Drop-in ``g2p_fused``: weighted 27-point gather of cell-level
-    ``fields`` (N,N,N,C<=3), weight-normalised over within-wall cells.
+    ``fields`` (N,N,N,C<=3; channel-major (C,N,N,N) with
+    ``channel_major=True`` — contiguous per-component slices into the
+    kernel's own channel-major table), weight-normalised over within-wall
+    cells.
 
     ``wv_rows``: packed (P_pad, 32) rows from ``p2g_pallas`` — reused so the
     gather+contraction kernel reads 32 lanes/particle instead of 128.
@@ -148,14 +159,16 @@ def g2p_pallas(pos_s, flat_h, fields, bound: int, wall: int,
     n = 2 * bound + 1
     lay = layout or HaloLayout(n)
     p = pos_s.shape[0]
-    c = fields.shape[-1]
+    c = fields.shape[0] if channel_major else fields.shape[-1]
 
     coords = np.abs(np.arange(-bound, bound + 1))
     ok = coords <= wall
     within = jnp.asarray(ok[:, None, None] & ok[None, :, None]
                          & ok[None, None, :])
     wf = within.astype(fields.dtype)
-    chans = [jnp.where(within, fields[..., d], 0.0).reshape(n, n * n)
+    chans = [jnp.where(within,
+                       fields[d] if channel_major else fields[..., d],
+                       0.0).reshape(n, n * n)
              for d in range(c)]
     chans += [jnp.zeros((n, n * n), fields.dtype)] * (3 - c)
     chans.append(wf.reshape(n, n * n))                           # mask last
@@ -182,7 +195,8 @@ def g2p_pallas(pos_s, flat_h, fields, bound: int, wall: int,
 
 def g2p_apic_pallas(pos_s, flat_h, vc, bound: int, wall: int,
                     layout: HaloLayout | None = None, kernel: str = "flip",
-                    wv_rows=None, w27=None, interpret: bool = False):
+                    wv_rows=None, w27=None, interpret: bool = False,
+                    channel_major: bool = False):
     """Drop-in ``apic.g2p_apic`` on the Pallas path: (velocity, C) per
     particle from cell-centred ``vc``.
 
@@ -197,7 +211,7 @@ def g2p_apic_pallas(pos_s, flat_h, vc, bound: int, wall: int,
     n = 2 * bound + 1
     lay = layout or HaloLayout(n)
     p = pos_s.shape[0]
-    c = vc.shape[-1]
+    c = vc.shape[0] if channel_major else vc.shape[-1]
     assert c == 3
 
     coords = _np.abs(_np.arange(-bound, bound + 1))
@@ -205,7 +219,8 @@ def g2p_apic_pallas(pos_s, flat_h, vc, bound: int, wall: int,
     within = jnp.asarray(ok[:, None, None] & ok[None, :, None]
                          & ok[None, None, :])
     wf = within.astype(vc.dtype)
-    chans = [jnp.where(within, vc[..., d], 0.0).reshape(n, n * n)
+    chans = [jnp.where(within, vc[d] if channel_major else vc[..., d],
+                       0.0).reshape(n, n * n)
              for d in range(3)]
     chans.append(wf.reshape(n, n * n))
     fm = jnp.stack(chans, axis=0)

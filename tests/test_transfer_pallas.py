@@ -141,3 +141,66 @@ def test_packed_projection_matches_xla(state):
                                atol=5e-4, rtol=1e-3)     # velocity field
     assert int(packed[2]) == int(ref[2])                 # outer iterations
     np.testing.assert_allclose(float(packed[1]), float(ref[1]), atol=1e-3)
+
+def test_channel_major_grid_phase_matches(state):
+    """The channel-major (3,N,N,N) grid phase the production Pallas step
+    runs (p2g epilogue -> project(cm=True) -> cell centring -> g2p table
+    build) must be a pure relayout of the (N,N,N,3) formulation."""
+    import dataclasses
+    from jax.experimental.pallas import tpu as pltpu
+    from fluidsim_tpu.models.flip import FlipParams, project
+    from fluidsim_tpu.core.gridspec import cell_center_velocity_cm
+
+    scene, solid, st = state
+    B = BOUND
+    lay = tp.HaloLayout(2 * B + 1)
+    pos, vel, flat = tp.sort_by_cell_h(st.pos, st.vel, B, lay)
+    w27 = tp.masked_weights(pos, B, "flip")
+    wP, momP, occP, wv = tp.p2g_pallas(pos, vel, flat, solid, B, lay,
+                                       "flip", w27=w27, interpret=True)
+    wC, momC, occC, _ = tp.p2g_pallas(pos, vel, flat, solid, B, lay,
+                                      "flip", w27=w27, interpret=True,
+                                      channel_major=True)
+    np.testing.assert_array_equal(np.asarray(momC),
+                                  np.moveaxis(np.asarray(momP), -1, 0))
+    np.testing.assert_array_equal(np.asarray(wC), np.asarray(wP))
+
+    velg = tr.normalize_velocity(wP, momP)
+    velg_cm = tr.normalize_velocity_cm(wC, momC)
+    np.testing.assert_array_equal(np.asarray(velg_cm),
+                                  np.moveaxis(np.asarray(velg), -1, 0))
+
+    fluid = (occP > 0) & (~solid)
+    dt = jnp.asarray(0.1, jnp.float32)
+    params = dataclasses.replace(FlipParams(bound=B, wall=scene.spec.wall),
+                                 pallas_transfer=True)
+    with pltpu.force_tpu_interpret_mode():
+        ref = project(params, velg, fluid, solid, dt)
+        out = project(params, velg_cm, fluid, solid, dt, cm=True)
+    np.testing.assert_allclose(np.asarray(out[0]),
+                               np.moveaxis(np.asarray(ref[0]), -1, 0),
+                               atol=1e-6, rtol=1e-6)
+    assert int(out[2]) == int(ref[2])
+
+    vc = cell_center_velocity(ref[0])
+    vc_cm = cell_center_velocity_cm(out[0])
+    np.testing.assert_allclose(np.asarray(vc_cm),
+                               np.moveaxis(np.asarray(vc), -1, 0),
+                               atol=1e-6, rtol=1e-6)
+
+    dP = tp.g2p_pallas(pos, flat, vc, B, scene.spec.wall, lay, "flip",
+                       wv_rows=wv, interpret=True)
+    dC = tp.g2p_pallas(pos, flat, vc_cm, B, scene.spec.wall, lay, "flip",
+                       wv_rows=wv, interpret=True, channel_major=True)
+    np.testing.assert_allclose(np.asarray(dC), np.asarray(dP),
+                               atol=1e-6, rtol=1e-6)
+
+    vA, cA = tp.g2p_apic_pallas(pos, flat, vc, B, scene.spec.wall, lay,
+                                "flip", wv_rows=wv, interpret=True)
+    vAc, cAc = tp.g2p_apic_pallas(pos, flat, vc_cm, B, scene.spec.wall, lay,
+                                  "flip", wv_rows=wv, interpret=True,
+                                  channel_major=True)
+    np.testing.assert_allclose(np.asarray(vAc), np.asarray(vA),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(cAc), np.asarray(cA),
+                               atol=1e-6, rtol=1e-6)
