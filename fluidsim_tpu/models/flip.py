@@ -187,13 +187,14 @@ def project(params: FlipParams, velg, fluid, solid, dt, p0=None,
     packed = bool(params.pallas_transfer)
     if packed:
         from fluidsim_tpu.ops.pallas_stencil import (
-            apply_laplacian_padded, pad_x, unpad_x)
+            apply_laplacian_padded, pad_x, pick_bx, unpad_x)
         nn = fluid.shape[0]
-        # APIC runs bx=16: at bx=32 the kernel's scoped-VMEM footprint
-        # plus XLA's stack-allocated copy of the (Npx, L) operand
-        # overflowed the 16 MB budget in the APIC step program at 129^3.
-        # FLIP keeps bx=32 (the measured-best block for the headline).
-        bxs = 16 if params.mode == "apic" else 32
+        # Block size: largest whose scratch fits scoped VMEM (129^3 -> 32,
+        # 193^3 -> 16; see pick_bx).  APIC caps at 16: at bx=32 the kernel
+        # scratch plus XLA's stack-allocated copy of the (Npx, L) operand
+        # overflowed the 16 MB budget in the APIC step program at 129^3
+        # even though the scratch alone fit.
+        bxs = pick_bx(nn, cap=16 if params.mode == "apic" else 32)
         ad_p = pad_x(adiag, bx=bxs)
         scale = dt / (rho * dx * dx)
         apply_a = lambda q: apply_laplacian_padded(q, ad_p, scale, nn, bx=bxs)

@@ -106,6 +106,25 @@ def apply_laplacian_padded(p_pad, adiag_pad, scale, n: int, bx: int = 32):
     )(jnp.asarray([scale], p_pad.dtype), p_pad, adiag_pad)
 
 
+def pick_bx(n: int, cap: int = 32, budget_bytes: int = 9_000_000):
+    """Largest block size whose scoped-VMEM scratch fits on the chip.
+
+    The kernel's scratch is two (bx+16, L)-row windows plus a (bx, L) out
+    buffer, L = roundup(N^2, 128) — it scales with the grid's y/z plane.
+    The 9 MB budget is empirical, not the nominal 16 MB: Mosaic/XLA add
+    stack allocations of their own (193^3 at bx=16 reported a 22.7 MB
+    scoped footprint for an 11.96 MB scratch), and the largest validated
+    configurations are 129^3 @ bx=32 (8.58 MB) and 193^3 @ bx=8 (8.37 MB).
+    """
+    l = -(-(n * n) // 128) * 128
+    for bx in (32, 16, 8):
+        if bx <= cap and (2 * (bx + _W) + bx) * l * 4 <= budget_bytes:
+            return bx
+    raise ValueError(
+        f"no stencil block size fits scoped VMEM at N={n} "
+        f"(L={l}; the packed solve tops out around 200^3 single-chip)")
+
+
 def pad_x(a, bx: int = 32):
     """(N,N,N) -> (Npx, L): rows [8, 8+N) hold the flattened y/z planes,
     zero-padded to L = roundup(N^2, 128) lanes; 8 leading zero rows and a
