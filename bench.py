@@ -108,10 +108,12 @@ def main():
         from fluidsim_tpu.scenes import get_scene
         details = {}
         # config 1: coarse 64^3-class FLIP; config 3: 128^3-class;
-        # config 4: APIC at 128^3-class (192^3 exceeds the fused-transfer
+        # scaling point: 192^3-class (Pallas kernels + packed bx=8 solve);
+        # config 4: APIC at 128^3-class (256^3 exceeds the fused-transfer
         # single-chip envelope; see docs/architecture.md)
         for tag, bound, density in (("flip_65cube", 32, 10.0),
-                                    ("flip_129cube_2M", 64, 25.0)):
+                                    ("flip_129cube_2M", 64, 25.0),
+                                    ("flip_193cube_4M", 96, 15.0)):
             details[tag] = measure_tpu(bound, density, args.warmup, args.frames)
         sim = FlipSim(get_scene("water_cube_drop", bound=64, density=25.0),
                       params=FlipParams(bound=64, wall=62, mode="apic"))
