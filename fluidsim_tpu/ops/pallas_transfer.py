@@ -95,9 +95,12 @@ def build_chunks(flat_s, p: int, ncells: int, w: int, t: int):
     """Static-shape chunk list: sorted particles split at W-cell window
     boundaries, then into <= T-particle chunks.
 
-    Returns (blk, pstart, pend): (MC,) int32 each, blk == -1 for unused
-    slots.  MC = ceil(P/T) + n_blocks (each window adds at most one partial
-    chunk).
+    Returns (blk, pstart, pend, nlive): (MC,) int32 arrays plus the traced
+    number of live chunks; blk == -1 for unused slots.  MC = ceil(P/T) +
+    n_blocks (each window adds at most one partial chunk).  Live chunks
+    occupy slots [0, nlive), so kernels can run a *dynamic* grid of nlive
+    steps and skip the inert tail (unoccupied windows) entirely — at
+    129^3 that tail is ~5400 of ~6400 slots.
     """
     nb = _ceil_to(ncells, w) // w
     mc = -(-p // t) + nb
@@ -114,7 +117,7 @@ def build_chunks(flat_s, p: int, ncells: int, w: int, t: int):
     pend = jnp.minimum(pstart + t, bounds[blk + 1])
     live = (j < cum[nb]) & (pend > pstart)
     blk = jnp.where(live, blk, -1)
-    return blk, pstart, pend
+    return blk, pstart, pend, cum[nb]
 
 
 def pad_rows_with_ids(flat_s, values, t: int):
@@ -140,7 +143,10 @@ def attach_ids(values_padded, flat_s):
 
 
 def _prefetch(j2, mc, blk_ref, start_fn):
-    """Start the read-only window DMA for grid step ``j2`` if it is live."""
+    """Start the read-only window DMA for grid step ``j2`` if it is live.
+    ``mc`` is ``pl.num_programs(0)`` — the dynamic grid bound — so under a
+    live-chunks-only grid the ``blk_ref[j2] >= 0`` check is vacuous but
+    keeps the static-grid (interpret) path correct."""
     @pl.when(j2 < mc)
     def _():
         @pl.when(blk_ref[j2] >= 0)
@@ -149,9 +155,10 @@ def _prefetch(j2, mc, blk_ref, start_fn):
 
 
 def _gather_kernel(blk_ref, ps_ref, pe_ref, table_hbm, init_ref, out_hbm,
-                   tbuf2, rowbuf, sems, *, w, t, wc, mc, prec):
+                   tbuf2, rowbuf, sems, *, w, t, wc, prec):
     del init_ref  # aliased with out_hbm (carries the id lane + RMW init)
     j = pl.program_id(0)
+    mc = pl.num_programs(0)
     b = blk_ref[j]
 
     def start_tbuf(j2):
@@ -203,10 +210,10 @@ def _gather_kernel(blk_ref, ps_ref, pe_ref, table_hbm, init_ref, out_hbm,
 
 
 @functools.partial(jax.jit, static_argnames=("w", "t", "wc", "interpret",
-                                             "precision"))
+                                             "precision", "dynamic_grid"))
 def gather_rows_cm(table_cm, init_rows, flat_s, w: int = 512, t: int = 2048,
                    wc: int = 256, interpret: bool = False,
-                   precision: str = "highest"):
+                   precision: str = "highest", dynamic_grid: bool = True):
     """Channel-major gather: ``out[p, c] = table_cm[c, flat_s[p]]`` for
     sorted int32 ``flat_s``.
 
@@ -219,14 +226,14 @@ def gather_rows_cm(table_cm, init_rows, flat_s, w: int = 512, t: int = 2048,
     p = flat_s.shape[0]
     assert ncells < _ID_LIMIT and ncells % w == 0
     p_pad = init_rows.shape[0]
-    blk, ps, pe = build_chunks(flat_s, p, ncells, w, t)
+    blk, ps, pe, nlive = build_chunks(flat_s, p, ncells, w, t)
     mc = blk.shape[0]
     tt = t + 8
 
     return pl.pallas_call(
-        functools.partial(_gather_kernel, w=w, t=t, wc=wc, mc=mc,
+        functools.partial(_gather_kernel, w=w, t=t, wc=wc,
                           prec=_PRECISIONS[precision]),
-        grid=(mc,),
+        grid=(nlive if dynamic_grid and not interpret else mc,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -243,9 +250,10 @@ def gather_rows_cm(table_cm, init_rows, flat_s, w: int = 512, t: int = 2048,
 
 
 def _scatter_kernel(blk_ref, ps_ref, pe_ref, u_hbm, init_ref, out_hbm,
-                    ubuf2, wbuf, sems, *, w, t, wc, mc, prec):
+                    ubuf2, wbuf, sems, *, w, t, wc, prec):
     del init_ref  # aliased with out_hbm (zero init)
     j = pl.program_id(0)
+    mc = pl.num_programs(0)
     b = blk_ref[j]
 
     def start_ubuf(j2):
@@ -308,10 +316,11 @@ def _scatter_kernel(blk_ref, ps_ref, pe_ref, u_hbm, init_ref, out_hbm,
 
 
 @functools.partial(jax.jit, static_argnames=("ncells", "w", "t", "wc",
-                                             "interpret", "precision"))
+                                             "interpret", "precision",
+                                             "dynamic_grid"))
 def scatter_rows_cm(u_rows, flat_s, ncells: int, w: int = 512, t: int = 2048,
                     wc: int = 256, interpret: bool = False,
-                    precision: str = "highest"):
+                    precision: str = "highest", dynamic_grid: bool = True):
     """Channel-major scatter-add: ``out[c, i] = sum_{flat_s[p]==i} u[p, c]``
     for sorted int32 ``flat_s``.
 
@@ -320,15 +329,15 @@ def scatter_rows_cm(u_rows, flat_s, ncells: int, w: int = 512, t: int = 2048,
     """
     p = flat_s.shape[0]
     assert ncells < _ID_LIMIT and ncells % w == 0
-    blk, ps, pe = build_chunks(flat_s, p, ncells, w, t)
+    blk, ps, pe, nlive = build_chunks(flat_s, p, ncells, w, t)
     mc = blk.shape[0]
     tt = t + 8
 
     init = jnp.zeros((_CP, ncells), jnp.float32)
     return pl.pallas_call(
-        functools.partial(_scatter_kernel, w=w, t=t, wc=wc, mc=mc,
+        functools.partial(_scatter_kernel, w=w, t=t, wc=wc,
                           prec=_PRECISIONS[precision]),
-        grid=(mc,),
+        grid=(nlive if dynamic_grid and not interpret else mc,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -468,9 +477,10 @@ def _contract_mat(nout: int):
 
 
 def _scatter_wv_kernel(blk_ref, ps_ref, pe_ref, wv_hbm, init_ref, out_hbm,
-                       wvbuf2, wbuf, sems, *, w, t, wc, mc):
+                       wvbuf2, wbuf, sems, *, w, t, wc):
     del init_ref  # aliased with out_hbm (zero init)
     j = pl.program_id(0)
+    mc = pl.num_programs(0)
     b = blk_ref[j]
 
     def start_wv(j2):
@@ -528,9 +538,10 @@ def _scatter_wv_kernel(blk_ref, ps_ref, pe_ref, wv_hbm, init_ref, out_hbm,
 
 
 @functools.partial(jax.jit, static_argnames=("ncells", "w", "t", "wc",
-                                             "interpret"))
+                                             "interpret", "dynamic_grid"))
 def scatter_wv_cm(wv_rows, flat_s, ncells: int, w: int = 512, t: int = 2048,
-                  wc: int = 256, interpret: bool = False):
+                  wc: int = 256, interpret: bool = False,
+                  dynamic_grid: bool = True):
     """Channel-major scatter-add of in-kernel-built u rows:
     ``out[4o+c, i] = sum_{flat_s[p]==i} w27[p,o] * [1,v][p,c]``.
 
@@ -539,14 +550,14 @@ def scatter_wv_cm(wv_rows, flat_s, ncells: int, w: int = 512, t: int = 2048,
     """
     p = flat_s.shape[0]
     assert ncells < _ID_LIMIT and ncells % w == 0
-    blk, ps, pe = build_chunks(flat_s, p, ncells, w, t)
+    blk, ps, pe, nlive = build_chunks(flat_s, p, ncells, w, t)
     mc = blk.shape[0]
     tt = t + 8
 
     init = jnp.zeros((_CP, ncells), jnp.float32)
     return pl.pallas_call(
-        functools.partial(_scatter_wv_kernel, w=w, t=t, wc=wc, mc=mc),
-        grid=(mc,),
+        functools.partial(_scatter_wv_kernel, w=w, t=t, wc=wc),
+        grid=(nlive if dynamic_grid and not interpret else mc,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -563,13 +574,14 @@ def scatter_wv_cm(wv_rows, flat_s, ncells: int, w: int = 512, t: int = 2048,
 
 
 def _gather_wv_kernel(blk_ref, ps_ref, pe_ref, table_hbm, wv_hbm, init_ref,
-                      out_hbm, tbuf2, wvbuf2, outbuf, sems, *, w, t, wc, mc,
+                      out_hbm, tbuf2, wvbuf2, outbuf, sems, *, w, t, wc,
                       nout):
     """Chunk windows here are 128-aligned (not 8-): the channel-major
     (8, P_padL) output is sliced along LANES, and Mosaic DMA lane slices
     must be aligned to the (1, 128) tiling."""
     del init_ref  # aliased with out_hbm (zero init)
     j = pl.program_id(0)
+    mc = pl.num_programs(0)
     b = blk_ref[j]
     tt = t + 128
 
@@ -643,9 +655,10 @@ def _gather_wv_kernel(blk_ref, ps_ref, pe_ref, table_hbm, wv_hbm, init_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("w", "t", "wc", "interpret",
-                                             "nout"))
+                                             "nout", "dynamic_grid"))
 def gather_wv_cm(table_cm, wv_rows, flat_s, w: int = 512, t: int = 2048,
-                 wc: int = 256, interpret: bool = False, nout: int = 8):
+                 wc: int = 256, interpret: bool = False, nout: int = 8,
+                 dynamic_grid: bool = True):
     """One-hot gather + in-kernel contraction against ``_contract_mat``.
 
     nout=8 (default): channel-major (8, P_padL) with rows 0-2 the weighted
@@ -659,16 +672,16 @@ def gather_wv_cm(table_cm, wv_rows, flat_s, w: int = 512, t: int = 2048,
     assert p_pad >= _ceil_to(p, 8) + t + 136, (
         "wv_rows too short for 128-aligned gather windows — pack with "
         "pack_wv_rows(..., t)")
-    blk, ps, pe = build_chunks(flat_s, p, ncells, w, t)
+    blk, ps, pe, nlive = build_chunks(flat_s, p, ncells, w, t)
     mc = blk.shape[0]
     tt = t + 128
     p_padl = _ceil_to(p_pad, 128)
 
     init = jnp.zeros((nout, p_padl), jnp.float32)
     return pl.pallas_call(
-        functools.partial(_gather_wv_kernel, w=w, t=t, wc=wc, mc=mc,
+        functools.partial(_gather_wv_kernel, w=w, t=t, wc=wc,
                           nout=nout),
-        grid=(mc,),
+        grid=(nlive if dynamic_grid and not interpret else mc,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
