@@ -699,6 +699,175 @@ def gather_wv_cm(table_cm, wv_rows, flat_s, w: int = 512, t: int = 2048,
     )(blk, ps, pe, table_cm, wv_rows, init)
 
 
+# ---- fused-table gather (no materialized neighbourhood table) --------------
+#
+# ``expand_haloed`` writes a (128, ncells) table (1.78 GB at 129^3, ~7 ms)
+# that the windowed gather then re-reads.  But a gather window is a 512-lane
+# range of ONE x-row, and every table channel 4o+g of that window is just a
+# *statically shifted* slice of the 4-channel field row r+ox: the table
+# never needs to exist.  This kernel DMAs the (4, 16, 1024)-lane field slab
+# around the window (same bytes as the old table window), selects rows
+# r-1/r/r+1 with an exact one-hot matmul (dynamic sublane indexing of refs
+# is not allowed), and lays down the 108 channel rows as static shifted
+# slices; the one-hot contraction then proceeds exactly as _gather_wv_kernel.
+
+
+def _gather_wv_fused_kernel(blk_ref, ps_ref, pe_ref, fm_hbm, wv_hbm, init_ref,
+                            out_hbm, fmbuf2, wvbuf2, tablebuf, outbuf, sems,
+                            *, w, t, wc, nout, n, winrow):
+    del init_ref  # aliased with out_hbm (zero init)
+    j = pl.program_id(0)
+    mc = pl.num_programs(0)
+    b = blk_ref[j]
+    tt = t + 128
+
+    def start_fm(j2):
+        b2 = blk_ref[j2]
+        r2 = b2 // winrow
+        a2 = pl.multiple_of(((r2 - 1) // 8) * 8, 8)
+        lane0 = pl.multiple_of((b2 % winrow) * w, w)
+        pltpu.make_async_copy(
+            fm_hbm.at[:, pl.ds(a2, 16), pl.ds(lane0, w + 2 * 256)],
+            fmbuf2.at[j2 % 2], sems.at[j2 % 2]).start()
+
+    def start_wv(j2):
+        a2 = pl.multiple_of((ps_ref[j2] // 128) * 128, 128)
+        pltpu.make_async_copy(wv_hbm.at[pl.ds(a2, tt)],
+                              wvbuf2.at[j2 % 2], sems.at[2 + j2 % 2]).start()
+
+    @pl.when(j == 0)
+    def _():
+        tablebuf[...] = jnp.zeros_like(tablebuf[...])   # rows >= 108 stay 0
+        _prefetch(0, mc, blk_ref, start_fm)
+        _prefetch(0, mc, blk_ref, start_wv)
+    _prefetch(j + 1, mc, blk_ref, start_fm)
+    _prefetch(j + 1, mc, blk_ref, start_wv)
+
+    @pl.when(b >= 0)
+    def _():
+        pstart = ps_ref[j]
+        pend = pe_ref[j]
+        a = pl.multiple_of((pstart // 128) * 128, 128)
+        slot = j % 2
+
+        cp_o = pltpu.make_async_copy(out_hbm.at[:, pl.ds(a, tt)], outbuf,
+                                     sems.at[4])
+        cp_o.start()
+        pltpu.make_async_copy(
+            fm_hbm.at[:, pl.ds(pl.multiple_of(
+                (((b // winrow) - 1) // 8) * 8, 8), 16),
+                pl.ds(pl.multiple_of((b % winrow) * w, w), w + 2 * 256)],
+            fmbuf2.at[slot], sems.at[slot]).wait()
+        pltpu.make_async_copy(wv_hbm.at[pl.ds(a, tt)], wvbuf2.at[slot],
+                              sems.at[2 + slot]).wait()
+        cp_o.wait()
+
+        # table window build: rows r-1/r/r+1 of each field channel via an
+        # exact one-hot row select (drow = local index of row r-1), then 108
+        # statically-shifted (1, W) slices into the table scratch.
+        r = b // winrow
+        drow = r - 1 - ((r - 1) // 8) * 8                   # in [0, 8)
+        sel_i = (jax.lax.broadcasted_iota(jnp.int32, (3, 16), 1)
+                 == drow + jax.lax.broadcasted_iota(jnp.int32, (3, 16), 0))
+        sel = sel_i.astype(jnp.bfloat16)
+        rows = []
+        for g in range(4):
+            acc3 = None
+            for part in _split3(fmbuf2[slot, g]):
+                d3 = jax.lax.dot_general(sel, part, (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                acc3 = d3 if acc3 is None else acc3 + d3
+            rows.append(acc3)                               # (3, W + 512)
+        for o in range(27):
+            ox = _off(o, 0)
+            s = _off(o, 1) * n + _off(o, 2)
+            for g in range(4):
+                tablebuf[o * 4 + g, :] = rows[g][ox + 1, 256 + s:256 + s + w]
+
+        buf = wvbuf2[slot]
+        local = (buf[:, _CP - 1:_CP]).astype(jnp.int32) - b * w
+        gidx = a + jax.lax.broadcasted_iota(jnp.int32, (1, tt), 1)
+        valid = (gidx >= pstart) & (gidx < pend)                  # (1, TT)
+
+        acc = None
+        for k in range(w // wc):
+            iota = jax.lax.broadcasted_iota(jnp.int32, (tt, wc), 1) + k * wc
+            oh = (local == iota).astype(jnp.bfloat16)             # (TT, Wc)
+            part = None
+            for tpart in _split3(tablebuf[:, pl.ds(k * wc, wc)]):
+                d = jax.lax.dot_general(oh, tpart, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                part = d if part is None else part + d
+            acc = part if acc is None else acc + part             # (TT, CP)
+
+        r_m, tm = _wv_mats()
+        wrep, _ = _wv_expand(buf, r_m, tm)
+        m = acc * wrep                                            # (TT, CP)
+
+        st = _contract_mat(nout)
+        out4 = None
+        for mpart in _split3(m):
+            d = jax.lax.dot_general(st, mpart, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            out4 = d if out4 is None else out4 + d                # (nout, TT)
+
+        outbuf[...] = jnp.where(valid, out4, outbuf[...])
+        cp_back = pltpu.make_async_copy(outbuf, out_hbm.at[:, pl.ds(a, tt)],
+                                        sems.at[4])
+        cp_back.start()
+        cp_back.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("n", "w", "t", "wc", "interpret",
+                                             "nout", "dynamic_grid"))
+def gather_wv_fused(fm_hp, wv_rows, flat_s, n: int, w: int = 512,
+                    t: int = 2048, wc: int = 256, interpret: bool = False,
+                    nout: int = 8, dynamic_grid: bool = True):
+    """``gather_wv_cm`` over an implicit table: same contract, but takes the
+    4-channel haloed field grid directly (lane-padded by an extra 256 each
+    side: ``fm_hp[g, x, q] == fm_h[g, x, q - 256]``) and builds each window's
+    108 table channels in-VMEM.  Requires |oy*n + oz| <= 256 (n <= 255 —
+    the packed-id design limit anyway) and the windows-per-row layout
+    (LWR % w == 0)."""
+    xr, lwrp = fm_hp.shape[1], fm_hp.shape[2]
+    lwr = lwrp - 2 * 256
+    ncells = xr * lwr
+    p = flat_s.shape[0]
+    assert n + 1 <= 256 and lwr % w == 0
+    assert ncells < _ID_LIMIT
+    winrow = lwr // w
+    p_pad = wv_rows.shape[0]
+    assert p_pad >= _ceil_to(p, 8) + t + 136, (
+        "wv_rows too short for 128-aligned gather windows — pack with "
+        "pack_wv_rows(..., t)")
+    blk, ps, pe, nlive = build_chunks(flat_s, p, ncells, w, t)
+    mc = blk.shape[0]
+    tt = t + 128
+    p_padl = _ceil_to(p_pad, 128)
+
+    init = jnp.zeros((nout, p_padl), jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_gather_wv_fused_kernel, w=w, t=t, wc=wc,
+                          nout=nout, n=n, winrow=winrow),
+        grid=(nlive if dynamic_grid and not interpret else mc,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((nout, p_padl), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, 4, 16, w + 2 * 256), jnp.float32),
+                        pltpu.VMEM((2, tt, _CP), jnp.float32),
+                        pltpu.VMEM((_CP, w), jnp.float32),
+                        pltpu.VMEM((nout, tt), jnp.float32),
+                        pltpu.SemaphoreType.DMA((5,))],
+        input_output_aliases={5: 0},
+        interpret=interpret,
+    )(blk, ps, pe, fm_hp, wv_rows, init)
+
+
 # ---- span-chunked variants (measured SLOWER; kept as documentation) --------
 #
 # build_chunks allocates one grid slot per cell WINDOW (plus full chunks),

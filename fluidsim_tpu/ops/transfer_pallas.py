@@ -146,7 +146,7 @@ def p2g_pallas(pos_s, vel_s, flat_h, solid, bound: int,
 def g2p_pallas(pos_s, flat_h, fields, bound: int, wall: int,
                layout: HaloLayout | None = None, kernel: str = "flip",
                wv_rows=None, w27=None, interpret: bool = False,
-               channel_major: bool = False):
+               channel_major: bool = False, fused_table: bool = True):
     """Drop-in ``g2p_fused``: weighted 27-point gather of cell-level
     ``fields`` (N,N,N,C<=3; channel-major (C,N,N,N) with
     ``channel_major=True`` — contiguous per-component slices into the
@@ -173,17 +173,24 @@ def g2p_pallas(pos_s, flat_h, fields, bound: int, wall: int,
     chans += [jnp.zeros((n, n * n), fields.dtype)] * (3 - c)
     chans.append(wf.reshape(n, n * n))                           # mask last
     fm = jnp.stack(chans, axis=0)                                # (4, n, n^2)
-    fm_h = jnp.pad(fm, ((0, 0), (ps._XH, lay.xr - n - ps._XH),
-                        (ps._LH, lay.lwr - n * n - ps._LH)))
 
-    table = ps.expand_haloed(fm_h, n, bx=lay.bx, lblk=lay.lblk,
-                             interpret=interpret)                # (128,XR,LWR)
     if wv_rows is None:
         if w27 is None:
             w27 = masked_weights(pos_s, bound, kernel)
         wv_rows, _ = pt.pack_wv_rows(flat_h, w27, None, 2048)
-    out = pt.gather_wv_cm(table.reshape(128, lay.ncells), wv_rows,
-                          flat_h, interpret=interpret)
+    if fused_table:
+        fm_hp = jnp.pad(fm, ((0, 0), (ps._XH, lay.xr - n - ps._XH),
+                             (ps._LH + 256,
+                              lay.lwr + 512 - (ps._LH + 256) - n * n)))
+        out = pt.gather_wv_fused(fm_hp, wv_rows, flat_h, n,
+                                 interpret=interpret)
+    else:
+        fm_h = jnp.pad(fm, ((0, 0), (ps._XH, lay.xr - n - ps._XH),
+                            (ps._LH, lay.lwr - n * n - ps._LH)))
+        table = ps.expand_haloed(fm_h, n, bx=lay.bx, lblk=lay.lblk,
+                                 interpret=interpret)            # (128,XR,LWR)
+        out = pt.gather_wv_cm(table.reshape(128, lay.ncells), wv_rows,
+                              flat_h, interpret=interpret)
     # rows 0..2: sum_o w*mask*field; row 3: sum_o w*mask (the masked
     # fields are zero wherever the mask is, so the mask re-multiply of the
     # XLA formulation is idempotent and both sums are linear in the rows)
@@ -196,7 +203,7 @@ def g2p_pallas(pos_s, flat_h, fields, bound: int, wall: int,
 def g2p_apic_pallas(pos_s, flat_h, vc, bound: int, wall: int,
                     layout: HaloLayout | None = None, kernel: str = "flip",
                     wv_rows=None, w27=None, interpret: bool = False,
-                    channel_major: bool = False):
+                    channel_major: bool = False, fused_table: bool = True):
     """Drop-in ``apic.g2p_apic`` on the Pallas path: (velocity, C) per
     particle from cell-centred ``vc``.
 
@@ -224,17 +231,24 @@ def g2p_apic_pallas(pos_s, flat_h, vc, bound: int, wall: int,
              for d in range(3)]
     chans.append(wf.reshape(n, n * n))
     fm = jnp.stack(chans, axis=0)
-    fm_h = jnp.pad(fm, ((0, 0), (ps._XH, lay.xr - n - ps._XH),
-                        (ps._LH, lay.lwr - n * n - ps._LH)))
-    table = ps.expand_haloed(fm_h, n, bx=lay.bx, lblk=lay.lblk,
-                             interpret=interpret)
 
     if wv_rows is None:
         if w27 is None:
             w27 = masked_weights(pos_s, bound, kernel)
         wv_rows, _ = pt.pack_wv_rows(flat_h, w27, None, 2048)
-    mo = pt.gather_wv_cm(table.reshape(128, lay.ncells), wv_rows,
-                         flat_h, interpret=interpret, nout=24)
+    if fused_table:
+        fm_hp = jnp.pad(fm, ((0, 0), (ps._XH, lay.xr - n - ps._XH),
+                             (ps._LH + 256,
+                              lay.lwr + 512 - (ps._LH + 256) - n * n)))
+        mo = pt.gather_wv_fused(fm_hp, wv_rows, flat_h, n,
+                                interpret=interpret, nout=24)
+    else:
+        fm_h = jnp.pad(fm, ((0, 0), (ps._XH, lay.xr - n - ps._XH),
+                            (ps._LH, lay.lwr - n * n - ps._LH)))
+        table = ps.expand_haloed(fm_h, n, bx=lay.bx, lblk=lay.lblk,
+                                 interpret=interpret)
+        mo = pt.gather_wv_cm(table.reshape(128, lay.ncells), wv_rows,
+                             flat_h, interpret=interpret, nout=24)
 
     den = mo[0, :p]
     vnum = mo[1:4, :p].T                                 # (P, 3)

@@ -204,3 +204,33 @@ def test_channel_major_grid_phase_matches(state):
                                atol=1e-6, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(cAc), np.asarray(cA),
                                atol=1e-6, rtol=1e-6)
+
+
+def test_fused_table_matches_materialized(state):
+    """gather_wv_fused (in-kernel window build) vs expand_haloed +
+    gather_wv_cm, both interpret-mode, FLIP (nout=8) and APIC (nout=24)."""
+    scene, solid, st = state
+    B = BOUND
+    lay = tp.HaloLayout(2 * B + 1)
+    pos, vel, flat = tp.sort_by_cell_h(st.pos, st.vel, B, lay)
+    w27 = tp.masked_weights(pos, B, "flip")
+    _, _, _, wv = tp.p2g_pallas(pos, vel, flat, solid, B, lay, "flip",
+                                w27=w27, interpret=True)
+    velg_like = jnp.stack(
+        [jnp.sin(jnp.arange((2 * B + 1) ** 3, dtype=jnp.float32)
+                 .reshape((2 * B + 1,) * 3) * (0.1 + d))
+         for d in range(3)], axis=-1)
+    a = tp.g2p_pallas(pos, flat, velg_like, B, scene.spec.wall, lay,
+                      "flip", wv_rows=wv, interpret=True, fused_table=True)
+    b = tp.g2p_pallas(pos, flat, velg_like, B, scene.spec.wall, lay,
+                      "flip", wv_rows=wv, interpret=True, fused_table=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    va, ca = tp.g2p_apic_pallas(pos, flat, velg_like, B, scene.spec.wall,
+                                lay, "flip", wv_rows=wv, interpret=True,
+                                fused_table=True)
+    vb, cb = tp.g2p_apic_pallas(pos, flat, velg_like, B, scene.spec.wall,
+                                lay, "flip", wv_rows=wv, interpret=True,
+                                fused_table=False)
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+    np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
