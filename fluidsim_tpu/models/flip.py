@@ -459,10 +459,11 @@ class FlipSim:
         # and APIC).  Needs a real TPU backend (Mosaic) and haloed flat ids
         # exact in f32.  None = auto; an explicit True/False is respected.
         if params.pallas_transfer is None:
-            from fluidsim_tpu.ops.transfer_pallas import HaloLayout
+            # n <= 255: the haloed layout's lane halo (256) must cover the
+            # widest stencil lane shift |oy*n + oz| = n + 1
             auto = (params.fast_transfer and params.transfer_chunks == 0
                     and jax.default_backend() != "cpu"
-                    and HaloLayout(scene.spec.n).ncells < (1 << 24))
+                    and scene.spec.n <= 255)
             params = dataclasses.replace(params, pallas_transfer=auto)
         if (params.mode == "apic" and not params.pallas_transfer
                 and table_bytes > 8 * 1024 ** 3):

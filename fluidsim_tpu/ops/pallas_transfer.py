@@ -120,18 +120,27 @@ def build_chunks(flat_s, p: int, ncells: int, w: int, t: int):
     return blk, pstart, pend, cum[nb]
 
 
-def pad_rows_with_ids(flat_s, values, t: int):
+def pad_rows_with_ids(flat_s, values, t: int, idmod: int = 0):
     """(P, C<=127) values -> (P_pad, 128) f32 with the flat id in lane 127
     and enough tail rows that every chunk's 8-aligned (T+8)-row window is in
     range.  Pad-row ids are -1 (match no window cell).  Callers that already
     assemble per-particle channel rows should write into this layout
-    directly and only pay for the id lane."""
+    directly and only pay for the id lane.
+
+    ``idmod`` > 0 stores the *window-local* id ``flat % idmod`` (use the
+    kernels' cell-window size W): local ids are exact in f32 for ANY grid
+    size, whereas global ids cap ncells at 2^24.  Rows that bleed into a
+    chunk's 8-aligned boundary tile from a *different* window then alias
+    local cells, but every wv kernel masks them with the [pstart, pend)
+    span check before they contribute.  The span kernels (documentation)
+    still require global ids (idmod=0)."""
     p = flat_s.shape[0]
     p_pad = _ceil_to(p, 8) + t + 8
     out = jnp.zeros((p_pad, _CP), jnp.float32)
     if values is not None:
         out = out.at[:p, :values.shape[1]].set(values)
-    ids = jnp.pad(flat_s, (0, p_pad - p), constant_values=-1)
+    ids = flat_s % idmod if idmod else flat_s
+    ids = jnp.pad(ids, (0, p_pad - p), constant_values=-1)
     return out.at[:, _CP - 1].set(ids.astype(jnp.float32)), p_pad
 
 
@@ -380,10 +389,13 @@ def scatter_rows_cm(u_rows, flat_s, ncells: int, w: int = 512, t: int = 2048,
 # catastrophically, and skipping the post-gather XLA contraction round trip.
 
 
-def pack_wv_rows(flat_s, w27, vel, t: int, aff=None):
+def pack_wv_rows(flat_s, w27, vel, t: int, aff=None, w: int = 512):
     """(P, 27) weights + (P, 3) velocities [+ (P, 3, 3) affine C] ->
     (P_pad, 128) packed rows.  For APIC pass ``vel`` = veff = v + C e
-    (e = base - pos) so channel 4o+c expands to w*(veff + C off_o)."""
+    (e = base - pos) so channel 4o+c expands to w*(veff + C off_o).
+
+    The id lane holds the WINDOW-LOCAL id ``flat % w`` (w = the wv kernels'
+    cell-window size), so grids of any ncells stay f32-exact."""
     p = w27.shape[0]
     vals = [w27, jnp.ones((p, 1), w27.dtype)]
     if vel is not None:
@@ -391,7 +403,8 @@ def pack_wv_rows(flat_s, w27, vel, t: int, aff=None):
     if aff is not None:
         vals.append(aff.reshape(p, 9))
     # +128 tail: gather_wv_cm uses 128-aligned windows of t+128 rows
-    return pad_rows_with_ids(flat_s, jnp.concatenate(vals, axis=1), t + 128)
+    return pad_rows_with_ids(flat_s, jnp.concatenate(vals, axis=1), t + 128,
+                             idmod=w)
 
 
 def _off(o, k):
@@ -510,7 +523,7 @@ def _scatter_wv_kernel(blk_ref, ps_ref, pe_ref, wv_hbm, init_ref, out_hbm,
         cp_w.wait()
 
         buf = wvbuf2[slot]
-        local = (buf[:, _CP - 1:_CP]).astype(jnp.int32) - b * w   # (TT, 1)
+        local = (buf[:, _CP - 1:_CP]).astype(jnp.int32)  # window-local   # (TT, 1)
         gidx = a + jax.lax.broadcasted_iota(jnp.int32, (tt, 1), 0)
         valid = (gidx >= pstart) & (gidx < pend)
 
@@ -549,7 +562,7 @@ def scatter_wv_cm(wv_rows, flat_s, ncells: int, w: int = 512, t: int = 2048,
     lanes 108..127 are exactly zero.
     """
     p = flat_s.shape[0]
-    assert ncells < _ID_LIMIT and ncells % w == 0
+    assert ncells % w == 0          # window-local ids: no ncells f32 limit
     blk, ps, pe, nlive = build_chunks(flat_s, p, ncells, w, t)
     mc = blk.shape[0]
     tt = t + 8
@@ -621,7 +634,7 @@ def _gather_wv_kernel(blk_ref, ps_ref, pe_ref, table_hbm, wv_hbm, init_ref,
         cp_o.wait()
 
         buf = wvbuf2[slot]
-        local = (buf[:, _CP - 1:_CP]).astype(jnp.int32) - b * w
+        local = (buf[:, _CP - 1:_CP]).astype(jnp.int32)  # window-local
         gidx = a + jax.lax.broadcasted_iota(jnp.int32, (1, tt), 1)
         valid = (gidx >= pstart) & (gidx < pend)                  # (1, TT)
 
@@ -667,7 +680,7 @@ def gather_wv_cm(table_cm, wv_rows, flat_s, w: int = 512, t: int = 2048,
     """
     ncells = table_cm.shape[1]
     p = flat_s.shape[0]
-    assert ncells < _ID_LIMIT and ncells % w == 0
+    assert ncells % w == 0          # window-local ids: no ncells f32 limit
     p_pad = wv_rows.shape[0]
     assert p_pad >= _ceil_to(p, 8) + t + 136, (
         "wv_rows too short for 128-aligned gather windows — pack with "
@@ -697,6 +710,165 @@ def gather_wv_cm(table_cm, wv_rows, flat_s, w: int = 512, t: int = 2048,
         input_output_aliases={5: 0},
         interpret=interpret,
     )(blk, ps, pe, table_cm, wv_rows, init)
+
+
+# ---- fused scatter + shift-reduce (no materialized 108-channel grid) -------
+#
+# ``scatter_wv_cm`` + ``pallas_shift.reduce_haloed`` round-trip a
+# (128, ncells) base-cell table through HBM (1.4 GB at 129^3, 4.4 GB at
+# 193^3: zero-init write + windowed RMW + a 27-offset re-read with 3x halo
+# overlap).  But a window's 108 accumulated channel rows ARE the final
+# 4-channel sums of its 3x(W+512) output neighbourhood, just indexed by
+# (offset, base lane) instead of (target row, target lane): channel 4o+g of
+# base lane j lands at target row r+ox(o), lane j + (oy*n + oz).  This
+# kernel keeps the per-window (128, W) accumulator in VMEM, lays its rows
+# down as 108 statically-shifted (1, W) adds into a (4, 3, W+512) haloed
+# block, and RMWs that block into the (4, XR, LWRP) output — the reverse of
+# ``_gather_wv_fused_kernel``'s in-kernel table build.  The intermediate
+# never exists; the output is 32x smaller.
+#
+# Output rows are dynamic (r-1..r+1), and Mosaic forbids dynamic sublane
+# stores, so the RMW window is the 8-aligned 16-row band around r and the
+# 3 live rows are placed with an exact one-hot row-scatter matmul (the
+# mirror of the gather's row-select).  Consecutive chunks' bands overlap;
+# correctness needs the band read of chunk j+1 to start after chunk j's
+# write-back completed, which the sequential grid + synchronous write give
+# (same argument as scatter_wv_cm's shared boundary windows).
+
+
+def _scatter_wv_fused_kernel(blk_ref, ps_ref, pe_ref, wv_hbm, init_ref,
+                             out_hbm, wvbuf2, zbuf, acc3, outwin, sems,
+                             *, w, t, wc, n, winrow):
+    del init_ref  # aliased with out_hbm (zero init)
+    j = pl.program_id(0)
+    mc = pl.num_programs(0)
+    b = blk_ref[j]
+
+    def start_wv(j2):
+        a2 = pl.multiple_of((ps_ref[j2] // 8) * 8, 8)
+        pltpu.make_async_copy(wv_hbm.at[pl.ds(a2, t + 8)],
+                              wvbuf2.at[j2 % 2], sems.at[j2 % 2]).start()
+
+    @pl.when(j == 0)
+    def _():
+        _prefetch(0, mc, blk_ref, start_wv)
+    _prefetch(j + 1, mc, blk_ref, start_wv)
+
+    @pl.when(b >= 0)
+    def _():
+        pstart = ps_ref[j]
+        pend = pe_ref[j]
+        a = pl.multiple_of((pstart // 8) * 8, 8)
+        tt = t + 8
+        slot = j % 2
+
+        r = b // winrow
+        a_r = pl.multiple_of(((r - 1) // 8) * 8, 8)
+        lane0 = pl.multiple_of((b % winrow) * w, w)   # = padded lane - 256
+        # RMW band read: NOT prefetched across grid steps — the previous
+        # chunk's write-back into an overlapping band must land first.
+        cp_w = pltpu.make_async_copy(
+            out_hbm.at[:, pl.ds(a_r, 16), pl.ds(lane0, w + 2 * 256)],
+            outwin, sems.at[2])
+        cp_w.start()
+        pltpu.make_async_copy(wv_hbm.at[pl.ds(a, tt)], wvbuf2.at[slot],
+                              sems.at[slot]).wait()
+
+        buf = wvbuf2[slot]
+        local = (buf[:, _CP - 1:_CP]).astype(jnp.int32)  # window-local
+        gidx = a + jax.lax.broadcasted_iota(jnp.int32, (tt, 1), 0)
+        valid = (gidx >= pstart) & (gidx < pend)
+
+        r_m, tm = _wv_mats()
+        _, u = _wv_expand(buf, r_m, tm)                           # (TT, CP)
+        um = jnp.where(valid, u, 0.0)
+        um_split = _split3(um)
+
+        dims = (((0,), (0,)), ((), ()))
+        for k in range(w // wc):
+            iota = jax.lax.broadcasted_iota(jnp.int32, (tt, wc), 1) + k * wc
+            oh = (local == iota).astype(jnp.bfloat16)             # (TT, Wc)
+            contrib = None
+            for part in um_split:                                 # (CP, Wc)
+                d = jax.lax.dot_general(part, oh, dims,
+                                        preferred_element_type=jnp.float32)
+                contrib = d if contrib is None else contrib + d
+            zbuf[:, pl.ds(k * wc, wc)] = contrib
+
+        # shift-reduce in VMEM: channel 4o+g of base lane j -> target row
+        # ox(o)+1 of the 3-row block, lanes [256+s, 256+s+W) (all static).
+        acc3[...] = jnp.zeros_like(acc3[...])
+        for o in range(27):
+            ox = _off(o, 0)
+            s = _off(o, 1) * n + _off(o, 2)
+            for g in range(4):
+                acc3[g, ox + 1, pl.ds(256 + s, w)] = (
+                    acc3[g, ox + 1, pl.ds(256 + s, w)] + zbuf[o * 4 + g, :])
+
+        # one-hot row scatter of the 3 live rows into the 16-row band
+        dr = r - 1 - a_r                                          # in [0, 8)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (3, 16), 1)
+               == dr + jax.lax.broadcasted_iota(jnp.int32, (3, 16), 0)
+               ).astype(jnp.bfloat16)
+        cp_w.wait()
+        for g in range(4):
+            addg = None
+            for part in _split3(acc3[g]):                         # (3, W+512)
+                d3 = jax.lax.dot_general(sel, part, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                addg = d3 if addg is None else addg + d3          # (16, W+512)
+            outwin[g] = outwin[g] + addg
+
+        cp_back = pltpu.make_async_copy(
+            outwin, out_hbm.at[:, pl.ds(a_r, 16), pl.ds(lane0, w + 2 * 256)],
+            sems.at[2])
+        cp_back.start()
+        cp_back.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("xr", "lwr", "n", "w", "t",
+                                             "wc", "interpret",
+                                             "dynamic_grid"))
+def scatter_wv_fused(wv_rows, flat_s, xr: int, lwr: int, n: int,
+                     w: int = 512, t: int = 2048, wc: int = 256,
+                     interpret: bool = False, dynamic_grid: bool = True):
+    """Fused ``scatter_wv_cm`` + 27-offset shift-reduce: returns the
+    4-channel haloed grid sums directly.
+
+    wv_rows: (P_pad, 128) packed rows (``pack_wv_rows``) with haloed flat
+    ids.  Returns (4, xr, lwr + 512) float32 — live lanes shifted +256
+    (``out[g, x, 256 + i] = sum_{o, flat==x*lwr+i-off} w27*[1,v]``); halo
+    rows/lanes hold the out-of-box spill the callers slice away.  Matches
+    ``reduce_haloed(scatter_wv_cm(...))`` up to f32 summation order.
+    """
+    ncells = xr * lwr
+    p = flat_s.shape[0]
+    assert n + 1 <= 256 and lwr % w == 0   # window-local ids: no ncells cap
+    winrow = lwr // w
+    blk, ps, pe, nlive = build_chunks(flat_s, p, ncells, w, t)
+    mc = blk.shape[0]
+    tt = t + 8
+
+    init = jnp.zeros((4, xr, lwr + 2 * 256), jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_scatter_wv_fused_kernel, w=w, t=t, wc=wc, n=n,
+                          winrow=winrow),
+        grid=(nlive if dynamic_grid and not interpret else mc,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((4, xr, lwr + 2 * 256), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, tt, _CP), jnp.float32),
+                        pltpu.VMEM((_CP, w), jnp.float32),
+                        pltpu.VMEM((4, 3, w + 2 * 256), jnp.float32),
+                        pltpu.VMEM((4, 16, w + 2 * 256), jnp.float32),
+                        pltpu.SemaphoreType.DMA((3,))],
+        input_output_aliases={4: 0},
+        interpret=interpret,
+    )(blk, ps, pe, wv_rows, init)
 
 
 # ---- fused-table gather (no materialized neighbourhood table) --------------
@@ -785,7 +957,7 @@ def _gather_wv_fused_kernel(blk_ref, ps_ref, pe_ref, fm_hbm, wv_hbm, init_ref,
                 tablebuf[o * 4 + g, :] = rows[g][ox + 1, 256 + s:256 + s + w]
 
         buf = wvbuf2[slot]
-        local = (buf[:, _CP - 1:_CP]).astype(jnp.int32) - b * w
+        local = (buf[:, _CP - 1:_CP]).astype(jnp.int32)  # window-local
         gidx = a + jax.lax.broadcasted_iota(jnp.int32, (1, tt), 1)
         valid = (gidx >= pstart) & (gidx < pend)                  # (1, TT)
 
@@ -833,8 +1005,7 @@ def gather_wv_fused(fm_hp, wv_rows, flat_s, n: int, w: int = 512,
     lwr = lwrp - 2 * 256
     ncells = xr * lwr
     p = flat_s.shape[0]
-    assert n + 1 <= 256 and lwr % w == 0
-    assert ncells < _ID_LIMIT
+    assert n + 1 <= 256 and lwr % w == 0   # window-local ids: no ncells cap
     winrow = lwr // w
     p_pad = wv_rows.shape[0]
     assert p_pad >= _ceil_to(p, 8) + t + 136, (
@@ -966,7 +1137,8 @@ def _scatter_wv_spans_kernel(blo_ref, bhi_ref, wv_hbm, init_ref, out_hbm,
                                              "interpret"))
 def scatter_wv_spans(wv_rows, flat_s, ncells: int, w: int = 512,
                      t: int = 2048, wc: int = 256, interpret: bool = False):
-    """Span-chunked ``scatter_wv_cm`` (same contract, ~no inert steps)."""
+    """Span-chunked ``scatter_wv_cm`` (same contract, ~no inert steps).
+    Requires GLOBAL-id rows (``pad_rows_with_ids(..., idmod=0)``)."""
     p = flat_s.shape[0]
     assert ncells < _ID_LIMIT and ncells % w == 0
     blo, bhi = build_spans(flat_s, p, w, t)
@@ -1069,7 +1241,8 @@ def _gather_wv_spans_kernel(blo_ref, bhi_ref, table_hbm, wv_hbm, out_hbm,
 def gather_wv_spans(table_cm, wv_rows, flat_s, w: int = 512, t: int = 2048,
                     wc: int = 256, interpret: bool = False, nout: int = 8):
     """Span-chunked ``gather_wv_cm``: same contract, no output RMW (fixed
-    strides make every output lane window written exactly once)."""
+    strides make every output lane window written exactly once).
+    Requires GLOBAL-id rows (``pad_rows_with_ids(..., idmod=0)``)."""
     ncells = table_cm.shape[1]
     p = flat_s.shape[0]
     assert ncells < _ID_LIMIT and ncells % w == 0

@@ -16,8 +16,10 @@ measured XLA path spends ~100 ms/frame at 129^3 on the dense shifts plus
 ~46 ms on scatter+gather; this pipeline replaces all of it with four Pallas
 kernels totalling ~55 ms.
 
-Haloed ids must stay exact in f32 (< 2^24), which holds through ~200^3 —
-larger grids take the chunked/sharded paths (``FlipSim`` auto-dispatches).
+The packed rows carry *window-local* ids (``flat % W``, always f32-exact),
+so grid size is bounded only by the halo layout (|oy*n + oz| <= 256, i.e.
+n <= 255) and HBM; past that the chunked/sharded paths take over
+(``FlipSim`` auto-dispatches).
 
 Semantics are identical to ``transfer_fast`` (tested against it).
 """
@@ -98,7 +100,7 @@ def masked_weights(pos_s, bound: int, kernel: str = "flip"):
 def p2g_pallas(pos_s, vel_s, flat_h, solid, bound: int,
                layout: HaloLayout | None = None, kernel: str = "flip",
                w27=None, aff=None, interpret: bool = False,
-               channel_major: bool = False):
+               channel_major: bool = False, fused_scatter: bool = True):
     """Drop-in ``p2g_fused`` (weights, mom, occ) on the Pallas path.
 
     Also returns the (P_pad, 128) packed particle rows so the g2p kernels
@@ -119,12 +121,20 @@ def p2g_pallas(pos_s, vel_s, flat_h, solid, bound: int,
         e = cround(pos_s) - pos_s                       # (P, 3) base - pos
         vel_s = vel_s + jnp.einsum("pck,pk->pc", aff, e)
     wv, _ = pt.pack_wv_rows(flat_h, w27, vel_s, 2048, aff=aff)
-    d_cm = pt.scatter_wv_cm(wv, flat_h, lay.ncells,
-                            interpret=interpret)                 # (128, NC)
-    acc = ps.reduce_haloed(d_cm.reshape(128, lay.xr, lay.lwr), n,
-                           bx=lay.bx, lblk=lay.lblk,
-                           interpret=interpret)                  # (4,nxb,l)
-    accn = acc[:, :n, :n * n].reshape(4, n, n, n)
+    if fused_scatter:
+        # one kernel: per-window accumulate + in-VMEM shift-reduce; the
+        # (128, ncells) intermediate never exists (see pallas_transfer)
+        d4 = pt.scatter_wv_fused(wv, flat_h, lay.xr, lay.lwr, n,
+                                 interpret=interpret)   # (4, XR, LWR+512)
+        accn = d4[:, ps._XH:ps._XH + n,
+                  256 + ps._LH:256 + ps._LH + n * n].reshape(4, n, n, n)
+    else:
+        d_cm = pt.scatter_wv_cm(wv, flat_h, lay.ncells,
+                                interpret=interpret)             # (128, NC)
+        acc = ps.reduce_haloed(d_cm.reshape(128, lay.xr, lay.lwr), n,
+                               bx=lay.bx, lblk=lay.lblk,
+                               interpret=interpret)              # (4,nxb,l)
+        accn = acc[:, :n, :n * n].reshape(4, n, n, n)
 
     coords = np.abs(np.arange(-bound, bound + 1))
     win = coords <= bound - 2

@@ -206,6 +206,33 @@ def test_channel_major_grid_phase_matches(state):
                                atol=1e-6, rtol=1e-6)
 
 
+def test_fused_scatter_matches_materialized(state):
+    """scatter_wv_fused (in-kernel shift-reduce) vs scatter_wv_cm +
+    reduce_haloed, FLIP and APIC rows, interpret mode."""
+    scene, solid, st = state
+    B = BOUND
+    lay = tp.HaloLayout(2 * B + 1)
+    rng = np.random.default_rng(3)
+    aff = jnp.asarray(rng.normal(scale=0.5, size=(st.pos.shape[0], 3, 3)),
+                      jnp.float32)
+    for use_aff in (None, aff):
+        if use_aff is None:
+            pos, vel, flat = tp.sort_by_cell_h(st.pos, st.vel, B, lay)
+            aff_s = None
+        else:
+            pos, vel, flat, aff_f = tp.sort_by_cell_h(
+                st.pos, st.vel, B, lay, extra=use_aff.reshape(-1, 9))
+            aff_s = aff_f.reshape(-1, 3, 3)
+        a = tp.p2g_pallas(pos, vel, flat, solid, B, lay, "flip",
+                          aff=aff_s, interpret=True, fused_scatter=True)
+        b = tp.p2g_pallas(pos, vel, flat, solid, B, lay, "flip",
+                          aff=aff_s, interpret=True, fused_scatter=False)
+        for name, x, y in (("weights", a[0], b[0]), ("momentum", a[1], b[1]),
+                           ("occupancy", a[2], b[2])):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=1e-5, rtol=1e-5, err_msg=name)
+
+
 def test_fused_table_matches_materialized(state):
     """gather_wv_fused (in-kernel window build) vs expand_haloed +
     gather_wv_cm, both interpret-mode, FLIP (nout=8) and APIC (nout=24)."""
