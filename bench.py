@@ -113,7 +113,8 @@ def main():
         # single-chip envelope; see docs/architecture.md)
         for tag, bound, density in (("flip_65cube", 32, 10.0),
                                     ("flip_129cube_2M", 64, 25.0),
-                                    ("flip_193cube_4M", 96, 15.0)):
+                                    ("flip_193cube_4M", 96, 15.0),
+                                    ("flip_255cube_10M", 127, 16.0)):
             details[tag] = measure_tpu(bound, density, args.warmup, args.frames)
         sim = FlipSim(get_scene("water_cube_drop", bound=64, density=25.0),
                       params=FlipParams(bound=64, wall=62, mode="apic"))

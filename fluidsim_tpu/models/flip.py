@@ -186,26 +186,38 @@ def project(params: FlipParams, velg, fluid, solid, dt, p0=None,
     # (Npx, L) result in scoped VMEM inside the APIC step at 129^3.)
     packed = bool(params.pallas_transfer)
     if packed:
-        from fluidsim_tpu.ops.pallas_stencil import (
-            apply_laplacian_padded, pad_x, pick_bx, unpad_x)
+        from fluidsim_tpu.ops import pallas_stencil as pst
         nn = fluid.shape[0]
         # Block size: largest whose scratch fits scoped VMEM (129^3 -> 32,
         # 193^3 -> 16; see pick_bx).  APIC caps at 16: at bx=32 the kernel
         # scratch plus XLA's stack-allocated copy of the (Npx, L) operand
         # overflowed the 16 MB budget in the APIC step program at 129^3
-        # even though the scratch alone fit.
-        bxs = pick_bx(nn, cap=16 if params.mode == "apic" else 32)
-        ad_p = pad_x(adiag, bx=bxs)
+        # even though the scratch alone fit.  Past ~200^3 the full-row
+        # window itself exceeds VMEM and pick_layout switches to the
+        # lane-blocked kernel (256-lane halos instead of in-row rolls).
+        mode_, bxs, lblk = pst.pick_layout(
+            nn, cap=16 if params.mode == "apic" else 32)
+        if mode_ == "row":
+            pad = lambda q: pst.pad_x(q, bx=bxs)
+            unpad = lambda q: pst.unpad_x(q, nn, bx=bxs)
+            apply_k = pst.apply_laplacian_padded
+            kw = dict(bx=bxs)
+        else:
+            pad = lambda q: pst.pad_x_lh(q, bx=bxs, lblk=lblk)
+            unpad = lambda q: pst.unpad_x_lh(q, nn, bx=bxs, lblk=lblk)
+            apply_k = pst.apply_laplacian_padded_lh
+            kw = dict(bx=bxs, lblk=lblk)
+        ad_p = pad(adiag)
         scale = dt / (rho * dx * dx)
-        apply_a = lambda q: apply_laplacian_padded(q, ad_p, scale, nn, bx=bxs)
+        apply_a = lambda q: apply_k(q, ad_p, scale, nn, **kw)
         safe_ad = jnp.where(ad_p > 0, ad_p, 1.0)
         precond = lambda r: jnp.where(ad_p > 0, r / safe_ad, 0.0)
 
         def solve(b, x0):
-            res = pcg(apply_a, pad_x(b, bx=bxs), x0=pad_x(x0, bx=bxs),
+            res = pcg(apply_a, pad(b), x0=pad(x0),
                       precond=precond,
                       rtol=params.pcg_rtol, maxiter=params.pcg_maxiter)
-            return unpad_x(res.x, nn, bx=bxs), res.iters
+            return unpad(res.x), res.iters
     else:
         apply_a = lambda p: pr.apply_laplacian(p, adiag, fluid, dt, rho, dx)
         if params.preconditioner == "multigrid":

@@ -122,7 +122,147 @@ def pick_bx(n: int, cap: int = 32, budget_bytes: int = 9_000_000):
             return bx
     raise ValueError(
         f"no stencil block size fits scoped VMEM at N={n} "
-        f"(L={l}; the packed solve tops out around 200^3 single-chip)")
+        f"(L={l}; use the lane-blocked layout — pick_layout)")
+
+
+# ---- lane-blocked variant (grids whose full y/z plane exceeds VMEM) --------
+#
+# Past ~200^3 a full (bx+16, L)-row window no longer fits scoped VMEM, so
+# the grid gains a second (lane) dimension: rows carry a 256-lane zero halo
+# on each side (256 >= the widest in-row neighbour shift, y = +-n, so
+# n <= 256) and every neighbour becomes a STATIC lane slice of the block's
+# (bx+16, lblk+512) window instead of a full-row roll.  Halo lanes read
+# zeros exactly where the true neighbour is a solid wall (same argument as
+# the roll wrap-around); interior block edges read the real neighbour
+# values from the adjacent block's lanes via the window overlap.  Edge lane
+# blocks re-zero their halo lanes on output so every CG vector keeps
+# exactly-zero halos without a separate init pass.
+
+_LHS = 256  # lane halo (>= max in-row shift n; 128-aligned)
+
+
+def _kernel_lh(scale_ref, p_hbm, a_hbm, out_hbm, p_buf, a_buf, out_buf, sems,
+               *, bx, n, npx, lblk, nlb):
+    i = pl.program_id(0)
+    jj = pl.program_id(1)
+    scale = scale_ref[0]
+    start = i * bx
+    wstart = pl.multiple_of(jnp.clip(start - 8, 0, npx - (bx + _W)), 8)
+    d0 = pl.multiple_of(start - wstart, 8)
+    lw = lblk + 2 * _LHS
+
+    cp_p = pltpu.make_async_copy(
+        p_hbm.at[pl.ds(wstart, bx + _W), pl.ds(jj * lblk, lw)], p_buf,
+        sems.at[0])
+    cp_a = pltpu.make_async_copy(
+        a_hbm.at[pl.ds(wstart, bx + _W), pl.ds(jj * lblk, lw)], a_buf,
+        sems.at[1])
+    cp_p.start()
+    cp_a.start()
+    cp_p.wait()
+    cp_a.wait()
+
+    def q_at(off, rows):
+        off = pl.multiple_of(off, 8)
+        return jnp.where(a_buf[pl.ds(off, rows)] > 0,
+                         p_buf[pl.ds(off, rows)], 0.0)       # (rows, LW)
+
+    q = q_at(d0, bx)
+    mid = q[:, _LHS:_LHS + lblk]
+    prev8 = q_at(pl.multiple_of(jnp.maximum(d0 - 8, 0), 8), 8)
+    next8 = q_at(pl.multiple_of(jnp.minimum(d0 + bx, bx + _W - 8), 8), 8)
+    x_minus = jnp.concatenate([prev8[7:8, _LHS:_LHS + lblk], mid[:-1]], 0)
+    x_plus = jnp.concatenate([mid[1:], next8[0:1, _LHS:_LHS + lblk]], 0)
+    y_minus = q[:, _LHS - n:_LHS - n + lblk]     # out[l] = q[l - n]
+    y_plus = q[:, _LHS + n:_LHS + n + lblk]
+    z_minus = q[:, _LHS - 1:_LHS - 1 + lblk]
+    z_plus = q[:, _LHS + 1:_LHS + 1 + lblk]
+
+    a_mid = a_buf[pl.ds(pl.multiple_of(d0, 8), bx), _LHS:_LHS + lblk]
+    acc = (a_mid * mid
+           - scale * (x_minus + x_plus + y_minus + y_plus + z_minus + z_plus))
+    out_buf[:, _LHS:_LHS + lblk] = jnp.where(a_mid > 0, acc, 0.0)
+    cp = pltpu.make_async_copy(
+        out_buf.at[:, pl.ds(_LHS, lblk)],
+        out_hbm.at[pl.ds(start, bx), pl.ds(_LHS + jj * lblk, lblk)],
+        sems.at[2])
+    cp.start()
+
+    # edge lane blocks also (re-)zero their row range's halo lanes so CG
+    # vectors produced by this apply keep exactly-zero halos
+    out_buf[:, :_LHS] = jnp.zeros_like(out_buf[:, :_LHS])
+
+    @pl.when(jj == 0)
+    def _():
+        cp_l = pltpu.make_async_copy(
+            out_buf.at[:, pl.ds(0, _LHS)],
+            out_hbm.at[pl.ds(start, bx), pl.ds(0, _LHS)], sems.at[1])
+        cp_l.start()
+        cp_l.wait()
+
+    @pl.when(jj == nlb - 1)
+    def _():
+        cp_r = pltpu.make_async_copy(
+            out_buf.at[:, pl.ds(0, _LHS)],
+            out_hbm.at[pl.ds(start, bx), pl.ds(_LHS + nlb * lblk, _LHS)],
+            sems.at[1])
+        cp_r.start()
+        cp_r.wait()
+
+    cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("n", "bx", "lblk"))
+def apply_laplacian_padded_lh(p_pad, adiag_pad, scale, n: int, bx: int = 32,
+                              lblk: int = 8192):
+    """``A @ p`` on (Npx, 256 + Lp + 256) lane-haloed state arrays
+    (layout from ``pad_x_lh``)."""
+    npx, lwr = p_pad.shape
+    lp = lwr - 2 * _LHS
+    assert npx % bx == 0 and lp % lblk == 0 and n <= _LHS
+
+    return pl.pallas_call(
+        functools.partial(_kernel_lh, bx=bx, n=n, npx=npx, lblk=lblk,
+                          nlb=lp // lblk),
+        grid=(npx // bx, lp // lblk),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((npx, lwr), p_pad.dtype),
+        scratch_shapes=[pltpu.VMEM((bx + _W, lblk + 2 * _LHS), p_pad.dtype),
+                        pltpu.VMEM((bx + _W, lblk + 2 * _LHS), p_pad.dtype),
+                        pltpu.VMEM((bx, lblk + 2 * _LHS), p_pad.dtype),
+                        pltpu.SemaphoreType.DMA((3,))],
+    )(jnp.asarray([scale], p_pad.dtype), p_pad, adiag_pad)
+
+
+def pad_x_lh(a, bx: int = 32, lblk: int = 8192):
+    """(N,N,N) -> (Npx, 256 + Lp + 256), Lp = roundup(N^2, lblk); zero lane
+    halos, 8 leading zero rows, >= bx+8-row zero tail."""
+    n = a.shape[0]
+    lp = -(-(n * n) // lblk) * lblk
+    npx = -(-(8 + n + bx + 8) // bx) * bx
+    flat = a.reshape(n, n * n)
+    flat = jnp.pad(flat, ((0, 0), (_LHS, lp - n * n + _LHS)))
+    return jnp.pad(flat, ((8, npx - n - 8), (0, 0)))
+
+
+def unpad_x_lh(a_pad, n: int, bx: int = 32, lblk: int = 8192):
+    return a_pad[8:8 + n, _LHS:_LHS + n * n].reshape(n, n, n)
+
+
+def pick_layout(n: int, cap: int = 32):
+    """(mode, bx, lblk) for the packed solve: the full-row kernel where its
+    scratch fits scoped VMEM, the lane-blocked kernel beyond."""
+    try:
+        return ("row", pick_bx(n, cap=cap), 0)
+    except ValueError:
+        if n > _LHS:
+            raise ValueError(
+                f"lane-blocked stencil needs n <= {_LHS} (got {n}); larger "
+                "grids take the sharded path") from None
+        return ("lane", min(cap, 32), 8192)
 
 
 def pad_x(a, bx: int = 32):

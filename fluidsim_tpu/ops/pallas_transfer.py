@@ -835,8 +835,8 @@ def scatter_wv_fused(wv_rows, flat_s, xr: int, lwr: int, n: int,
     """Fused ``scatter_wv_cm`` + 27-offset shift-reduce: returns the
     4-channel haloed grid sums directly.
 
-    wv_rows: (P_pad, 128) packed rows (``pack_wv_rows``) with haloed flat
-    ids.  Returns (4, xr, lwr + 512) float32 — live lanes shifted +256
+    wv_rows: (P_pad, 128) packed rows (``pack_wv_rows``, window-local ids).
+    Returns (4, xr, lwr + 512) float32 — live lanes shifted +256
     (``out[g, x, 256 + i] = sum_{o, flat==x*lwr+i-off} w27*[1,v]``); halo
     rows/lanes hold the out-of-box spill the callers slice away.  Matches
     ``reduce_haloed(scatter_wv_cm(...))`` up to f32 summation order.

@@ -49,20 +49,25 @@ def main():
     null = timeit(jax.jit(lambda x: jnp.sum(x[:128])), pos)
     print(f"null             {null:7.1f} ms")
 
-    for w, t in ((512, 2048), (512, 4096), (1024, 2048), (1024, 4096),
-                 (512, 8192), (1024, 8192), (2048, 4096)):
+    for w, t, wc in ((512, 2048, 256), (512, 4096, 256), (1024, 2048, 256),
+                     (1024, 4096, 256), (256, 2048, 256), (256, 4096, 256),
+                     (256, 1024, 256), (512, 2048, 512), (512, 1024, 256),
+                     (512, 2048, 128)):
         wv, _ = pt.pack_wv_rows(flat, w27, vel, t, w=w)
 
         def f_sc(wv, flat):
-            d4 = pt.scatter_wv_fused(wv, flat, lay.xr, lay.lwr, n, w=w, t=t)
+            d4 = pt.scatter_wv_fused(wv, flat, lay.xr, lay.lwr, n, w=w, t=t,
+                                     wc=wc)
             return d4[0, 64, 4096]
 
         try:
             ms = timeit(jax.jit(f_sc), wv, flat)
         except Exception as e:  # noqa: BLE001
-            print(f"scatter w={w:5d} t={t:5d}  FAILED: {type(e).__name__}")
+            print(f"scatter w={w:5d} t={t:5d} wc={wc:4d}  "
+                  f"FAILED: {type(e).__name__}")
             continue
-        print(f"scatter w={w:5d} t={t:5d}  {ms - null:7.1f} ms", flush=True)
+        print(f"scatter w={w:5d} t={t:5d} wc={wc:4d}  {ms - null:7.1f} ms",
+              flush=True)
 
     # gather sweep (fused table)
     fm = jnp.ones((4, n, n * n), jnp.float32)

@@ -37,3 +37,37 @@ def test_pad_roundtrip():
     a = jnp.asarray(rng.normal(size=(17, 17, 17)), jnp.float32)
     np.testing.assert_array_equal(np.asarray(unpad_x(pad_x(a), 17)),
                                   np.asarray(a))
+
+
+@pytest.mark.parametrize("bound,inner,lblk", [(8, 5, 128), (16, 10, 256)])
+def test_lane_blocked_matches_xla_apply(bound, inner, lblk):
+    """The lane-blocked variant (big grids: static lane slices over 256-lane
+    halos instead of full-row rolls) vs the XLA reference."""
+    from fluidsim_tpu.ops.pallas_stencil import (apply_laplacian_padded_lh,
+                                                 pad_x_lh, unpad_x_lh)
+
+    spec = GridSpec(bound=bound, wall=bound - 2)
+    solid = jnp.asarray(spec.wall_mask())
+    fluid = jnp.asarray(spec.within_mask(inner)) & ~solid
+    dt, rho, dx = 0.1, 1.0, 1.0
+    adiag = pr.laplacian_diag(fluid, solid, dt, rho, dx)
+    rng = np.random.default_rng(2)
+    x = jnp.where(fluid, jnp.asarray(rng.normal(size=spec.shape), jnp.float32), 0)
+    ref = pr.apply_laplacian(x, adiag, fluid, dt, rho, dx)
+    with pltpu.force_tpu_interpret_mode():
+        out = unpad_x_lh(
+            apply_laplacian_padded_lh(pad_x_lh(x, lblk=lblk),
+                                      pad_x_lh(adiag, lblk=lblk),
+                                      dt / (rho * dx * dx), spec.n,
+                                      lblk=lblk),
+            spec.n, lblk=lblk)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
+    # output halo lanes must be exactly zero (CG vectors reuse the layout)
+    with pltpu.force_tpu_interpret_mode():
+        full = apply_laplacian_padded_lh(pad_x_lh(x, lblk=lblk),
+                                         pad_x_lh(adiag, lblk=lblk),
+                                         dt / (rho * dx * dx), spec.n,
+                                         lblk=lblk)
+    np.testing.assert_array_equal(np.asarray(full[:, :256]), 0.0)
+    np.testing.assert_array_equal(np.asarray(full[:, -256:]), 0.0)
