@@ -39,6 +39,39 @@ def test_pad_roundtrip():
                                   np.asarray(a))
 
 
+def test_lane_blocked_projection_matches(monkeypatch):
+    """project() with the lane-blocked packed solve (big-grid layout,
+    forced here via pick_layout) must match the XLA-layout projection."""
+    import dataclasses
+    import jax
+    from fluidsim_tpu.models.flip import FlipSim, FlipParams, project
+    from fluidsim_tpu.scenes import get_scene
+    from fluidsim_tpu.ops import transfer_fast as tf
+    from fluidsim_tpu.ops import transfer as tr
+    import fluidsim_tpu.ops.pallas_stencil as pst
+
+    scene = get_scene("water_cube_drop", bound=8, density=3.0)
+    sim = FlipSim(scene)
+    for _ in range(3):
+        sim.step()
+    st = sim.state
+    params = FlipParams(bound=8, wall=scene.spec.wall)
+    pos, vel, flat = tf.sort_by_cell(st.pos, st.vel, 8)
+    w, mom, occ = tf.p2g_fused(pos, vel, flat, sim.solid, 8, "flip")
+    velg = tr.normalize_velocity(w, mom)
+    fluid = (occ > 0) & (~sim.solid)
+    dt = jnp.asarray(0.1, jnp.float32)
+
+    ref = project(params, velg, fluid, sim.solid, dt)
+    monkeypatch.setattr(pst, "pick_layout", lambda n, cap=32: ("lane", 16, 128))
+    with pltpu.force_tpu_interpret_mode():
+        out = project(dataclasses.replace(params, pallas_transfer=True),
+                      velg, fluid, sim.solid, dt)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                               atol=5e-4, rtol=1e-3)
+    assert int(out[2]) == int(ref[2])
+
+
 @pytest.mark.parametrize("bound,inner,lblk", [(8, 5, 128), (16, 10, 256)])
 def test_lane_blocked_matches_xla_apply(bound, inner, lblk):
     """The lane-blocked variant (big grids: static lane slices over 256-lane
