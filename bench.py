@@ -127,21 +127,22 @@ def main():
         details["apic_129cube_2M"] = {
             "steps_per_sec": args.frames / (time.time() - t0),
             "particles": sim.num_particles}
-        # config 2: MPM cone at reference scale
+        # config 2: MPM cone at reference scale, measured via the scan-
+        # chunked production path (steps(50) = one dispatch for 50 frames;
+        # per-step measurement of this tiny 31^3 workload is tunnel-noisy)
         msim = MpmSim("mpm_cone")
-        for _ in range(3):
-            _ = float(msim.step()["kinetic_energy"])
-        t0 = time.time()
-        for _ in range(50):
-            m = msim.step()
-        _ = float(m["kinetic_energy"])      # window-end sync
+        _ = float(msim.steps(50)["kinetic_energy"][-1])     # compile + warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            m = msim.steps(50)
+            _ = float(m["kinetic_energy"][-1])
+            best = min(best, time.time() - t0)
         details["mpm_cone_ref"] = {
-            "steps_per_sec": 50 / (time.time() - t0),
+            "steps_per_sec": 50 / best,
             "particles": msim.num_particles,
-            "note": "suite single-window measurement; standalone best-of-2 "
-                    "with window-end sync measures 13.3 steps/s (75 ms/"
-                    "frame) — the tiny 31^3 workload is tunnel-dispatch-"
-                    "bound and noisy"}
+            "note": "scan-chunked (50 frames/dispatch); device-bound at "
+                    "this scale"}
         # NOTE: a scaled-MPM config (63^3 cone, 46k particles) exists —
         # mpm_cone(bound=31) with fast_transfer — and compiles+runs on CPU
         # (17 s compile), but the axon remote TPU compiler hangs on that

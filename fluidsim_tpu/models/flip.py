@@ -71,6 +71,11 @@ class FlipParams:
                                      # enables the analytic bounce probe
                                      # (auto-detected by FlipSim)
     preconditioner: str = "jacobi"  # "jacobi" or "multigrid" (V-cycle)
+    stencil_bx_cap: int = 0  # extra cap on the packed-solve block size
+    # (0 = auto).  Set to 16 inside lax.scan-wrapped steps: XLA
+    # stack-allocates the packed operand in scoped VMEM alongside the
+    # kernel scratch in nested-loop programs (same mechanism as the APIC
+    # cap), observed to OOM at 129^3 @ bx=32 under scan.
     # multigrid cuts CG iterations ~10x (110 -> 11 at 129^3) but the
     # V-cycle overhead makes it a wash on these easy systems (the
     # reference outer tolerance is loose); it is the right tool when
@@ -195,8 +200,10 @@ def project(params: FlipParams, velg, fluid, solid, dt, p0=None,
         # even though the scratch alone fit.  Past ~200^3 the full-row
         # window itself exceeds VMEM and pick_layout switches to the
         # lane-blocked kernel (256-lane halos instead of in-row rolls).
-        mode_, bxs, lblk = pst.pick_layout(
-            nn, cap=16 if params.mode == "apic" else 32)
+        cap = 16 if params.mode == "apic" else 32
+        if params.stencil_bx_cap:
+            cap = min(cap, params.stencil_bx_cap)
+        mode_, bxs, lblk = pst.pick_layout(nn, cap=cap)
         if mode_ == "row":
             pad = lambda q: pst.pad_x(q, bx=bxs)
             unpad = lambda q: pst.unpad_x(q, nn, bx=bxs)
@@ -506,6 +513,7 @@ class FlipSim:
             t=jnp.zeros((), dtype), frame=jnp.zeros((), jnp.int32),
             aff=aff, pressure=jnp.zeros(scene.spec.shape, dtype))
         self._step = jax.jit(partial(flip_step, params), donate_argnums=(1,))
+        self._scan = {}
 
     @property
     def num_particles(self) -> int:
@@ -515,11 +523,54 @@ class FlipSim:
         self.state, metrics = self._step(self.solid, self.state)
         return metrics
 
-    def run(self, frames: int, callback=None, check: bool = True):
+    def steps(self, k: int) -> Dict[str, Any]:
+        """Run ``k`` frames in ONE device dispatch (``lax.scan`` over the
+        jitted step).  Per-frame host dispatch costs ~10 ms at 129^3 (and
+        dominates entirely at MPM's 31^3) over the remote-TPU tunnel;
+        production 500-frame runs only need host contact at export points,
+        so the scan amortises it.  Returns stacked per-frame metrics
+        (leaves get a leading (k,) axis); grid-sized metrics (occupancy)
+        are dropped from the stack — use ``step()``/``state`` when a frame
+        grid is needed (e.g. per-frame VDB export)."""
+        if k not in self._scan:
+            params = self.params
+
+            if params.pallas_transfer and not params.stencil_bx_cap:
+                params = dataclasses.replace(params, stencil_bx_cap=16)
+
+            def runk(solid, state):
+                def body(state, _):
+                    state, metrics = flip_step(params, solid, state)
+                    metrics.pop("occupancy")
+                    return state, metrics
+
+                return jax.lax.scan(body, state, None, length=k)
+
+            self._scan[k] = jax.jit(runk, donate_argnums=(1,))
+        self.state, metrics = self._scan[k](self.solid, self.state)
+        return metrics
+
+    def run(self, frames: int, callback=None, check: bool = True,
+            chunk: int = 1):
         """Frame loop (``fluid.cc:1368``); callback(frame, state, metrics)
-        runs host-side (export, logging)."""
+        runs host-side (export, logging).  ``chunk`` > 1 scans that many
+        frames per dispatch (callback then fires once per chunk with the
+        stacked metrics and the chunk's FINAL state)."""
         from fluidsim_tpu.utils.profiling import check_finite
         out = None
+        if chunk > 1:
+            done = 0
+            while done < frames:
+                k = min(chunk, frames - done)
+                metrics = self.steps(k)
+                done += k
+                frame = int(self.state.frame) - 1
+                if check:
+                    check_finite({m: v[-1] for m, v in metrics.items()}, frame)
+                if callback is not None:
+                    callback(frame, self.state, metrics)
+                out = metrics
+            return out
         for _ in range(frames):
             metrics = self.step()
             frame = int(self.state.frame) - 1

@@ -299,6 +299,7 @@ class MpmSim:
             dt=jnp.asarray(params.max_dt, dtype),
             t=jnp.zeros((), dtype), frame=jnp.zeros((), jnp.int32))
         self._step = jax.jit(partial(mpm_step, params), donate_argnums=(1,))
+        self._scan = {}
 
     @property
     def num_particles(self) -> int:
@@ -308,9 +309,42 @@ class MpmSim:
         self.state, metrics = self._step(self.solid, self.state)
         return metrics
 
-    def run(self, frames: int, callback=None, check: bool = True):
+    def steps(self, k: int):
+        """Run ``k`` frames in ONE device dispatch (see ``FlipSim.steps``).
+        At the reference's 31^3 workload the per-frame compute is sub-ms and
+        the tunnel dispatch dominates, so this is the production path."""
+        if k not in self._scan:
+            params = self.params
+
+            def runk(solid, state):
+                def body(state, _):
+                    state, metrics = mpm_step(params, solid, state)
+                    metrics.pop("occupancy")
+                    return state, metrics
+
+                return jax.lax.scan(body, state, None, length=k)
+
+            self._scan[k] = jax.jit(runk, donate_argnums=(1,))
+        self.state, metrics = self._scan[k](self.solid, self.state)
+        return metrics
+
+    def run(self, frames: int, callback=None, check: bool = True,
+            chunk: int = 1):
         from fluidsim_tpu.utils.profiling import check_finite
         out = None
+        if chunk > 1:
+            done = 0
+            while done < frames:
+                k = min(chunk, frames - done)
+                metrics = self.steps(k)
+                done += k
+                frame = int(self.state.frame) - 1
+                if check:
+                    check_finite({m: v[-1] for m, v in metrics.items()}, frame)
+                if callback is not None:
+                    callback(frame, self.state, metrics)
+                out = metrics
+            return out
         for _ in range(frames):
             metrics = self.step()
             frame = int(self.state.frame) - 1

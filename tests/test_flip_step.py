@@ -114,3 +114,40 @@ def test_walls_only_autodetect():
     assert FlipSim(get_scene("water_cube_drop", bound=12,
                              density=2.0)).params.walls_only_solid
     assert not FlipSim(get_scene("two_blocks")).params.walls_only_solid
+
+
+def test_scan_steps_match_per_step():
+    """steps(k) (lax.scan, one dispatch) must be bit-identical to k calls
+    of step(); run(chunk=) must handle a partial tail chunk."""
+    a = FlipSim(get_scene("water_cube_drop", bound=10, density=3.0))
+    b = FlipSim(get_scene("water_cube_drop", bound=10, density=3.0))
+    c = FlipSim(get_scene("water_cube_drop", bound=10, density=3.0))
+    for _ in range(5):
+        ma = a.step()
+    mb = b.steps(5)
+    np.testing.assert_array_equal(np.asarray(a.state.pos),
+                                  np.asarray(b.state.pos))
+    np.testing.assert_array_equal(np.asarray(a.state.vel),
+                                  np.asarray(b.state.vel))
+    assert float(ma["kinetic_energy"]) == float(mb["kinetic_energy"][-1])
+    assert mb["kinetic_energy"].shape == (5,)
+    assert "occupancy" not in mb
+
+    c.run(5, chunk=3)        # 3 + tail 2
+    np.testing.assert_array_equal(np.asarray(c.state.pos),
+                                  np.asarray(a.state.pos))
+
+
+def test_mpm_scan_steps_match_per_step():
+    from fluidsim_tpu.models.mpm import MpmSim
+
+    m1 = MpmSim("mpm_cone", density=40.0)
+    m2 = MpmSim("mpm_cone", density=40.0)
+    for _ in range(4):
+        a = m1.step()
+    b = m2.steps(4)
+    np.testing.assert_array_equal(np.asarray(m1.state.pos),
+                                  np.asarray(m2.state.pos))
+    np.testing.assert_array_equal(np.asarray(m1.state.FE),
+                                  np.asarray(m2.state.FE))
+    assert float(a["kinetic_energy"]) == float(b["kinetic_energy"][-1])
