@@ -32,7 +32,7 @@ from fluidsim_tpu.core.splines import grad_w_mpm
 from fluidsim_tpu.ops import transfer
 from fluidsim_tpu.ops.pcg import pcg
 from fluidsim_tpu.ops.svd3 import (piola_corotated, piola_linearized,
-                                   hardening, clamp_singular, det3)
+                                   hardening, clamp_singular, det3, mm3)
 from fluidsim_tpu.models.flip import advect_bounce
 from fluidsim_tpu.ops.smallmat import apply_mat27, outer_sum27
 from fluidsim_tpu.scenes import Scene, get_scene
@@ -70,6 +70,12 @@ class MpmParams:
     fast_transfer: bool = False  # sorted channel-fused transfers (ops.mpm_fast);
     # default off at reference scale (31^3 / ~6k particles, where the naive
     # path is already sub-ms); turn on for scaled-up MPM scenes.
+    sort_particles: bool = True  # naive path: sort the particle state by
+    # base-cell id each frame.  TPU gathers/scatters move one row per index
+    # and run ~6x faster on sorted ids; the unsorted force scatter (167k
+    # rows at the reference cone) dominated the frame (measured 29 ms of a
+    # 73 ms frame for ONE force evaluation).  Changes only particle order
+    # (f32 sums reorder within the soak/parity tolerances).
     walls_only_solid: bool = False  # scene solid == box walls exactly;
     # enables the analytic bounce probe (auto-detected by MpmSim)
 
@@ -128,8 +134,8 @@ def make_force_fn(ids, gather_mask, scatter_mask, gradw, FE, volume, mu, lam, n3
     def forces(u_flat):
         u_nodes = u_flat[ids] * gm                      # (P, 27, 3)
         g = outer_sum27(u_nodes, gradw)                 # velocity-gradient-like
-        p_stress = p0 + dp(g @ FE)
-        sigma = p_stress @ fe_t
+        p_stress = p0 + dp(mm3(g, FE))
+        sigma = mm3(p_stress, fe_t)
         f_pk = -volume[:, None, None] * apply_mat27(sigma, gradw)
         return jnp.zeros((n3, 3), FE.dtype).at[ids.reshape(-1)].add(
             (f_pk * sm).reshape(-1, 3))
@@ -160,6 +166,10 @@ def mpm_step(params: MpmParams, solid, state: MpmState):
                        * rows_m[..., 0] * rows_m[..., 1], axis=1)
     else:
         volume_in = state.volume
+        if params.sort_particles:
+            from fluidsim_tpu.ops import mpm_fast as mf
+            pos, vel, fe_in, fp_in, volume_in, _ = mf.sort_mpm(
+                pos, vel, fe_in, fp_in, volume_in, B)
         # -- mass P2G (PointList::interpolate, mpm.cc:1343) --
         mass = transfer.p2g_mass(pos, solid, B, params.kernel)
 
@@ -226,11 +236,11 @@ def mpm_step(params: MpmParams, solid, state: MpmState):
     scale_g = jnp.minimum(1.0, params.max_gradv_dt / jnp.maximum(dt * gmax, 1e-12))
     gradv = gradv * scale_g[:, None, None]
     eye = jnp.eye(3, dtype=pos.dtype)
-    t_fe = (eye + dt * gradv) @ fe_in
-    f_total = t_fe @ fp_in
+    t_fe = mm3(eye + dt * gradv, fe_in)
+    f_total = mm3(t_fe, fp_in)
     fe_new, v_sinv_ut = clamp_singular(t_fe, 1.0 - params.theta_c,
                                        1.0 + params.theta_s)
-    fp_new = v_sinv_ut @ f_total
+    fp_new = mm3(v_sinv_ut, f_total)
 
     # -- FLIP advect (mpm.cc:1418, FLIPadvect 906-968) --
     vc_new = cell_center_velocity(velg)

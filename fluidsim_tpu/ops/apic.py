@@ -98,9 +98,9 @@ def g2p_apic(pos_s, flat_s, vc, bound: int, wall: int, kernel: str = "flip"):
     dreg = dmat + 1e-3 * eye
     # closed-form inverse via adjugate/det (dreg is SPD 3x3): batched
     # jnp.linalg.solve costs ~8x the whole G2P at 2M particles on TPU.
-    from fluidsim_tpu.ops.svd3 import cofactor3, det3
+    from fluidsim_tpu.ops.svd3 import cofactor3, det3, mm3
     det = det3(dreg)
     inv = jnp.swapaxes(cofactor3(dreg), -1, -2) / det[..., None, None]
-    c = b @ inv
+    c = mm3(b, inv)
     c = jnp.where(den[:, None, None] != 0, c, 0.0)
     return vel, c

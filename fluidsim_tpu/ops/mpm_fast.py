@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from fluidsim_tpu.core.splines import cround, grad_w_mpm
 from fluidsim_tpu.ops.transfer import _OFFSETS
 from fluidsim_tpu.ops.transfer_fast import _shift3
-from fluidsim_tpu.ops.svd3 import piola_corotated, piola_linearized
+from fluidsim_tpu.ops.svd3 import (piola_corotated, piola_linearized,
+                                   mm3)
 from fluidsim_tpu.ops.smallmat import apply_mat27, outer_sum27
 
 
@@ -116,8 +117,8 @@ def make_force_fn_fused(pos_s, flat_s, gradw, w27_valid, FE, volume, mu, lam,
         rows = gather_table(u, active, flat_s)          # (P, 27, 4)
         u_nodes = rows[..., :3] * rows[..., 3:4]
         g = outer_sum27(u_nodes, gradw)
-        p_stress = p0 + dp(g @ FE)
-        sigma = p_stress @ fe_t
+        p_stress = p0 + dp(mm3(g, FE))
+        sigma = mm3(p_stress, fe_t)
         f_pk = -volume[:, None, None] * apply_mat27(sigma, gradw)
         f_pk = f_pk * w27_valid[..., None]              # zero dead particles
         f = scatter_channels(flat_s, f_pk, bound)       # (N,N,N,3)

@@ -13,6 +13,7 @@ of two pyramid gathers.  Everything jit-safe, fixed shapes.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from fluidsim_tpu.ops.advect_volume import sample_trilinear
@@ -44,7 +45,9 @@ def affine_resample(src, matrix, translate, bound: int, order: int = 1):
     t = jnp.asarray(translate, src.dtype)
     n = src.shape[0]
     lattice = _target_lattice(bound, src.dtype).reshape(-1, 3)
-    src_pos = (lattice - t) @ jnp.linalg.inv(a).T
+    src_pos = jnp.einsum("...i,ji->...j", lattice - t,
+                         jnp.linalg.inv(a),
+                         precision=jax.lax.Precision.HIGHEST)
     if order == 0:
         cells = jnp.round(src_pos).astype(jnp.int32) + bound
         ok = jnp.all((cells >= 0) & (cells <= n - 1), axis=-1)

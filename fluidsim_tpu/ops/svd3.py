@@ -15,9 +15,140 @@ import jax
 import jax.numpy as jnp
 
 
+
+def mm3(a, b):
+    """Batched small matmul at f32 precision.  A bare ``@`` lowers to an
+    MXU dot at DEFAULT (bf16-input) precision on TPU — measured 4e-3
+    relative error on the SVD outputs, which wrecked MPM's C++-oracle KE
+    parity (0.6 median vs 1e-4).  Every product in this module goes
+    through here."""
+    return jnp.einsum("...ij,...jk->...ik", a, b,
+                      precision=jax.lax.Precision.HIGHEST)
+
+def _rot_apply(a, v, p: int, q: int, c, s):
+    """Apply the Givens rotation J(p,q; c,s) as A <- J^T A J, V <- V J,
+    all in batched elementwise ops (A symmetric (...,3,3)).  Tiny 3x3
+    matmuls would pad to MXU tiles (see ops/smallmat.py); on the VPU this
+    is ~30 flops."""
+    r = 3 - p - q
+    app, aqq, apq = a[..., p, p], a[..., q, q], a[..., p, q]
+    arp, arq = a[..., r, p], a[..., r, q]
+    app_n = c * c * app - 2.0 * s * c * apq + s * s * aqq
+    aqq_n = s * s * app + 2.0 * s * c * apq + c * c * aqq
+    arp_n = c * arp - s * arq
+    arq_n = s * arp + c * arq
+    zero = jnp.zeros_like(app)
+    ent = {(p, p): app_n, (q, q): aqq_n, (r, r): a[..., r, r],
+           (p, q): zero, (q, p): zero,
+           (r, p): arp_n, (p, r): arp_n, (r, q): arq_n, (q, r): arq_n}
+    a_n = jnp.stack([jnp.stack([ent[(i, j)] for j in range(3)], axis=-1)
+                     for i in range(3)], axis=-2)
+    vp, vq = v[..., :, p], v[..., :, q]
+    cn, sn = c[..., None], s[..., None]
+    vp_n = cn * vp - sn * vq
+    vq_n = sn * vp + cn * vq
+    cols = [v[..., :, 0], v[..., :, 1], v[..., :, 2]]
+    cols[p], cols[q] = vp_n, vq_n
+    return a_n, jnp.stack(cols, axis=-1)
+
+
+def _jacobi_eigh3(a, sweeps: int = 5):
+    """Batched symmetric 3x3 eigendecomposition by UNROLLED cyclic Jacobi
+    (no data-dependent control flow — ``jnp.linalg`` routines lower to
+    ``while_loop`` iterations that cost ~23 ms for a 6k batch on TPU; five
+    unrolled sweeps reach f32 machine precision and cost microseconds).
+    Returns (w, V) with A ~= V diag(w) V^T, V orthogonal."""
+    v = jnp.broadcast_to(jnp.eye(3, dtype=a.dtype), a.shape)
+    for _ in range(sweeps):
+        for p, q in ((0, 1), (0, 2), (1, 2)):
+            apq = a[..., p, q]
+            diff = a[..., q, q] - a[..., p, p]
+            # tan(2 theta) = 2 apq / diff, robust small-angle form
+            safe = jnp.where(jnp.abs(apq) > 0, apq, 1.0)
+            tau = diff / (2.0 * safe)
+            # tau == 0 (equal diagonal) takes the full 45-degree rotation:
+            # sign(0) would skip it while the update still zeroes apq by
+            # construction, silently deleting off-diagonal mass
+            sgn = jnp.where(tau >= 0, 1.0, -1.0)
+            t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+            t = jnp.where(jnp.abs(apq) > 0, t, 0.0)
+            c = 1.0 / jnp.sqrt(1.0 + t * t)
+            a, v = _rot_apply(a, v, p, q, c, t * c)
+    return jnp.stack([a[..., 0, 0], a[..., 1, 1], a[..., 2, 2]], axis=-1), v
+
+
+def _sort_desc3(w, v):
+    """Descending 3-element sort network on eigenvalues, permuting V's
+    columns along."""
+    cols = [v[..., :, 0], v[..., :, 1], v[..., :, 2]]
+    ws = [w[..., 0], w[..., 1], w[..., 2]]
+    for i, j in ((0, 1), (0, 2), (1, 2)):
+        sw = ws[i] < ws[j]
+        ws[i], ws[j] = (jnp.where(sw, ws[j], ws[i]),
+                        jnp.where(sw, ws[i], ws[j]))
+        cols[i], cols[j] = (jnp.where(sw[..., None], cols[j], cols[i]),
+                            jnp.where(sw[..., None], cols[i], cols[j]))
+    return jnp.stack(ws, axis=-1), jnp.stack(cols, axis=-1)
+
+
+def _cross(a, b):
+    return jnp.stack([a[..., 1] * b[..., 2] - a[..., 2] * b[..., 1],
+                      a[..., 2] * b[..., 0] - a[..., 0] * b[..., 2],
+                      a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]], axis=-1)
+
+
+def _unit(x, fallback):
+    n = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    ok = n > 1e-20
+    return jnp.where(ok, x / jnp.where(ok, n, 1.0), fallback)
+
+
 def svd3(F):
-    """Batched SVD of (..., 3, 3).  Thin wrapper for now; a closed-form
-    Cardano/Givens Pallas kernel can swap in here without API change."""
+    """Batched closed-form SVD of (..., 3, 3): eigendecomposition of F^T F
+    by unrolled Jacobi, U from F V / s with orthonormal completion for
+    (near-)singular values.  Same contract as
+    ``jnp.linalg.svd(F, full_matrices=False)``: s >= 0 descending, U/V
+    orthogonal with ``det(U V^T) = sign(det F)`` (Eigen::JacobiSVD
+    semantics — ``deformHeader.h:22-36`` takes R = U V^T unmodified)."""
+    a = mm3(jnp.swapaxes(F, -1, -2), F)
+    w, v = _jacobi_eigh3(a)
+    w, v = _sort_desc3(w, v)
+    s = jnp.sqrt(jnp.clip(w, 0.0, None))
+
+    # proper V (det +1): the sort's column swaps flip the determinant;
+    # eigenvector signs are free, so flip the last column to compensate
+    # (keeps u2 = sign(det F) * u0 x u1 exact below)
+    detv = det3(v)
+    v = v.at[..., :, 2].multiply(jnp.where(detv < 0, -1.0, 1.0)[..., None])
+
+    # U columns: F v_i = s_i u_i.  u0 from F v0; u1 by Gram-Schmidt of
+    # F v1 against u0 (exact in exact math, cleans f32 rounding, and
+    # degrades gracefully to SOME unit vector orthogonal to u0 when
+    # s1 ~ 0, where the column is arbitrary anyway); u2 exactly as
+    # sign(det F) * u0 x u1 (det V = +1, s >= 0).  No division by s, so
+    # near-singular values need no thresholds.
+    fv = mm3(F, v)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=F.dtype), F.shape)
+    u0 = _unit(fv[..., :, 0], eye[..., :, 0])
+    f1 = fv[..., :, 1]
+    g1 = f1 - jnp.sum(u0 * f1, axis=-1, keepdims=True) * u0
+    # rank-1 fallback: cross u0 with the axis least aligned with it
+    k = jnp.argmin(jnp.abs(u0), axis=-1)
+    ek = jax.nn.one_hot(k, 3, dtype=F.dtype)
+    u1_fb = _unit(_cross(u0, ek), eye[..., :, 1])
+    n1 = jnp.sqrt(jnp.sum(g1 * g1, axis=-1, keepdims=True))
+    ok1 = n1 > 1e-12 * jnp.maximum(s[..., 0:1], 1e-30)
+    u1 = jnp.where(ok1, g1 / jnp.where(ok1, n1, 1.0), u1_fb)
+    sgn = jnp.where(det3(F) < 0, -1.0, 1.0)[..., None]
+    u2 = sgn * _unit(_cross(u0, u1), eye[..., :, 2])
+
+    u = jnp.stack([u0, u1, u2], axis=-1)
+    return u, s, jnp.swapaxes(v, -1, -2)
+
+
+def svd3_xla(F):
+    """The ``jnp.linalg.svd`` route (iterative; slow on TPU at small
+    batches) — kept as the cross-validation oracle for ``svd3``."""
     return jnp.linalg.svd(F, full_matrices=False)
 
 
@@ -25,15 +156,15 @@ def svd3(F):
 def polar_rotation(F):
     """R = U V^T (``getR``, ``deformHeader.h:22-28``), batched (..., 3, 3)."""
     U, _, Vt = svd3(F)
-    return U @ Vt
+    return mm3(U, Vt)
 
 
 def polar_rs(F):
     """(R, S) of the polar decomposition F = R S (one SVD)."""
     U, s, Vt = svd3(F)
-    R = U @ Vt
+    R = mm3(U, Vt)
     V = jnp.swapaxes(Vt, -1, -2)
-    S = V @ (s[..., :, None] * Vt)
+    S = mm3(V, s[..., :, None] * Vt)
     return R, S
 
 
@@ -46,7 +177,8 @@ def polar_delta(R, S, dF):
     The 3x3 solve uses the closed-form adjugate inverse (M is symmetric and
     well-conditioned away from degenerate S).
     """
-    rhs = jnp.swapaxes(R, -1, -2) @ dF - jnp.swapaxes(dF, -1, -2) @ R
+    rhs = (mm3(jnp.swapaxes(R, -1, -2), dF)
+           - mm3(jnp.swapaxes(dF, -1, -2), R))
     v = jnp.stack([rhs[..., 0, 1], rhs[..., 0, 2], rhs[..., 1, 2]], axis=-1)
     m = jnp.stack([
         jnp.stack([S[..., 0, 0] + S[..., 1, 1], S[..., 1, 2], -S[..., 0, 2]], axis=-1),
@@ -56,14 +188,15 @@ def polar_delta(R, S, dF):
     det = det3(m)
     minv = jnp.swapaxes(cofactor3(m), -1, -2) / jnp.where(
         det != 0, det, 1.0)[..., None, None]
-    x = (minv @ v[..., None])[..., 0]
+    x = jnp.einsum("...ij,...j->...i", minv, v,
+                   precision=jax.lax.Precision.HIGHEST)
     zeros = jnp.zeros_like(x[..., 0])
     k = jnp.stack([
         jnp.stack([zeros, x[..., 0], x[..., 1]], axis=-1),
         jnp.stack([-x[..., 0], zeros, x[..., 2]], axis=-1),
         jnp.stack([-x[..., 1], -x[..., 2], zeros], axis=-1),
     ], axis=-2)
-    return R @ k
+    return mm3(R, k)
 
 
 @polar_rotation.defjvp
@@ -130,7 +263,8 @@ def piola_linearized(FE, mu, lam):
     def dP(dF):
         dR = polar_delta(R, S, dF)
         _, dcof = jax.jvp(cofactor3, (FE,), (dF,))   # polynomial jvp: cheap
-        cof_dF = jnp.einsum("...ij,...ij->...", cof, dF)
+        cof_dF = jnp.einsum("...ij,...ij->...", cof, dF,
+                            precision=jax.lax.Precision.HIGHEST)
         return (2.0 * mu[..., None, None] * (dF - dR)
                 + lam[..., None, None] * (cof_dF[..., None, None] * cof
                                           + (J - 1.0)[..., None, None] * dcof))
@@ -159,6 +293,7 @@ def clamp_singular(F, minv, maxv):
     (used for ``FP = Vsinv_Ut @ F``)."""
     U, s, Vt = svd3(F)
     sc = jnp.clip(s, minv, maxv)
-    fe = U @ (sc[..., :, None] * Vt)
-    v_sinv_ut = jnp.swapaxes(Vt, -1, -2) @ (jnp.swapaxes(U, -1, -2) / sc[..., :, None])
+    fe = mm3(U, sc[..., :, None] * Vt)
+    v_sinv_ut = mm3(jnp.swapaxes(Vt, -1, -2),
+                    jnp.swapaxes(U, -1, -2) / sc[..., :, None])
     return fe, v_sinv_ut

@@ -119,7 +119,8 @@ def p2g_pallas(pos_s, vel_s, flat_h, solid, bound: int,
         w27 = masked_weights(pos_s, bound, kernel)
     if aff is not None:
         e = cround(pos_s) - pos_s                       # (P, 3) base - pos
-        vel_s = vel_s + jnp.einsum("pck,pk->pc", aff, e)
+        vel_s = vel_s + jnp.einsum("pck,pk->pc", aff, e,
+                                   precision=jax.lax.Precision.HIGHEST)
     wv, _ = pt.pack_wv_rows(flat_h, w27, vel_s, 2048, aff=aff)
     if fused_scatter:
         # one kernel: per-window accumulate + in-VMEM shift-reduce; the
@@ -290,6 +291,7 @@ def g2p_apic_pallas(pos_s, flat_h, vc, bound: int, wall: int,
     dreg = dmat + 1e-3 * eye
     det = det3(dreg)
     inv = jnp.swapaxes(cofactor3(dreg), -1, -2) / det[..., None, None]
-    cm = b @ inv
+    from fluidsim_tpu.ops.svd3 import mm3
+    cm = mm3(b, inv)
     cm = jnp.where(den[:, None, None] != 0, cm, 0.0)
     return vel, cm

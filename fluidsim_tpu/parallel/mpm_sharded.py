@@ -29,7 +29,8 @@ from fluidsim_tpu.core.splines import cround, grad_w_mpm
 from fluidsim_tpu.core.gridspec import cell_center_velocity
 from fluidsim_tpu.ops import transfer
 from fluidsim_tpu.ops.pcg import pcg
-from fluidsim_tpu.ops.svd3 import piola_corotated, hardening, clamp_singular, det3
+from fluidsim_tpu.ops.svd3 import (piola_corotated, hardening,
+                                   clamp_singular, det3, mm3)
 from fluidsim_tpu.models.flip import advect_bounce
 from fluidsim_tpu.models.mpm import MpmParams
 from fluidsim_tpu.parallel.halo import exchange_halo, halo_reduce, migrate_neighbors
@@ -124,12 +125,14 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
         """u: (rows*n*n, 3) halo-extended displacement; returns scattered
         force differentials on the extended slab (pre halo-reduce)."""
         u_nodes = u_ext_flat[ids_ext] * gather_mask
-        gmat = jnp.einsum("pkd,pke->pde", u_nodes, gradw)
-        fe_new = state.FE + gmat @ state.FE
+        gmat = jnp.einsum("pkd,pke->pde", u_nodes, gradw,
+                          precision=jax.lax.Precision.HIGHEST)
+        fe_new = state.FE + mm3(gmat, state.FE)
         p_stress = piola_corotated(fe_new, mu, lam)
-        sigma = p_stress @ fe_t
-        f_pk = -vol_alive[:, None, None] * jnp.einsum("pde,pke->pkd",
-                                                      sigma, gradw)
+        sigma = mm3(p_stress, fe_t)
+        f_pk = -vol_alive[:, None, None] * jnp.einsum(
+            "pde,pke->pkd", sigma, gradw,
+            precision=jax.lax.Precision.HIGHEST)
         f_pk = f_pk * scatter_mask
         return jnp.zeros((rows * n * n, 3), pos.dtype).at[
             ids_ext.reshape(-1)].add(f_pk.reshape(-1, 3))
@@ -162,17 +165,18 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
     velg_ext = exchange_halo(velg, W, AX)
     v_nodes = _local_gather(velg_ext, cells + B, x0, nl, n, W) \
         * not_solid[..., None].astype(pos.dtype)
-    gradv = jnp.einsum("pkd,pke->pde", v_nodes, gradw)
+    gradv = jnp.einsum("pkd,pke->pde", v_nodes, gradw,
+                       precision=jax.lax.Precision.HIGHEST)
     gmax = jnp.max(jnp.abs(gradv), axis=(-2, -1))
     scale_g = jnp.minimum(1.0, params.max_gradv_dt
                           / jnp.maximum(dt * gmax, 1e-12))
     gradv = gradv * scale_g[:, None, None]
     eye = jnp.eye(3, dtype=pos.dtype)
-    t_fe = (eye + dt * gradv) @ state.FE
-    f_total = t_fe @ state.FP
+    t_fe = mm3(eye + dt * gradv, state.FE)
+    f_total = mm3(t_fe, state.FP)
     fe_new, v_sinv_ut = clamp_singular(t_fe, 1.0 - params.theta_c,
                                        1.0 + params.theta_s)
-    fp_new = v_sinv_ut @ f_total
+    fp_new = mm3(v_sinv_ut, f_total)
     fe_new = jnp.where(alive[:, None, None], fe_new, eye)
     fp_new = jnp.where(alive[:, None, None], fp_new, eye)
 

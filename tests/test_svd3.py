@@ -90,6 +90,43 @@ def test_hardening():
                                rtol=1e-5)
 
 
+def test_svd3_stress_cases():
+    """Closed-form svd3 vs numpy f64 SVD across regimes: random,
+    near-identity, tiny-singular-value, rank-1, zero, reflections, large
+    deformation.  Orthogonality is strict everywhere; reconstruction /
+    singular values are f32-tight except rank-deficient inputs, where the
+    F^T F squaring costs ~sqrt(eps_f32) (the spurious values carry no
+    physical weight — MPM keeps det F near 1)."""
+    rng = np.random.default_rng(0)
+    cases = [
+        ("random", np.eye(3) + 0.3 * rng.normal(size=(512, 3, 3)), 2e-5),
+        ("near-id", np.eye(3) + 1e-4 * rng.normal(size=(256, 3, 3)), 2e-5),
+        ("tiny-s2", rng.normal(size=(256, 3, 3))
+         * np.array([1, 1, 1e-7])[None, None, :], 2e-5),
+        ("rank-1", np.einsum("bi,bj->bij", rng.normal(size=(128, 3)),
+                             rng.normal(size=(128, 3))), 5e-4),
+        ("zero", np.zeros((4, 3, 3)), 2e-5),
+        ("reflect", -np.eye(3)[None] + 0.1 * rng.normal(size=(128, 3, 3)),
+         2e-5),
+        ("large", np.eye(3) + 0.99 * rng.normal(size=(512, 3, 3)), 1e-4),
+    ]
+    eye = np.eye(3)
+    for name, m, tol in cases:
+        F = jnp.asarray(m, jnp.float32)
+        U, s, Vt = svd3(F)
+        scale = max(1.0, np.abs(m).max())
+        rec = np.asarray(U @ (s[..., :, None] * Vt), np.float64)
+        assert np.abs(rec - np.asarray(F, np.float64)).max() / scale < tol, name
+        assert np.abs(np.asarray(U @ jnp.swapaxes(U, -1, -2),
+                                 np.float64) - eye).max() < 5e-5, name
+        assert np.abs(np.asarray(jnp.swapaxes(Vt, -1, -2) @ Vt,
+                                 np.float64) - eye).max() < 5e-5, name
+        s_ref = np.linalg.svd(np.asarray(m, np.float64), compute_uv=False)
+        assert np.abs(np.asarray(s, np.float64) - s_ref).max() / scale < tol, name
+        assert (np.asarray(s) >= 0).all() and (
+            np.diff(np.asarray(s), axis=-1) <= 1e-6).all(), name
+
+
 def test_clamp_singular_bounds_and_reconstruction():
     F = _random_f(8, scale=0.6, seed=5)
     minv, maxv = 1 - 0.025, 1 + 0.0075
