@@ -17,13 +17,24 @@ import jax.numpy as jnp
 
 
 def mm3(a, b):
-    """Batched small matmul at f32 precision.  A bare ``@`` lowers to an
-    MXU dot at DEFAULT (bf16-input) precision on TPU — measured 4e-3
-    relative error on the SVD outputs, which wrecked MPM's C++-oracle KE
-    parity (0.6 median vs 1e-4).  Every product in this module goes
-    through here."""
-    return jnp.einsum("...ij,...jk->...ik", a, b,
-                      precision=jax.lax.Precision.HIGHEST)
+    """Batched 3x3 matmul, unrolled to f32 elementwise VPU ops.  A bare
+    ``@`` lowers to an MXU dot at DEFAULT (bf16-input) precision on TPU —
+    measured 4e-3 relative error on the SVD outputs, which wrecked MPM's
+    C++-oracle KE parity (0.6 median vs 1e-4) — and a HIGHEST-precision
+    dot pads the tiny contraction onto MXU tiles (ops/smallmat lesson).
+    Every product in this module goes through here."""
+    return jnp.stack(
+        [jnp.stack([a[..., i, 0] * b[..., 0, j]
+                    + a[..., i, 1] * b[..., 1, j]
+                    + a[..., i, 2] * b[..., 2, j]
+                    for j in range(3)], axis=-1)
+         for i in range(3)], axis=-2)
+
+
+def mv3(a, x):
+    """Batched 3x3 @ 3-vector, unrolled (see ``mm3``)."""
+    return jnp.stack([a[..., i, 0] * x[..., 0] + a[..., i, 1] * x[..., 1]
+                      + a[..., i, 2] * x[..., 2] for i in range(3)], axis=-1)
 
 def _rot_apply(a, v, p: int, q: int, c, s):
     """Apply the Givens rotation J(p,q; c,s) as A <- J^T A J, V <- V J,
@@ -188,8 +199,7 @@ def polar_delta(R, S, dF):
     det = det3(m)
     minv = jnp.swapaxes(cofactor3(m), -1, -2) / jnp.where(
         det != 0, det, 1.0)[..., None, None]
-    x = jnp.einsum("...ij,...j->...i", minv, v,
-                   precision=jax.lax.Precision.HIGHEST)
+    x = mv3(minv, v)
     zeros = jnp.zeros_like(x[..., 0])
     k = jnp.stack([
         jnp.stack([zeros, x[..., 0], x[..., 1]], axis=-1),

@@ -119,8 +119,8 @@ def p2g_pallas(pos_s, vel_s, flat_h, solid, bound: int,
         w27 = masked_weights(pos_s, bound, kernel)
     if aff is not None:
         e = cround(pos_s) - pos_s                       # (P, 3) base - pos
-        vel_s = vel_s + jnp.einsum("pck,pk->pc", aff, e,
-                                   precision=jax.lax.Precision.HIGHEST)
+        from fluidsim_tpu.ops.svd3 import mv3
+        vel_s = vel_s + mv3(aff, e)
     wv, _ = pt.pack_wv_rows(flat_h, w27, vel_s, 2048, aff=aff)
     if fused_scatter:
         # one kernel: per-window accumulate + in-VMEM shift-reduce; the
