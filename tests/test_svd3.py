@@ -140,3 +140,36 @@ def test_clamp_singular_bounds_and_reconstruction():
     recon = fe @ v_sinv_ut @ F
     np.testing.assert_allclose(np.asarray(recon), np.asarray(F),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_no_default_precision_matmuls_in_physics_modules():
+    """Regression guard for the TPU bf16-matmul hazard: a bare ``@`` (or a
+    default-precision einsum) on f32 operands lowers to an MXU dot with
+    bf16 inputs on TPU (~4e-3 relative error).  This silently corrupted
+    the MPM deformation-gradient update until the on-TPU C++-oracle parity
+    run caught it.  Physics modules must route small products through
+    ``svd3.mm3``/``mv3`` (unrolled elementwise) or pin a precision."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "fluidsim_tpu"
+    physics = ["models/flip.py", "models/mpm.py", "ops/svd3.py",
+               "ops/apic.py", "ops/mpm_fast.py", "ops/smallmat.py",
+               "ops/transfer.py", "ops/transfer_fast.py",
+               "ops/transfer_pallas.py", "ops/pressure.py", "ops/pcg.py",
+               "parallel/flip_sharded.py", "parallel/mpm_sharded.py"]
+    offenders = []
+    for rel in physics:
+        src = (root / rel).read_text()
+        # strip comments/docstrings crudely: drop comment tails and
+        # triple-quoted blocks
+        src = re.sub(r'"""[\s\S]*?"""', "", src)
+        src = "\n".join(line.split("#")[0] for line in src.splitlines())
+        for i, line in enumerate(src.splitlines(), 1):
+            if re.search(r"[\w\])]\s@\s[\w\[(]", line):
+                offenders.append(f"{rel}:{i}: bare @ -> {line.strip()}")
+        for m in re.finditer(r"jnp\.einsum\(([^)]*)\)", src, re.S):
+            if "precision" not in m.group(1):
+                offenders.append(f"{rel}: default-precision einsum -> "
+                                 f"{m.group(1)[:60]}")
+    assert not offenders, "\n".join(offenders)
