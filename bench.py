@@ -144,10 +144,15 @@ def main():
             "note": "scan-chunked (50 frames/dispatch); device-bound at "
                     "this scale"}
         # NOTE: a scaled-MPM config (63^3 cone, 46k particles) exists —
-        # mpm_cone(bound=31) with fast_transfer — and compiles+runs on CPU
-        # (17 s compile), but the axon remote TPU compiler hangs on that
-        # exact program shape (reproduced twice, wedging the tunnel), so it
-        # is excluded from the suite.  C++ single-core baselines at scale:
+        # mpm_cone(bound=31), either transfer path — and compiles+runs on
+        # CPU (17 s compile), but the TPU AOT compile of the step program
+        # explodes at that grid size: ONE p2g scatter-add alone took 191 s
+        # to compile at 63^3 (vs seconds at 31^3), and the full step did
+        # not finish within a 90-minute budget (naive AND fast paths,
+        # measured 2026-08-18; not a hang — the tunnel stays healthy).
+        # The XLA scatter emitter is the bottleneck; the designed fix is
+        # MPM transfers on the Pallas one-hot kernels (FLIP's compile in
+        # ~100 s at 255^3).  C++ single-core baselines at scale:
         # 63^3/46k = 1.82 steps/s, 97^3/210k = 0.445 steps/s (native/
         # ref_mpm, measured 2026-08-17).
         with open(os.path.join(HERE, "BENCH_DETAILS.json"), "w") as f:

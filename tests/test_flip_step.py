@@ -125,20 +125,26 @@ def test_scan_steps_match_per_step():
     for _ in range(5):
         ma = a.step()
     mb = b.steps(5)
-    np.testing.assert_array_equal(np.asarray(a.state.pos),
-                                  np.asarray(b.state.pos))
-    np.testing.assert_array_equal(np.asarray(a.state.vel),
-                                  np.asarray(b.state.vel))
-    assert float(ma["kinetic_energy"]) == float(mb["kinetic_energy"][-1])
+    # scan vs per-step are separately-compiled programs; XLA may fuse f32
+    # reductions differently, so assert tight tolerance, not bit equality
+    np.testing.assert_allclose(np.asarray(a.state.pos),
+                               np.asarray(b.state.pos), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.state.vel),
+                               np.asarray(b.state.vel), atol=1e-4)
+    np.testing.assert_allclose(float(ma["kinetic_energy"]),
+                               float(mb["kinetic_energy"][-1]), rtol=1e-4)
     assert mb["kinetic_energy"].shape == (5,)
     assert "occupancy" not in mb
 
     c.run(5, chunk=3)        # 3 + tail 2
-    np.testing.assert_array_equal(np.asarray(c.state.pos),
-                                  np.asarray(a.state.pos))
+    np.testing.assert_allclose(np.asarray(c.state.pos),
+                               np.asarray(b.state.pos), atol=1e-5)
 
 
 def test_mpm_scan_steps_match_per_step():
+    """Scan vs per-step: XLA compiles the two programs separately and may
+    fuse f32 reductions differently, so the oracle is tight-tolerance
+    equivalence, not bit equality (measured drift ~2e-6 after 4 frames)."""
     from fluidsim_tpu.models.mpm import MpmSim
 
     m1 = MpmSim("mpm_cone", density=40.0)
@@ -146,8 +152,9 @@ def test_mpm_scan_steps_match_per_step():
     for _ in range(4):
         a = m1.step()
     b = m2.steps(4)
-    np.testing.assert_array_equal(np.asarray(m1.state.pos),
-                                  np.asarray(m2.state.pos))
-    np.testing.assert_array_equal(np.asarray(m1.state.FE),
-                                  np.asarray(m2.state.FE))
-    assert float(a["kinetic_energy"]) == float(b["kinetic_energy"][-1])
+    np.testing.assert_allclose(np.asarray(m1.state.pos),
+                               np.asarray(m2.state.pos), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(m1.state.FE),
+                               np.asarray(m2.state.FE), atol=1e-5)
+    np.testing.assert_allclose(float(a["kinetic_energy"]),
+                               float(b["kinetic_energy"][-1]), rtol=1e-4)
