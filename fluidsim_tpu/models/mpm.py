@@ -70,6 +70,13 @@ class MpmParams:
     fast_transfer: bool = False  # sorted channel-fused transfers (ops.mpm_fast);
     # default off at reference scale (31^3 / ~6k particles, where the naive
     # path is already sub-ms); turn on for scaled-up MPM scenes.
+    pallas_transfer: bool | None = None  # fully-Pallas transfer pipeline
+    # (ops.mpm_pallas): required on TPU past ~31^3, where XLA's scatter
+    # emitter takes minutes-to-hours to compile the fused scatters.  None =
+    # auto (MpmSim enables it on non-CPU backends for bound > 15, n <= 255);
+    # an explicit True/False is respected.  Overrides fast_transfer.
+    pallas_interpret: bool = False  # run the Pallas kernels in interpret
+    # mode (CPU equivalence tests only)
     sort_particles: bool = True  # naive path: sort the particle state by
     # base-cell id each frame.  TPU gathers/scatters move one row per index
     # and run ~6x faster on sorted ids; the unsorted force scatter (167k
@@ -151,8 +158,24 @@ def mpm_step(params: MpmParams, solid, state: MpmState):
     g = jnp.asarray(params.gravity, pos.dtype)
     thr = params.mass_threshold
     fe_in, fp_in = state.FE, state.FP
+    use_pallas = bool(params.pallas_transfer)
 
-    if params.fast_transfer:
+    if use_pallas:
+        from fluidsim_tpu.ops import mpm_fast as mf
+        from fluidsim_tpu.ops import mpm_pallas as mp
+        from fluidsim_tpu.ops import transfer_pallas as tp
+        lay = tp.HaloLayout(n)
+        itp = params.pallas_interpret
+        pos, vel, fe_in, fp_in, volume_in, flat_h = mp.sort_mpm_h(
+            pos, vel, state.FE, state.FP, state.volume, B, lay)
+        w27 = tp.masked_weights(pos, B, "mpm")
+        _, gradw = mf.stencil_mpm(pos)
+        rows = mp.pack_mpm_rows(flat_h, w27, vel, gradw)
+        mass, mom = mp.p2g_mpm(rows, flat_h, solid, B, lay, interpret=itp)
+        velg = jnp.where((mass > thr)[..., None],
+                         mom / jnp.where(mass > thr, mass, 1.0)[..., None], 0.0)
+        dens = mp.density(mass, rows, flat_h, solid, B, lay, interpret=itp)
+    elif params.fast_transfer:
         from fluidsim_tpu.ops import mpm_fast as mf
         pos, vel, fe_in, fp_in, volume_in, flat_s = mf.sort_mpm(
             pos, vel, state.FE, state.FP, state.volume, B)
@@ -193,7 +216,12 @@ def mpm_step(params: MpmParams, solid, state: MpmState):
     # -- explicit forces + implicit solve (mpm.cc:1399-1405) --
     mu, lam = hardening(params.mu0, params.lam0, params.hardening_eps,
                         det3(fp_in), exponent_cap=params.hardening_max)
-    if params.fast_transfer:
+    if use_pallas:
+        f0_fn, dforce = mp.make_force_fns(pos, flat_h, rows, gradw, fe_in,
+                                          volume, mu, lam, active, solid, B,
+                                          lay, interpret=itp)
+        f0 = f0_fn().reshape(n3, 3)
+    elif params.fast_transfer:
         from fluidsim_tpu.ops import mpm_fast as mf
         forces_dense = mf.make_force_fn_fused(
             pos, flat_s, gradw, valid[:, None].astype(pos.dtype),
@@ -204,7 +232,8 @@ def mpm_step(params: MpmParams, solid, state: MpmState):
         gather_mask = active_flat[ids] & inb       # Hessian column mask (mpm.cc:681)
         forces = make_force_fn(ids, gather_mask, not_solid, gradw,
                                fe_in, volume, mu, lam, n3)
-    f0 = forces(jnp.zeros((n3, 3), pos.dtype))
+    if not use_pallas:
+        f0 = forces(jnp.zeros((n3, 3), pos.dtype))
 
     mass_safe = jnp.where(active, mass, 1.0)[..., None]
     b = jnp.where(active[..., None],
@@ -215,8 +244,14 @@ def mpm_step(params: MpmParams, solid, state: MpmState):
 
     def matvec(wv):
         wm = jnp.where(active[..., None], wv, 0.0)
-        _, df = jax.jvp(forces, (zeros_u,), (wm.reshape(n3, 3),))
-        out = wv + beta_dt2 * (-df.reshape(n, n, n, 3)) / mass_safe
+        if use_pallas:
+            # explicit linear Hessian-vector product (no jvp: pallas_calls
+            # have no JVP rule, and the chain is linear anyway)
+            df = dforce(wm)
+        else:
+            _, df = jax.jvp(forces, (zeros_u,), (wm.reshape(n3, 3),))
+            df = df.reshape(n, n, n, 3)
+        out = wv + beta_dt2 * (-df) / mass_safe
         return jnp.where(active[..., None], out, wv)
 
     # (no warm start: A = I + beta*dt^2*H/m is so well-conditioned that CG
@@ -226,7 +261,10 @@ def mpm_step(params: MpmParams, solid, state: MpmState):
     velg = jnp.where(active[..., None], res.x, 0.0)  # updateVelocity, mpm.cc:705-737
 
     # -- deformation gradient update (mpm.cc:493-586) --
-    if params.fast_transfer:
+    if use_pallas:
+        gradv = mp.gradv_gather(velg, rows, flat_h, solid, B, lay,
+                                interpret=itp)
+    elif params.fast_transfer:
         gradv = mf.g2p_gradv(velg, flat_s, gradw, solid, B)
     else:
         v_nodes = velg.reshape(n3, 3)[ids] * not_solid[..., None].astype(pos.dtype)
@@ -245,7 +283,10 @@ def mpm_step(params: MpmParams, solid, state: MpmState):
     # -- FLIP advect (mpm.cc:1418, FLIPadvect 906-968) --
     vc_new = cell_center_velocity(velg)
     vc_old = cell_center_velocity(velb)
-    if params.fast_transfer:
+    if use_pallas:
+        delta = mp.flip_delta(pos, rows, flat_h, vc_new - vc_old, B,
+                              params.wall, lay, interpret=itp)
+    elif params.fast_transfer:
         delta = mf.g2p_flip_mpm(pos, flat_s, vc_new - vc_old, B, params.wall)
     else:
         delta = transfer.g2p_flip_delta(pos, vc_new, vc_old, B, params.wall,
@@ -296,6 +337,13 @@ class MpmSim:
                 and np.array_equal(np.asarray(scene.solid),
                                    scene.spec.wall_mask())):
             params = dataclasses.replace(params, walls_only_solid=True)
+        if params.pallas_transfer is None:
+            # Past the reference's 31^3, XLA's scatter emitter makes the
+            # fast/naive paths uncompilable on TPU (minutes-to-hours AOT);
+            # at 31^3 the naive path is already sub-ms, so keep it there.
+            auto = (jax.default_backend() != "cpu"
+                    and params.bound > 15 and scene.spec.n <= 255)
+            params = dataclasses.replace(params, pallas_transfer=auto)
         self.scene = scene
         self.params = params
         self.solid = jnp.asarray(scene.solid)

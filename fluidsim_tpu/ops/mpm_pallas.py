@@ -1,0 +1,212 @@
+"""Fully-Pallas transfer pipeline for MPM (the MPM twin of
+``ops.transfer_pallas``).
+
+Why it exists: XLA's TPU scatter emitter compiles the 108-channel sorted
+scatter-add of ``ops.mpm_fast`` in minutes-to-hours once the grid passes the
+reference's 31^3 (measured: ONE p2g scatter-add took 191 s to AOT-compile at
+63^3; the full step did not finish in 90 min), so scaled MPM scenes were
+TPU-blocked.  Every MPM transfer here rides the ``pallas_transfer`` one-hot
+MXU kernels instead, which compile in seconds and run at FLIP-pipeline
+speed.
+
+Reference semantics covered (cited against /root/reference):
+
+* mass + momentum P2G with the half-cell-shifted MPM kernel
+  (``mpm.cc:25-41``; ``interpolate``/``P2Gtransfer``, ``mpm.cc:773-811,
+  970-1017``) — one fused 108-channel scatter + in-VMEM shift-reduce.
+* per-particle density for the frame-0 volumes (``findVolume``,
+  ``mpm.cc:739-772``) — w27-weighted mass gather.
+* velocity-gradient gather gradV = sum_i v_i gradW_i^T
+  (``updateDeformationGradient``, ``mpm.cc:499-537``) — the ``contract='gw'``
+  gather contracts the gathered cells with the three per-particle gradW
+  components packed in the row lanes.
+* grid elastic force f_i -= V sigma gradW_i (``populateGridForces``,
+  ``mpm.cc:596-644``) — the ``expand='fg'`` scatter builds the per-offset
+  force M gradW(o) in-kernel from 9 packed matrix lanes + 81 gradW lanes.
+* the implicit solve's Hessian-vector product as an explicit LINEAR chain
+  gather -> dP -> scatter (``make_force_fns``): ``piola_linearized`` already
+  exposes the stress differential as a linear closure, so no ``jax.jvp``
+  ever crosses a ``pallas_call`` (Pallas kernels carry no JVP rules).  This
+  replaces the reference's hand-assembled Hessian blocks
+  (``deformHeader.h:107-272``, ``mpm.cc:647-701``).
+* FLIP delta gather (``FLIPadvect``, ``mpm.cc:906-968``) — reuses
+  ``transfer_pallas.g2p_pallas`` with the ``mpm`` kernel.
+
+Numerics: identical contractions to ``ops.mpm_fast`` up to f32 summation
+order (all selections ride the exact split3/bf16 one-hot path); pinned by
+interpret-mode equivalence tests in ``tests/test_mpm_pallas.py``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fluidsim_tpu.core.splines import cround
+from fluidsim_tpu.ops import pallas_shift as ps
+from fluidsim_tpu.ops import pallas_transfer as pt
+from fluidsim_tpu.ops import transfer_pallas as tp
+from fluidsim_tpu.ops.svd3 import mm3, piola_linearized
+
+
+def sort_mpm_h(pos, vel, FE, FP, volume, bound: int, layout: tp.HaloLayout):
+    """Sort the full MPM particle state by haloed base-cell flat id
+    (``transfer_pallas.sort_by_cell_h`` order).
+
+    Implementation note: a 2-operand key+iota sort followed by row-gather
+    permutes of the 25 payload columns — NOT one wide ``lax.sort``.  XLA's
+    TPU sort emitter scales pathologically with operand count (a 26-operand
+    sort was still compiling after 16 minutes; the 2-operand form plus
+    gathers compiles in seconds and the stable-sort order is identical).
+    """
+    n = 2 * bound + 1
+    base = cround(pos).astype(jnp.int32)
+    bc = jnp.clip(base + bound, 0, n - 1)
+    flat = ((bc[:, 0] + ps._XH) * layout.lwr
+            + ps._LH + bc[:, 1] * n + bc[:, 2])
+    p = pos.shape[0]
+    flat_s, perm = jax.lax.sort(
+        [flat, jnp.arange(p, dtype=jnp.int32)], num_keys=1)
+    return (jnp.take(pos, perm, axis=0), jnp.take(vel, perm, axis=0),
+            jnp.take(FE, perm, axis=0), jnp.take(FP, perm, axis=0),
+            jnp.take(volume, perm, axis=0), flat_s)
+
+
+def pack_mpm_rows(flat_h, w27, vel, gradw, t: int = 2048, w: int = 512):
+    """Packed (P_pad, 128) rows for the whole MPM frame: lanes 0-26 the
+    (validity-masked) w27, lane 27 the constant 1, lanes 28-30 the velocity,
+    lanes 31-39 zero (the wv expansion's APIC block — must stay inert),
+    lanes 40-120 gradW row-major 3o+k (``pallas_transfer._GW0``), lane 127
+    the window-local id.  One buffer serves the p2g scatter (wv expansion),
+    the w27 gathers (FLIP delta, density) and the gradW gathers (gradV,
+    Hessian columns)."""
+    p = w27.shape[0]
+    vals = jnp.concatenate(
+        [w27, jnp.ones((p, 1), w27.dtype), vel,
+         jnp.zeros((p, pt._GW0 - 31), w27.dtype), gradw.reshape(p, 81)],
+        axis=1)
+    rows, _ = pt.pad_rows_with_ids(flat_h, vals, t + 128, idmod=w)
+    return rows
+
+
+def pack_force_rows(flat_h, gradw, t: int = 2048, w: int = 512):
+    """Base rows for the ``expand='fg'`` force scatter: gradW in lanes
+    40-120 and the id lane; lanes 0-8 are (re)written with the per-particle
+    matrix M = -V sigma by ``make_force_fns`` on every force evaluation."""
+    p = gradw.shape[0]
+    vals = jnp.concatenate([jnp.zeros((p, pt._GW0), gradw.dtype),
+                            gradw.reshape(p, 81)], axis=1)
+    rows, _ = pt.pad_rows_with_ids(flat_h, vals, t, idmod=w)
+    return rows
+
+
+def _slice_grid(d4, n: int, lay: tp.HaloLayout):
+    """(4, XR, LWR+512) fused-scatter output -> (4, n, n, n) live cells."""
+    return d4[:, ps._XH:ps._XH + n,
+              256 + ps._LH:256 + ps._LH + n * n].reshape(4, n, n, n)
+
+
+def _fm_hp(fields, mask, n: int, lay: tp.HaloLayout):
+    """Masked channel-major haloed field grid for the fused gathers:
+    ``fields`` (n,n,n,C<=3), ``mask`` (n,n,n) bool -> (4, XR, LWRP) with the
+    mask in channel 3 (``transfer_pallas.g2p_pallas`` layout)."""
+    c = fields.shape[-1]
+    chans = [jnp.where(mask, fields[..., d], 0.0).reshape(n, n * n)
+             for d in range(c)]
+    chans += [jnp.zeros((n, n * n), fields.dtype)] * (3 - c)
+    chans.append(mask.astype(fields.dtype).reshape(n, n * n))
+    fm = jnp.stack(chans, axis=0)
+    return jnp.pad(fm, ((0, 0), (ps._XH, lay.xr - n - ps._XH),
+                        (ps._LH + 256,
+                         lay.lwr + 512 - (ps._LH + 256) - n * n)))
+
+
+def p2g_mpm(rows, flat_h, solid, bound: int, lay: tp.HaloLayout,
+            interpret: bool = False):
+    """Mass + momentum P2G, both masked to ~solid target cells (with the
+    standard wall geometry the reference's two masks coincide — see
+    ``mpm_fast.p2g_mpm``)."""
+    n = 2 * bound + 1
+    d4 = pt.scatter_wv_fused(rows, flat_h, lay.xr, lay.lwr, n,
+                             interpret=interpret)
+    accn = _slice_grid(d4, n, lay)
+    ns = ~solid
+    mass = jnp.where(ns, accn[0], 0.0)
+    mom = jnp.stack([jnp.where(ns, accn[1 + d], 0.0) for d in range(3)],
+                    axis=-1)
+    return mass, mom
+
+
+def density(mass, rows, flat_h, solid, bound: int, lay: tp.HaloLayout,
+            interpret: bool = False):
+    """Per-particle density sum_i w_i mass_i over ~solid cells
+    (``findVolume``, ``mpm.cc:739-772``)."""
+    n = 2 * bound + 1
+    p = flat_h.shape[0]
+    fm = _fm_hp(mass[..., None], ~solid, n, lay)
+    out = pt.gather_wv_fused(fm, rows, flat_h, n, interpret=interpret)
+    return out[0, :p]
+
+
+def gradv_gather(velg, rows, flat_h, solid, bound: int, lay: tp.HaloLayout,
+                 interpret: bool = False):
+    """gradV_p[c, k] = sum_i velg_c(i) gradW_k(i) over ~solid stencil cells
+    (``mpm.cc:499-537``)."""
+    n = 2 * bound + 1
+    p = flat_h.shape[0]
+    fm = _fm_hp(velg, ~solid, n, lay)
+    out = pt.gather_wv_fused(fm, rows, flat_h, n, nout=16, contract="gw",
+                             interpret=interpret)
+    return jnp.stack([out[4 * k:4 * k + 3, :p].T for k in range(3)], axis=-1)
+
+
+def flip_delta(pos_s, rows, flat_h, dvc, bound: int, wall: int,
+               lay: tp.HaloLayout, interpret: bool = False):
+    """FLIP delta with the MPM kernel over within-wall cells
+    (``FLIPadvect``, ``mpm.cc:906-968``) — the FLIP-path gather verbatim."""
+    return tp.g2p_pallas(pos_s, flat_h, dvc, bound, wall, lay, kernel="mpm",
+                         wv_rows=rows, interpret=interpret)
+
+
+def make_force_fns(pos_s, flat_h, rows, gradw, FE, volume, mu, lam,
+                   active, solid, bound: int, lay: tp.HaloLayout,
+                   interpret: bool = False):
+    """(f0, dforce): the explicit grid force and its exact linearization.
+
+    ``f0()`` equals ``mpm_fast.make_force_fn_fused``'s ``forces(0)``
+    (``populateGridForces``, ``mpm.cc:596-644``); ``dforce(u)`` equals its
+    ``jax.jvp`` at 0 — but built as an explicit linear chain
+    (gradW gather of u over active cells -> ``piola_linearized`` dP ->
+    force scatter masked to ~solid), so no jvp crosses a pallas_call.
+    Both return (n, n, n, 3) grids.
+    """
+    n = 2 * bound + 1
+    p = pos_s.shape[0]
+    fe_t = jnp.swapaxes(FE, -1, -2)
+    not_solid = ~solid
+    p0, dp = piola_linearized(FE, mu, lam)          # one SVD per frame
+    valid = jnp.all(jnp.abs(cround(pos_s)) <= bound, axis=-1)
+    scale = jnp.where(valid, -volume, 0.0)          # zero dead particles
+    base_rows = pack_force_rows(flat_h, gradw)
+
+    def scatter_sigma(sigma):
+        m9 = scale[:, None] * sigma.reshape(p, 9)
+        rows_f = base_rows.at[:p, 0:9].set(m9)
+        d4 = pt.scatter_wv_fused(rows_f, flat_h, lay.xr, lay.lwr, n,
+                                 interpret=interpret, expand="fg")
+        f = jnp.moveaxis(_slice_grid(d4, n, lay)[:3], 0, -1)
+        return jnp.where(not_solid[..., None], f, 0.0)
+
+    def f0():
+        return scatter_sigma(mm3(p0, fe_t))
+
+    def dforce(u):
+        fm = _fm_hp(u, active, n, lay)
+        out = pt.gather_wv_fused(fm, rows, flat_h, n, nout=16, contract="gw",
+                                 interpret=interpret)
+        g = jnp.stack([out[4 * k:4 * k + 3, :p].T for k in range(3)],
+                      axis=-1)                      # (P, 3, 3)
+        return scatter_sigma(mm3(dp(mm3(g, FE)), fe_t))
+
+    return f0, dforce

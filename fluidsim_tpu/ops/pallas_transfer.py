@@ -451,6 +451,64 @@ def _wv_expand(buf, r, tm):
 
 _SYM_PAIRS = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
 
+# MPM packed-row lane map (``mpm_pallas.pack_mpm_rows``): the per-particle
+# kernel gradient gradW (27 offsets x 3 components, row-major 3o+k) rides in
+# lanes [GW0, GW0+81); lanes 31-39 (the APIC block of ``_wv_mats``) stay
+# zero so the wv expansion is unaffected.
+_GW0 = 40
+
+
+def _gw_mats(gw0: int = _GW0):
+    """Per-component gradW expansion matrices: ``(buf @ rk)[:, 4o+c]`` =
+    packed lane ``gw0 + 3o + k`` = gradW_k(offset o), for every channel c.
+    Exact one-hot selections (entries in {0,1}, exact in bf16)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (_CP, _CP), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (_CP, _CP), 0)
+    live = col < 108
+    o = col // 4
+    return [((row == gw0 + 3 * o + k) & live).astype(jnp.bfloat16)
+            for k in range(3)]
+
+
+def _fg_mats(gw0: int = _GW0):
+    """Expansion matrices for the force scatter (``expand='fg'``): channel
+    4o+c (c < 3) is the product of packed lane 3c+k (the per-particle 3x3
+    matrix M, row-major) and packed lane gw0+3o+k (gradW_k at offset o),
+    summed over k.  Channel 4o+3 stays zero."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (_CP, _CP), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (_CP, _CP), 0)
+    live = (col < 108) & (col % 4 < 3)
+    o, c = col // 4, col % 4
+    rm = [((row == 3 * c + k) & live).astype(jnp.bfloat16) for k in range(3)]
+    rg = [((row == gw0 + 3 * o + k) & live).astype(jnp.bfloat16)
+          for k in range(3)]
+    return rm, rg
+
+
+def _fg_expand(buf):
+    """(TT, 128) packed rows [M 3x3 row-major in lanes 0-8; gradW row-major
+    3o+k in lanes _GW0.._GW0+80] -> u with ``u[:, 4o+c] = sum_k M[c,k] *
+    gradW_k(o)`` — the MPM force stencil ``f(o) = M gradW(o)``
+    (``populateGridForces``, ``mpm.cc:596-644`` with M = -V sigma).  Both
+    factors are exact one-hot lane selections; the k-sum is 3 ordered f32
+    adds (vs XLA's identical 3-term dot order in ``apply_mat27``)."""
+    rm, rg = _fg_mats()
+    parts = _split3(buf)
+    u = None
+    for k in range(3):
+        a = None
+        b = None
+        for part in parts:
+            da = jax.lax.dot_general(part, rm[k], (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            db = jax.lax.dot_general(part, rg[k], (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            a = da if a is None else a + da
+            b = db if b is None else b + db
+        t = a * b
+        u = t if u is None else u + t
+    return u
+
 
 def _contract_mat(nout: int):
     """Transposed contraction matrix (nout, 128), entries in {-1,0,1}.
@@ -738,7 +796,7 @@ def gather_wv_cm(table_cm, wv_rows, flat_s, w: int = 512, t: int = 2048,
 
 def _scatter_wv_fused_kernel(blk_ref, ps_ref, pe_ref, wv_hbm, init_ref,
                              out_hbm, wvbuf2, zbuf, acc3, outwin, sems,
-                             *, w, t, wc, n, winrow):
+                             *, w, t, wc, n, winrow, expand):
     del init_ref  # aliased with out_hbm (zero init)
     j = pl.program_id(0)
     mc = pl.num_programs(0)
@@ -779,8 +837,11 @@ def _scatter_wv_fused_kernel(blk_ref, ps_ref, pe_ref, wv_hbm, init_ref,
         gidx = a + jax.lax.broadcasted_iota(jnp.int32, (tt, 1), 0)
         valid = (gidx >= pstart) & (gidx < pend)
 
-        r_m, tm = _wv_mats()
-        _, u = _wv_expand(buf, r_m, tm)                           # (TT, CP)
+        if expand == "fg":
+            u = _fg_expand(buf)                                   # (TT, CP)
+        else:
+            r_m, tm = _wv_mats()
+            _, u = _wv_expand(buf, r_m, tm)                       # (TT, CP)
         um = jnp.where(valid, u, 0.0)
         um_split = _split3(um)
 
@@ -828,10 +889,11 @@ def _scatter_wv_fused_kernel(blk_ref, ps_ref, pe_ref, wv_hbm, init_ref,
 
 @functools.partial(jax.jit, static_argnames=("xr", "lwr", "n", "w", "t",
                                              "wc", "interpret",
-                                             "dynamic_grid"))
+                                             "dynamic_grid", "expand"))
 def scatter_wv_fused(wv_rows, flat_s, xr: int, lwr: int, n: int,
                      w: int = 512, t: int = 2048, wc: int = 256,
-                     interpret: bool = False, dynamic_grid: bool = True):
+                     interpret: bool = False, dynamic_grid: bool = True,
+                     expand: str = "wv"):
     """Fused ``scatter_wv_cm`` + 27-offset shift-reduce: returns the
     4-channel haloed grid sums directly.
 
@@ -840,6 +902,11 @@ def scatter_wv_fused(wv_rows, flat_s, xr: int, lwr: int, n: int,
     (``out[g, x, 256 + i] = sum_{o, flat==x*lwr+i-off} w27*[1,v]``); halo
     rows/lanes hold the out-of-box spill the callers slice away.  Matches
     ``reduce_haloed(scatter_wv_cm(...))`` up to f32 summation order.
+
+    ``expand='fg'`` switches the in-kernel channel expansion to the MPM
+    force stencil ``u[4o+c] = sum_k M[c,k] gradW_k(o)`` from
+    ``mpm_pallas.pack_force_rows`` rows (``_fg_expand``); channels 4o+3 and
+    output row 3 are then exactly zero.
     """
     ncells = xr * lwr
     p = flat_s.shape[0]
@@ -852,7 +919,7 @@ def scatter_wv_fused(wv_rows, flat_s, xr: int, lwr: int, n: int,
     init = jnp.zeros((4, xr, lwr + 2 * 256), jnp.float32)
     return pl.pallas_call(
         functools.partial(_scatter_wv_fused_kernel, w=w, t=t, wc=wc, n=n,
-                          winrow=winrow),
+                          winrow=winrow, expand=expand),
         grid=(nlive if dynamic_grid and not interpret else mc,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -886,7 +953,7 @@ def scatter_wv_fused(wv_rows, flat_s, xr: int, lwr: int, n: int,
 
 def _gather_wv_fused_kernel(blk_ref, ps_ref, pe_ref, fm_hbm, wv_hbm, init_ref,
                             out_hbm, fmbuf2, wvbuf2, tablebuf, outbuf, sems,
-                            *, w, t, wc, nout, n, winrow):
+                            *, w, t, wc, nout, n, winrow, contract):
     del init_ref  # aliased with out_hbm (zero init)
     j = pl.program_id(0)
     mc = pl.num_programs(0)
@@ -972,16 +1039,41 @@ def _gather_wv_fused_kernel(blk_ref, ps_ref, pe_ref, fm_hbm, wv_hbm, init_ref,
                 part = d if part is None else part + d
             acc = part if acc is None else acc + part             # (TT, CP)
 
-        r_m, tm = _wv_mats()
-        wrep, _ = _wv_expand(buf, r_m, tm)
-        m = acc * wrep                                            # (TT, CP)
+        if contract == "gw":
+            # per-component gradW contraction: out rows 4k+c = sum_o
+            # gradW_k(o) * field_c(o) (c=3: the mask channel) — the
+            # velocity-gradient / Hessian-column gather of
+            # ``updateDeformationGradient`` (``mpm.cc:499-537``)
+            st = _contract_mat(8)
+            parts = _split3(buf)
+            outs = []
+            for rk in _gw_mats():
+                wk = None
+                for part in parts:
+                    d = jax.lax.dot_general(
+                        part, rk, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    wk = d if wk is None else wk + d
+                m = acc * wk                                      # (TT, CP)
+                o8 = None
+                for mpart in _split3(m):
+                    d = jax.lax.dot_general(
+                        st, mpart, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    o8 = d if o8 is None else o8 + d              # (8, TT)
+                outs.append(o8[:4])
+            out4 = jnp.concatenate(outs + [jnp.zeros_like(outs[0])], axis=0)
+        else:
+            r_m, tm = _wv_mats()
+            wrep, _ = _wv_expand(buf, r_m, tm)
+            m = acc * wrep                                        # (TT, CP)
 
-        st = _contract_mat(nout)
-        out4 = None
-        for mpart in _split3(m):
-            d = jax.lax.dot_general(st, mpart, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            out4 = d if out4 is None else out4 + d                # (nout, TT)
+            st = _contract_mat(nout)
+            out4 = None
+            for mpart in _split3(m):
+                d = jax.lax.dot_general(st, mpart, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                out4 = d if out4 is None else out4 + d            # (nout, TT)
 
         outbuf[...] = jnp.where(valid, out4, outbuf[...])
         cp_back = pltpu.make_async_copy(outbuf, out_hbm.at[:, pl.ds(a, tt)],
@@ -991,16 +1083,23 @@ def _gather_wv_fused_kernel(blk_ref, ps_ref, pe_ref, fm_hbm, wv_hbm, init_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("n", "w", "t", "wc", "interpret",
-                                             "nout", "dynamic_grid"))
+                                             "nout", "dynamic_grid",
+                                             "contract"))
 def gather_wv_fused(fm_hp, wv_rows, flat_s, n: int, w: int = 512,
                     t: int = 2048, wc: int = 256, interpret: bool = False,
-                    nout: int = 8, dynamic_grid: bool = True):
+                    nout: int = 8, dynamic_grid: bool = True,
+                    contract: str = "wv"):
     """``gather_wv_cm`` over an implicit table: same contract, but takes the
     4-channel haloed field grid directly (lane-padded by an extra 256 each
     side: ``fm_hp[g, x, q] == fm_h[g, x, q - 256]``) and builds each window's
     108 table channels in-VMEM.  Requires |oy*n + oz| <= 256 (n <= 255 —
     the packed-id design limit anyway) and the windows-per-row layout
-    (LWR % w == 0)."""
+    (LWR % w == 0).
+
+    ``contract='gw'`` (pass nout=16) contracts the gathered channels with
+    the THREE per-particle gradW weight vectors from the packed lanes
+    (``mpm_pallas.pack_mpm_rows``) instead of w27: rows 4k+c =
+    sum_o gradW_k(o) field_c(o); rows 12-15 are zero."""
     xr, lwrp = fm_hp.shape[1], fm_hp.shape[2]
     lwr = lwrp - 2 * 256
     ncells = xr * lwr
@@ -1019,7 +1118,7 @@ def gather_wv_fused(fm_hp, wv_rows, flat_s, n: int, w: int = 512,
     init = jnp.zeros((nout, p_padl), jnp.float32)
     return pl.pallas_call(
         functools.partial(_gather_wv_fused_kernel, w=w, t=t, wc=wc,
-                          nout=nout, n=n, winrow=winrow),
+                          nout=nout, n=n, winrow=winrow, contract=contract),
         grid=(nlive if dynamic_grid and not interpret else mc,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
