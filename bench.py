@@ -143,18 +143,24 @@ def main():
             "particles": msim.num_particles,
             "note": "scan-chunked (50 frames/dispatch); device-bound at "
                     "this scale"}
-        # NOTE: a scaled-MPM config (63^3 cone, 46k particles) exists —
-        # mpm_cone(bound=31), either transfer path — and compiles+runs on
-        # CPU (17 s compile), but the TPU AOT compile of the step program
-        # explodes at that grid size: ONE p2g scatter-add alone took 191 s
-        # to compile at 63^3 (vs seconds at 31^3), and the full step did
-        # not finish within a 90-minute budget (naive AND fast paths,
-        # measured 2026-08-18; not a hang — the tunnel stays healthy).
-        # The XLA scatter emitter is the bottleneck; the designed fix is
-        # MPM transfers on the Pallas one-hot kernels (FLIP's compile in
-        # ~100 s at 255^3).  C++ single-core baselines at scale:
-        # 63^3/46k = 1.82 steps/s, 97^3/210k = 0.445 steps/s (native/
-        # ref_mpm, measured 2026-08-17).
+        # Scaled MPM ladder (Pallas transfer pipeline — the XLA scatter
+        # emitter cannot compile these grid sizes; see ops/mpm_pallas.py).
+        # C++ single-core baselines: 63^3/46k = 1.82 steps/s, 97^3/210k =
+        # 0.445 steps/s (native/ref_mpm, measured 2026-08-17).
+        for tag, mb, cpu_sps in (("mpm_63cube_46k", 31, 1.82),
+                                 ("mpm_97cube_210k", 48, 0.445)):
+            msim = MpmSim("mpm_cone", bound=mb)
+            _ = float(msim.steps(10)["kinetic_energy"][-1])  # compile+warm
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                m = msim.steps(10)
+                _ = float(m["kinetic_energy"][-1])
+                best = min(best, time.time() - t0)
+            details[tag] = {
+                "steps_per_sec": 10 / best,
+                "particles": msim.num_particles,
+                "vs_cpu_ref": round(10 / best / cpu_sps, 1)}
         with open(os.path.join(HERE, "BENCH_DETAILS.json"), "w") as f:
             json.dump(details, f, indent=1)
         print(json.dumps({"suite": {k: round(v["steps_per_sec"], 3)
