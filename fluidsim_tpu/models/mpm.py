@@ -174,6 +174,10 @@ def mpm_step(params: MpmParams, solid, state: MpmState):
         mass, mom = mp.p2g_mpm(rows, flat_h, solid, B, lay, interpret=itp)
         velg = jnp.where((mass > thr)[..., None],
                          mom / jnp.where(mass > thr, mass, 1.0)[..., None], 0.0)
+        # findVolume is frame-0-only (mpm.cc:1345-1348) but the gather runs
+        # unconditionally: a lax.cond gate was measured to balloon the
+        # steps(10) AOT compile 26 s -> 315 s for a <5% runtime win (the
+        # gather is 1 of ~13 kernel passes/frame)
         dens = mp.density(mass, rows, flat_h, solid, B, lay, interpret=itp)
     elif params.fast_transfer:
         from fluidsim_tpu.ops import mpm_fast as mf
