@@ -145,10 +145,11 @@ def main():
                     "this scale"}
         # Scaled MPM ladder (Pallas transfer pipeline — the XLA scatter
         # emitter cannot compile these grid sizes; see ops/mpm_pallas.py).
-        # C++ single-core baselines: 63^3/46k = 1.82 steps/s, 97^3/210k =
-        # 0.445 steps/s (native/ref_mpm, measured 2026-08-17).
+        # C++ single-core baselines (native/ref_mpm): 63^3/46k = 1.82
+        # steps/s, 97^3/210k = 0.445, 127^3/474k = 0.157.
         for tag, mb, cpu_sps in (("mpm_63cube_46k", 31, 1.82),
-                                 ("mpm_97cube_210k", 48, 0.445)):
+                                 ("mpm_97cube_210k", 48, 0.445),
+                                 ("mpm_127cube_474k", 63, 0.157)):
             msim = MpmSim("mpm_cone", bound=mb)
             _ = float(msim.steps(10)["kinetic_energy"][-1])  # compile+warm
             best = float("inf")
