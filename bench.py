@@ -146,22 +146,24 @@ def main():
         # Scaled MPM ladder (Pallas transfer pipeline — the XLA scatter
         # emitter cannot compile these grid sizes; see ops/mpm_pallas.py).
         # C++ single-core baselines (native/ref_mpm): 63^3/46k = 1.82
-        # steps/s, 97^3/210k = 0.445, 127^3/474k = 0.157.
-        for tag, mb, cpu_sps in (("mpm_63cube_46k", 31, 1.82),
-                                 ("mpm_97cube_210k", 48, 0.445),
-                                 ("mpm_127cube_474k", 63, 0.157)):
+        # steps/s, 97^3/210k = 0.445, 127^3/474k = 0.157, 255^3/3.94M =
+        # 0.0064 (155.7 s/frame).
+        for tag, mb, cpu_sps, k in (("mpm_63cube_46k", 31, 1.82, 10),
+                                    ("mpm_97cube_210k", 48, 0.445, 10),
+                                    ("mpm_127cube_474k", 63, 0.157, 10),
+                                    ("mpm_255cube_3.9M", 127, 0.0064, 5)):
             msim = MpmSim("mpm_cone", bound=mb)
-            _ = float(msim.steps(10)["kinetic_energy"][-1])  # compile+warm
+            _ = float(msim.steps(k)["kinetic_energy"][-1])   # compile+warm
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()
-                m = msim.steps(10)
+                m = msim.steps(k)
                 _ = float(m["kinetic_energy"][-1])
                 best = min(best, time.time() - t0)
             details[tag] = {
-                "steps_per_sec": 10 / best,
+                "steps_per_sec": k / best,
                 "particles": msim.num_particles,
-                "vs_cpu_ref": round(10 / best / cpu_sps, 1)}
+                "vs_cpu_ref": round(k / best / cpu_sps, 1)}
         with open(os.path.join(HERE, "BENCH_DETAILS.json"), "w") as f:
             json.dump(details, f, indent=1)
         print(json.dumps({"suite": {k: round(v["steps_per_sec"], 3)

@@ -161,16 +161,13 @@ def mpm_step(params: MpmParams, solid, state: MpmState):
     use_pallas = bool(params.pallas_transfer)
 
     if use_pallas:
-        from fluidsim_tpu.ops import mpm_fast as mf
         from fluidsim_tpu.ops import mpm_pallas as mp
         from fluidsim_tpu.ops import transfer_pallas as tp
         lay = tp.HaloLayout(n)
         itp = params.pallas_interpret
         pos, vel, fe_in, fp_in, volume_in, flat_h = mp.sort_mpm_h(
             pos, vel, state.FE, state.FP, state.volume, B, lay)
-        w27 = tp.masked_weights(pos, B, "mpm")
-        _, gradw = mf.stencil_mpm(pos)
-        rows = mp.pack_mpm_rows(flat_h, w27, vel, gradw)
+        rows = mp.pack_mpm_rows(flat_h, pos, vel, B)
         mass, mom = mp.p2g_mpm(rows, flat_h, solid, B, lay, interpret=itp)
         velg = jnp.where((mass > thr)[..., None],
                          mom / jnp.where(mass > thr, mass, 1.0)[..., None], 0.0)
@@ -221,7 +218,7 @@ def mpm_step(params: MpmParams, solid, state: MpmState):
     mu, lam = hardening(params.mu0, params.lam0, params.hardening_eps,
                         det3(fp_in), exponent_cap=params.hardening_max)
     if use_pallas:
-        f0_fn, dforce = mp.make_force_fns(pos, flat_h, rows, gradw, fe_in,
+        f0_fn, dforce = mp.make_force_fns(pos, flat_h, rows, fe_in,
                                           volume, mu, lam, active, solid, B,
                                           lay, interpret=itp)
         f0 = f0_fn().reshape(n3, 3)

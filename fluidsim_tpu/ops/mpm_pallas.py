@@ -73,31 +73,62 @@ def sort_mpm_h(pos, vel, FE, FP, volume, bound: int, layout: tp.HaloLayout):
             jnp.take(volume, perm, axis=0), flat_s)
 
 
-def pack_mpm_rows(flat_h, w27, vel, gradw, t: int = 2048, w: int = 512):
+def _mpm_vals(pos, vel, bound: int):
+    """(C, 121) packed-lane values for a particle block: w27 (masked), 1,
+    velocity, 9 zero lanes (APIC block / later the force M), gradW 3o+k."""
+    from fluidsim_tpu.core.splines import grad_w_mpm
+    from fluidsim_tpu.ops.transfer import _OFFSETS
+
+    c = pos.shape[0]
+    base = cround(pos)
+    offs = jnp.asarray(_OFFSETS, pos.dtype)
+    delta = pos[:, None, :] - (base[:, None, :] + offs[None])
+    w, gradw = grad_w_mpm(delta)                     # (C, 27), (C, 27, 3)
+    vmask = jnp.all(jnp.abs(base) <= bound, axis=-1).astype(pos.dtype)
+    w = w * vmask[:, None]
+    return jnp.concatenate(
+        [w, jnp.ones((c, 1), pos.dtype), vel,
+         jnp.zeros((c, pt._GW0 - pt._M0), pos.dtype),
+         gradw.reshape(c, 81)], axis=1)
+
+
+def pack_mpm_rows(flat_h, pos_s, vel_s, bound: int, t: int = 2048,
+                  w: int = 512, chunk: int = 1 << 19):
     """Packed (P_pad, 128) rows for the whole MPM frame: lanes 0-26 the
     (validity-masked) w27, lane 27 the constant 1, lanes 28-30 the velocity,
-    lanes 31-39 zero (the wv expansion's APIC block — must stay inert),
-    lanes 40-120 gradW row-major 3o+k (``pallas_transfer._GW0``), lane 127
-    the window-local id.  One buffer serves the p2g scatter (wv expansion),
-    the w27 gathers (FLIP delta, density) and the gradW gathers (gradV,
-    Hessian columns)."""
-    p = w27.shape[0]
-    vals = jnp.concatenate(
-        [w27, jnp.ones((p, 1), w27.dtype), vel,
-         jnp.zeros((p, pt._GW0 - 31), w27.dtype), gradw.reshape(p, 81)],
-        axis=1)
-    rows, _ = pt.pad_rows_with_ids(flat_h, vals, t + 128, idmod=w)
-    return rows
+    lanes 31-39 zero at pack time (the wv expansion's APIC block; the force
+    scatter later reuses them for M = -V sigma), lanes 40-120 gradW
+    row-major 3o+k (``pallas_transfer._GW0``), lane 127 the window-local
+    id.  One buffer serves the p2g scatter (wv expansion), the w27 gathers
+    (FLIP delta, density) and the gradW gathers (gradV, Hessian columns).
 
+    Past ``chunk`` particles the stencil evaluation runs as a lax.scan over
+    particle blocks written into the row buffer in place: at 255^3 / 4M
+    particles XLA's layout choices for the whole-P (P, 27, 3) stencil
+    temps OOM'd the chip (4.7x T(8,128) padding, 2 x 5.6 GB remat'd
+    copies), and a (P, 1)-column reformulation just moved the blowup to
+    128x-padded column temps — bounding the block size bounds the temps
+    no matter which layout the compiler picks."""
+    p = pos_s.shape[0]
+    if p <= chunk:
+        vals = _mpm_vals(pos_s, vel_s, bound)
+        rows, _ = pt.pad_rows_with_ids(flat_h, vals, t + 128, idmod=w)
+        return rows
+    rows, _ = pt.pad_rows_with_ids(flat_h, None, t + 128, idmod=w)
+    nch = -(-p // chunk)
+    pp = nch * chunk
+    pos_p = jnp.pad(pos_s, ((0, pp - p), (0, 0)))
+    vel_p = jnp.pad(vel_s, ((0, pp - p), (0, 0)))
 
-def pack_force_rows(flat_h, gradw, t: int = 2048, w: int = 512):
-    """Base rows for the ``expand='fg'`` force scatter: gradW in lanes
-    40-120 and the id lane; lanes 0-8 are (re)written with the per-particle
-    matrix M = -V sigma by ``make_force_fns`` on every force evaluation."""
-    p = gradw.shape[0]
-    vals = jnp.concatenate([jnp.zeros((p, pt._GW0), gradw.dtype),
-                            gradw.reshape(p, 81)], axis=1)
-    rows, _ = pt.pad_rows_with_ids(flat_h, vals, t, idmod=w)
+    def body(r, i):
+        ps = jax.lax.dynamic_slice(pos_p, (i * chunk, 0), (chunk, 3))
+        vs = jax.lax.dynamic_slice(vel_p, (i * chunk, 0), (chunk, 3))
+        live = (i * chunk + jnp.arange(chunk)) < p   # zero the pad block
+        vals = _mpm_vals(ps, vs, bound) * live[:, None].astype(ps.dtype)
+        vals = jnp.pad(vals, ((0, 0), (0, 6)))       # 121 -> 127 lanes
+        return jax.lax.dynamic_update_slice(r, vals, (i * chunk, 0)), None
+
+    rows, _ = jax.lax.scan(body, rows, jnp.arange(nch, dtype=jnp.int32))
     return rows
 
 
@@ -169,7 +200,7 @@ def flip_delta(pos_s, rows, flat_h, dvc, bound: int, wall: int,
                          wv_rows=rows, interpret=interpret)
 
 
-def make_force_fns(pos_s, flat_h, rows, gradw, FE, volume, mu, lam,
+def make_force_fns(pos_s, flat_h, rows, FE, volume, mu, lam,
                    active, solid, bound: int, lay: tp.HaloLayout,
                    interpret: bool = False):
     """(f0, dforce): the explicit grid force and its exact linearization.
@@ -188,11 +219,12 @@ def make_force_fns(pos_s, flat_h, rows, gradw, FE, volume, mu, lam,
     p0, dp = piola_linearized(FE, mu, lam)          # one SVD per frame
     valid = jnp.all(jnp.abs(cround(pos_s)) <= bound, axis=-1)
     scale = jnp.where(valid, -volume, 0.0)          # zero dead particles
-    base_rows = pack_force_rows(flat_h, gradw)
 
     def scatter_sigma(sigma):
         m9 = scale[:, None] * sigma.reshape(p, 9)
-        rows_f = base_rows.at[:p, 0:9].set(m9)
+        # M rides in the shared rows' (inert-by-now) APIC lanes: see the
+        # _M0 note in pallas_transfer
+        rows_f = rows.at[:p, pt._M0:pt._M0 + 9].set(m9)
         d4 = pt.scatter_wv_fused(rows_f, flat_h, lay.xr, lay.lwr, n,
                                  interpret=interpret, expand="fg")
         f = jnp.moveaxis(_slice_grid(d4, n, lay)[:3], 0, -1)

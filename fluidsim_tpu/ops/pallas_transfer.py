@@ -453,9 +453,15 @@ _SYM_PAIRS = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
 
 # MPM packed-row lane map (``mpm_pallas.pack_mpm_rows``): the per-particle
 # kernel gradient gradW (27 offsets x 3 components, row-major 3o+k) rides in
-# lanes [GW0, GW0+81); lanes 31-39 (the APIC block of ``_wv_mats``) stay
-# zero so the wv expansion is unaffected.
+# lanes [GW0, GW0+81); lanes 31-39 (the APIC block of ``_wv_mats``) are
+# zero at pack time so the wv expansion is unaffected, and the force
+# scatter reuses them for the per-particle matrix M = -V sigma (written
+# fresh before each ``expand='fg'`` call — the wv scatter has already
+# consumed the rows by then).  Sharing one (P_pad, 128) buffer instead of
+# packing a second force-row buffer saves 2 GB residency at the 255^3 /
+# 4M-particle scale.
 _GW0 = 40
+_M0 = 31
 
 
 def _gw_mats(gw0: int = _GW0):
@@ -470,25 +476,26 @@ def _gw_mats(gw0: int = _GW0):
             for k in range(3)]
 
 
-def _fg_mats(gw0: int = _GW0):
+def _fg_mats(gw0: int = _GW0, m0: int = _M0):
     """Expansion matrices for the force scatter (``expand='fg'``): channel
-    4o+c (c < 3) is the product of packed lane 3c+k (the per-particle 3x3
-    matrix M, row-major) and packed lane gw0+3o+k (gradW_k at offset o),
-    summed over k.  Channel 4o+3 stays zero."""
+    4o+c (c < 3) is the product of packed lane m0+3c+k (the per-particle
+    3x3 matrix M, row-major) and packed lane gw0+3o+k (gradW_k at offset
+    o), summed over k.  Channel 4o+3 stays zero."""
     col = jax.lax.broadcasted_iota(jnp.int32, (_CP, _CP), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (_CP, _CP), 0)
     live = (col < 108) & (col % 4 < 3)
     o, c = col // 4, col % 4
-    rm = [((row == 3 * c + k) & live).astype(jnp.bfloat16) for k in range(3)]
+    rm = [((row == m0 + 3 * c + k) & live).astype(jnp.bfloat16)
+          for k in range(3)]
     rg = [((row == gw0 + 3 * o + k) & live).astype(jnp.bfloat16)
           for k in range(3)]
     return rm, rg
 
 
 def _fg_expand(buf):
-    """(TT, 128) packed rows [M 3x3 row-major in lanes 0-8; gradW row-major
-    3o+k in lanes _GW0.._GW0+80] -> u with ``u[:, 4o+c] = sum_k M[c,k] *
-    gradW_k(o)`` — the MPM force stencil ``f(o) = M gradW(o)``
+    """(TT, 128) packed rows [M 3x3 row-major in lanes _M0.._M0+8; gradW
+    row-major 3o+k in lanes _GW0.._GW0+80] -> u with ``u[:, 4o+c] = sum_k
+    M[c,k] * gradW_k(o)`` — the MPM force stencil ``f(o) = M gradW(o)``
     (``populateGridForces``, ``mpm.cc:596-644`` with M = -V sigma).  Both
     factors are exact one-hot lane selections; the k-sum is 3 ordered f32
     adds (vs XLA's identical 3-term dot order in ``apply_mat27``)."""

@@ -45,12 +45,28 @@ def sorted_state(state):
     # with a stable sort, so the particle order is identical
     np.testing.assert_array_equal(np.asarray(pos), np.asarray(pos2))
     np.testing.assert_array_equal(np.asarray(FE), np.asarray(FE2))
+    rows = mp.pack_mpm_rows(flat_h, pos, vel, B)
+    # the column-stacked pack reproduces the (P, 27, 3) stencil arrays
     w27 = tp.masked_weights(pos, B, "mpm")
     _, gradw = mf.stencil_mpm(pos)
-    rows = mp.pack_mpm_rows(flat_h, w27, vel, gradw)
+    np.testing.assert_allclose(np.asarray(rows[:pos.shape[0], :27]),
+                               np.asarray(w27), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(rows[:pos.shape[0], 40:121]),
+        np.asarray(gradw.reshape(-1, 81)), atol=1e-6)
     return dict(lay=lay, pos=pos, vel=vel, FE=FE, FP=FP, vol=vol,
                 flat_h=flat_h, flat_s=flat_s, gradw=gradw, rows=rows,
                 solid=state.solid)
+
+
+def test_chunked_pack_matches_direct(sorted_state):
+    """The lax.scan block-pack (large-P memory bound) is bit-identical to
+    the single-shot pack."""
+    s = sorted_state
+    direct = mp.pack_mpm_rows(s["flat_h"], s["pos"], s["vel"], B)
+    chunked = mp.pack_mpm_rows(s["flat_h"], s["pos"], s["vel"], B,
+                               chunk=1000)
+    np.testing.assert_array_equal(np.asarray(direct), np.asarray(chunked))
 
 
 def test_p2g_and_density_match_fast(sorted_state):
@@ -106,7 +122,7 @@ def test_force_and_hessp_match_fast(sorted_state):
         s["pos"], s["flat_s"], s["gradw"], valid[:, None].astype(jnp.float32),
         s["FE"], volume, mu, lam, active, s["solid"], B)
     f0, dforce = mp.make_force_fns(
-        s["pos"], s["flat_h"], s["rows"], s["gradw"], s["FE"], volume, mu,
+        s["pos"], s["flat_h"], s["rows"], s["FE"], volume, mu,
         lam, active, s["solid"], B, s["lay"], interpret=True)
 
     zeros = jnp.zeros((N, N, N, 3), jnp.float32)
