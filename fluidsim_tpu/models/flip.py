@@ -67,6 +67,9 @@ class FlipParams:
                                      # None = FlipSim decides (on for TPU
                                      # backends where the layout fits);
                                      # True/False are respected as given.
+    pallas_interpret: bool = False   # run the Pallas kernels in interpret
+                                     # mode (CPU equivalence tests of the
+                                     # sharded Pallas path only)
     walls_only_solid: bool = False   # scene solid == box walls exactly;
                                      # enables the analytic bounce probe
                                      # (auto-detected by FlipSim)

@@ -140,15 +140,17 @@ def _slice_grid(d4, n: int, lay: tp.HaloLayout):
 
 def _fm_hp(fields, mask, n: int, lay: tp.HaloLayout):
     """Masked channel-major haloed field grid for the fused gathers:
-    ``fields`` (n,n,n,C<=3), ``mask`` (n,n,n) bool -> (4, XR, LWRP) with the
-    mask in channel 3 (``transfer_pallas.g2p_pallas`` layout)."""
+    ``fields`` (X,n,n,C<=3), ``mask`` (X,n,n) bool -> (4, XR, LWRP) with the
+    mask in channel 3 (``transfer_pallas.g2p_pallas`` layout).  X is n for
+    the single-chip cube or the extended slab rows in sharded mode."""
+    x = fields.shape[0]
     c = fields.shape[-1]
-    chans = [jnp.where(mask, fields[..., d], 0.0).reshape(n, n * n)
+    chans = [jnp.where(mask, fields[..., d], 0.0).reshape(x, n * n)
              for d in range(c)]
-    chans += [jnp.zeros((n, n * n), fields.dtype)] * (3 - c)
-    chans.append(mask.astype(fields.dtype).reshape(n, n * n))
+    chans += [jnp.zeros((x, n * n), fields.dtype)] * (3 - c)
+    chans.append(mask.astype(fields.dtype).reshape(x, n * n))
     fm = jnp.stack(chans, axis=0)
-    return jnp.pad(fm, ((0, 0), (ps._XH, lay.xr - n - ps._XH),
+    return jnp.pad(fm, ((0, 0), (ps._XH, lay.xr - x - ps._XH),
                         (ps._LH + 256,
                          lay.lwr + 512 - (ps._LH + 256) - n * n)))
 

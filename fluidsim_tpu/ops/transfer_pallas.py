@@ -41,9 +41,16 @@ from fluidsim_tpu.ops import pallas_transfer as pt
 
 @dataclasses.dataclass(frozen=True)
 class HaloLayout:
-    n: int
+    n: int                       # y/z extent (n*n lanes per x row)
     bx: int = 16
     lblk: int = 512
+    nx: int | None = None        # x-row extent; None = n (full cube).
+    # A slab value (e.g. a shard's nl + 2*halo rows) gives the sharded
+    # paths the same kernel layout over their local x-slab.
+
+    @property
+    def xrows(self) -> int:
+        return self.n if self.nx is None else self.nx
 
     @property
     def l(self) -> int:          # padded y*z lane extent
@@ -51,7 +58,7 @@ class HaloLayout:
 
     @property
     def nxb(self) -> int:
-        return -(-self.n // self.bx) * self.bx
+        return -(-self.xrows // self.bx) * self.bx
 
     @property
     def xr(self) -> int:

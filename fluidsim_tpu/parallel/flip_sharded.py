@@ -136,6 +136,72 @@ def _p2g_fused_local(pos_s, vel_s, flat_s, x0, nl, n, bound):
     return acc       # (nl+2W, n, n, 4): [w, w*vx, w*vy, w*vz]
 
 
+def _slab_layout(nl, n):
+    """Haloed kernel layout over the local (nl + 2W)-row x-slab."""
+    from fluidsim_tpu.ops.transfer_pallas import HaloLayout
+    return HaloLayout(n, nx=nl + 2 * W)
+
+
+def _sort_local_h(pos, vel, alive, x0, nl, n, bound, lay):
+    """``_sort_local`` with *haloed slab* flat ids (``pallas_shift``
+    layout over the extended slab), via a 2-operand key+iota sort +
+    row-gather permutes (wide multi-operand sorts compile pathologically
+    on TPU — see ``mpm_pallas.sort_mpm_h``)."""
+    from fluidsim_tpu.ops import pallas_shift as ps
+    base = cround(pos).astype(jnp.int32)
+    lx = jnp.clip(base[:, 0] + bound - x0 + W, 0, nl + 2 * W - 1)
+    gy = jnp.clip(base[:, 1] + bound, 0, n - 1)
+    gz = jnp.clip(base[:, 2] + bound, 0, n - 1)
+    flat = (lx + ps._XH) * lay.lwr + ps._LH + gy * n + gz
+    p = pos.shape[0]
+    flat_s, perm = jax.lax.sort(
+        [flat, jnp.arange(p, dtype=jnp.int32)], num_keys=1)
+    return (jnp.take(pos, perm, axis=0), jnp.take(vel, perm, axis=0),
+            jnp.take(alive, perm, axis=0), flat_s)
+
+
+def _p2g_pallas_local(pos_s, vel_s, flat_h, nl, n, bound, lay, interpret):
+    """``_p2g_fused_local`` on the Pallas one-hot kernels: returns the raw
+    (nl + 2W, n, n, 4) slab sums (caller halo-reduces and masks).  Required
+    on real TPU: the XLA scatter emitter cannot compile the 108-channel
+    slab scatter at production shard sizes (see ops/mpm_pallas.py)."""
+    from fluidsim_tpu.ops import pallas_shift as ps
+    from fluidsim_tpu.ops import pallas_transfer as pt
+    from fluidsim_tpu.ops import transfer_pallas as tp
+    rows_x = nl + 2 * W
+    w27 = tp.masked_weights(pos_s, bound, "flip")
+    wv, _ = pt.pack_wv_rows(flat_h, w27, vel_s, 2048)
+    d4 = pt.scatter_wv_fused(wv, flat_h, lay.xr, lay.lwr, n,
+                             interpret=interpret)
+    acc = d4[:, ps._XH:ps._XH + rows_x,
+             256 + ps._LH:256 + ps._LH + n * n].reshape(4, rows_x, n, n)
+    return jnp.moveaxis(acc, 0, -1), wv
+
+
+def _g2p_pallas_local(pos_s, flat_h, wv_rows, fields_ext, within_wall_ext,
+                      bound, n, lay, interpret):
+    """``_g2p_fused_local`` on the Pallas fused-table gather."""
+    from fluidsim_tpu.ops import pallas_shift as ps
+    from fluidsim_tpu.ops import pallas_transfer as pt
+    rows_x = fields_ext.shape[0]
+    p = pos_s.shape[0]
+    c = fields_ext.shape[-1]
+    chans = [jnp.where(within_wall_ext, fields_ext[..., d],
+                       0.0).reshape(rows_x, n * n) for d in range(c)]
+    chans += [jnp.zeros((rows_x, n * n), fields_ext.dtype)] * (3 - c)
+    chans.append(within_wall_ext.astype(fields_ext.dtype).reshape(rows_x,
+                                                                  n * n))
+    fm = jnp.stack(chans, axis=0)
+    fm_hp = jnp.pad(fm, ((0, 0), (ps._XH, lay.xr - rows_x - ps._XH),
+                         (ps._LH + 256,
+                          lay.lwr + 512 - (ps._LH + 256) - n * n)))
+    out = pt.gather_wv_fused(fm_hp, wv_rows, flat_h, n, interpret=interpret)
+    num = out[:c, :p].T
+    den = out[3, :p]
+    safe = jnp.where(den != 0, den, 1.0)
+    return jnp.where(den[:, None] != 0, num / safe[:, None], 0.0)
+
+
 def _g2p_fused_local(pos_s, flat_s, fields_ext, within_wall_ext, bound):
     """Sharded analogue of ``transfer_fast.g2p_fused`` over an extended
     slab: 27 shifts pack neighbourhood tables, one sorted row-gather."""
@@ -179,13 +245,23 @@ def _sharded_step(params: FlipParams, nl: int, cap: int, mig_cap: int,
     solid_ext1 = solid_ext[W - 1:nl + W + 1]                 # halo-1 view
 
     # ---- P2G (fluid.cc:1384) ----
+    use_pallas = bool(params.pallas_transfer)
     if params.fast_transfer:
         # fused path: sort by ext-slab cell, one 108-ch scatter + shifts.
         # With the standard wall geometry (wall == bound-2, the only layout
         # the sharded solver supports) the within-(B-2) and occupancy masks
         # both collapse to ~solid, so occupancy shares the weight field.
-        pos, vel, alive, flat_ext = _sort_local(pos, vel, alive, x0, nl, n, B)
-        acc = _p2g_fused_local(pos, vel, flat_ext, x0, nl, n, B)
+        if use_pallas:
+            lay = _slab_layout(nl, n)
+            itp = params.pallas_interpret
+            pos, vel, alive, flat_ext = _sort_local_h(pos, vel, alive, x0,
+                                                      nl, n, B, lay)
+            acc, wv_rows = _p2g_pallas_local(pos, vel, flat_ext, nl, n, B,
+                                             lay, itp)
+        else:
+            pos, vel, alive, flat_ext = _sort_local(pos, vel, alive, x0, nl,
+                                                    n, B)
+            acc = _p2g_fused_local(pos, vel, flat_ext, x0, nl, n, B)
         red = jnp.stack([halo_reduce(acc[..., c], W, AX) for c in range(4)],
                         axis=-1)
         ns_loc = (~solid_loc)[..., None]
@@ -290,7 +366,13 @@ def _sharded_step(params: FlipParams, nl: int, cap: int, mig_cap: int,
         cy = np.abs(np.arange(-B, B + 1)) <= wall
         wall_yz = jnp.asarray(cy[:, None] & cy[None, :])
         within_ext = (jnp.abs(gi) <= wall) & wall_yz[None, :, :]
-        delta = _g2p_fused_local(pos, flat_ext, vc_new - vc_old, within_ext, B)
+        if use_pallas:
+            delta = _g2p_pallas_local(pos, flat_ext, wv_rows,
+                                      vc_new - vc_old, within_ext, B, n,
+                                      lay, itp)
+        else:
+            delta = _g2p_fused_local(pos, flat_ext, vc_new - vc_old,
+                                     within_ext, B)
     else:
         within_wall = jnp.all(jnp.abs(cells) <= wall, axis=-1)
         gmask = inb & within_wall
@@ -386,6 +468,15 @@ class ShardedFlipSim:
                 and np.array_equal(np.asarray(scene.solid),
                                    scene.spec.wall_mask())):
             params = dataclasses.replace(params, walls_only_solid=True)
+        if params.pallas_transfer is None:
+            # per-shard XLA scatters hit the TPU scatter-emitter compile
+            # wall at production slab sizes; route through the Pallas slab
+            # kernels on real backends (n <= 255 lane-halo limit, as
+            # single-chip)
+            auto = (params.fast_transfer
+                    and jax.default_backend() != "cpu"
+                    and scene.spec.n <= 255)
+            params = dataclasses.replace(params, pallas_transfer=auto)
         self.scene, self.params, self.mesh = scene, params, mesh
         ndev = mesh.devices.size
         n = scene.spec.n
@@ -438,10 +529,13 @@ class ShardedFlipSim:
                          "num_alive", "migrated", "lost")}
         metric_specs["occupancy"] = P(AX)
         body = partial(_sharded_step, params, self.nl, self.cap, self.mig_cap)
+        # check_vma=False when pallas kernels run inside the shard: pallas
+        # out_shapes carry no varying-manual-axes info
         self._step = jax.jit(shard_map(
             body, mesh=mesh,
             in_specs=(P(), P(), state_specs),
-            out_specs=(state_specs, metric_specs)))
+            out_specs=(state_specs, metric_specs),
+            check_vma=not params.pallas_transfer))
 
     @property
     def num_particles(self) -> int:

@@ -29,8 +29,8 @@ from fluidsim_tpu.core.splines import cround, grad_w_mpm
 from fluidsim_tpu.core.gridspec import cell_center_velocity
 from fluidsim_tpu.ops import transfer
 from fluidsim_tpu.ops.pcg import pcg
-from fluidsim_tpu.ops.svd3 import (piola_corotated, hardening,
-                                   clamp_singular, det3, mm3)
+from fluidsim_tpu.ops.svd3 import (piola_corotated, piola_linearized,
+                                   hardening, clamp_singular, det3, mm3)
 from fluidsim_tpu.models.flip import advect_bounce
 from fluidsim_tpu.models.mpm import MpmParams
 from fluidsim_tpu.parallel.halo import exchange_halo, halo_reduce, migrate_neighbors
@@ -70,44 +70,98 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
     solid_ext = jax.lax.dynamic_slice(solid_pad_ext, (x0, 0, 0),
                                       (rows, n, n))
     solid_loc = solid_ext[W:-W]
-
-    # ---- stencil data (MPM kernel + gradients, deformHeader.h:90-105) ----
-    cells, inb = transfer.particle_stencil(pos, B)
-    delta = pos[:, None, :] - cells.astype(pos.dtype)
-    w27, gradw = grad_w_mpm(delta)
-    sflat = solid_full.reshape(-1)
-    gidx = jnp.clip(cells + B, 0, n - 1)
-    cell_solid = sflat[(gidx[..., 0] * n + gidx[..., 1]) * n + gidx[..., 2]]
-    not_solid = ~cell_solid & inb
-    within_in = jnp.all(jnp.abs(cells) < B - 1, axis=-1)
-
-    # local ext flat ids for gathers/scatters
-    lx = jnp.clip(cells[..., 0] + B - x0 + W, 0, rows - 1)
-    gy = jnp.clip(cells[..., 1] + B, 0, n - 1)
-    gz = jnp.clip(cells[..., 2] + B, 0, n - 1)
-    ids_ext = (lx * n + gy) * n + gz
-
-    # ---- mass P2G (interpolate) + velocity P2G normalised by mass ----
-    mass_mask = not_solid & (w27 > 0)
-    mass = halo_reduce(_local_scatter(cells + B, jnp.where(mass_mask, w27, 0.0),
-                                      mass_mask, x0, nl, n, W), W, AX)
-    p2g_mask = not_solid & within_in
-    wm = jnp.where(p2g_mask, w27, 0.0)
-    mom = jnp.stack([
-        halo_reduce(_local_scatter(cells + B, wm * vel[:, None, d], p2g_mask,
-                                   x0, nl, n, W), W, AX)
-        for d in range(3)], axis=-1)
+    use_pallas = bool(params.pallas_transfer)
     thr = params.mass_threshold
-    velg = jnp.where((mass > thr)[..., None],
-                     mom / jnp.where(mass > thr, mass, 1.0)[..., None], 0.0)
+    fe_in, fp_in, volume_in = state.FE, state.FP, state.volume
 
-    # ---- per-particle volume at frame 0 (findVolume) ----
-    mass_ext = exchange_halo(mass, W, AX)
-    mass_at = _local_gather(mass_ext[..., None], cells + B, x0, nl, n, W)[..., 0]
-    dens = jnp.sum(jnp.where(not_solid, w27 * mass_at, 0.0), axis=1)
+    if use_pallas:
+        # ---- Pallas slab pipeline (the TPU path: per-shard XLA scatters
+        # hit the scatter-emitter compile wall past ~31^3-equivalent slab
+        # sizes; see ops/mpm_pallas.py).  All reference masks collapse to
+        # target-cell level under the standard wall geometry, exactly as
+        # on the single chip. ----
+        from fluidsim_tpu.ops import mpm_pallas as mp
+        from fluidsim_tpu.ops import pallas_shift as ps
+        from fluidsim_tpu.ops import pallas_transfer as pt
+        from fluidsim_tpu.parallel.flip_sharded import (_slab_layout,
+                                                        _g2p_pallas_local)
+        lay = _slab_layout(nl, n)
+        itp = params.pallas_interpret
+        p = pos.shape[0]
+
+        base = cround(pos).astype(jnp.int32)
+        lxb = jnp.clip(base[:, 0] + B - x0 + W, 0, rows - 1)
+        gyb = jnp.clip(base[:, 1] + B, 0, n - 1)
+        gzb = jnp.clip(base[:, 2] + B, 0, n - 1)
+        flat = (lxb + ps._XH) * lay.lwr + ps._LH + gyb * n + gzb
+        flat_h, perm = jax.lax.sort(
+            [flat, jnp.arange(p, dtype=jnp.int32)], num_keys=1)
+        pos = jnp.take(pos, perm, axis=0)
+        vel = jnp.take(vel, perm, axis=0)
+        alive = jnp.take(alive, perm, axis=0)
+        fe_in = jnp.take(state.FE, perm, axis=0)
+        fp_in = jnp.take(state.FP, perm, axis=0)
+        volume_in = jnp.take(state.volume, perm, axis=0)
+
+        prows = mp.pack_mpm_rows(flat_h, pos, vel, B)
+        d4 = pt.scatter_wv_fused(prows, flat_h, lay.xr, lay.lwr, n,
+                                 interpret=itp)
+        accn = d4[:, ps._XH:ps._XH + rows,
+                  256 + ps._LH:256 + ps._LH + n * n].reshape(4, rows, n, n)
+        mass = jnp.where(~solid_loc, halo_reduce(accn[0], W, AX), 0.0)
+        mom = jnp.stack([halo_reduce(accn[1 + d], W, AX) for d in range(3)],
+                        axis=-1)
+        mom = jnp.where((~solid_loc)[..., None], mom, 0.0)
+        velg = jnp.where((mass > thr)[..., None],
+                         mom / jnp.where(mass > thr, mass, 1.0)[..., None],
+                         0.0)
+
+        # ---- per-particle volume at frame 0 (findVolume) ----
+        mass_ext = exchange_halo(mass, W, AX)
+        dens = mp.density(mass_ext, prows, flat_h, solid_ext, B, lay,
+                          interpret=itp)
+    else:
+        # ---- stencil data (MPM kernel + gradients, deformHeader.h:90-105) --
+        cells, inb = transfer.particle_stencil(pos, B)
+        delta = pos[:, None, :] - cells.astype(pos.dtype)
+        w27, gradw = grad_w_mpm(delta)
+        sflat = solid_full.reshape(-1)
+        gidx = jnp.clip(cells + B, 0, n - 1)
+        cell_solid = sflat[(gidx[..., 0] * n + gidx[..., 1]) * n
+                           + gidx[..., 2]]
+        not_solid = ~cell_solid & inb
+        within_in = jnp.all(jnp.abs(cells) < B - 1, axis=-1)
+
+        # local ext flat ids for gathers/scatters
+        lx = jnp.clip(cells[..., 0] + B - x0 + W, 0, rows - 1)
+        gy = jnp.clip(cells[..., 1] + B, 0, n - 1)
+        gz = jnp.clip(cells[..., 2] + B, 0, n - 1)
+        ids_ext = (lx * n + gy) * n + gz
+
+        # ---- mass P2G (interpolate) + velocity P2G normalised by mass ----
+        mass_mask = not_solid & (w27 > 0)
+        mass = halo_reduce(_local_scatter(cells + B,
+                                          jnp.where(mass_mask, w27, 0.0),
+                                          mass_mask, x0, nl, n, W), W, AX)
+        p2g_mask = not_solid & within_in
+        wm = jnp.where(p2g_mask, w27, 0.0)
+        mom = jnp.stack([
+            halo_reduce(_local_scatter(cells + B, wm * vel[:, None, d],
+                                       p2g_mask, x0, nl, n, W), W, AX)
+            for d in range(3)], axis=-1)
+        velg = jnp.where((mass > thr)[..., None],
+                         mom / jnp.where(mass > thr, mass, 1.0)[..., None],
+                         0.0)
+
+        # ---- per-particle volume at frame 0 (findVolume) ----
+        mass_ext = exchange_halo(mass, W, AX)
+        mass_at = _local_gather(mass_ext[..., None], cells + B,
+                                x0, nl, n, W)[..., 0]
+        dens = jnp.sum(jnp.where(not_solid, w27 * mass_at, 0.0), axis=1)
+
     vol0 = 1.0 / jnp.where(dens > 0, dens, 1.0)
     volume = jnp.where(state.frame == 0,
-                       jnp.where(alive, vol0, 0.0), state.volume)
+                       jnp.where(alive, vol0, 0.0), volume_in)
 
     active = (mass > thr) & (~solid_loc)
     active_ext = exchange_halo(active, W, AX)
@@ -115,32 +169,69 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
 
     # ---- force function over halo-extended displacement fields ----
     mu, lam = hardening(params.mu0, params.lam0, params.hardening_eps,
-                        det3(state.FP), exponent_cap=params.hardening_max)
-    fe_t = jnp.swapaxes(state.FE, -1, -2)
-    gather_mask = (active_ext.reshape(-1)[ids_ext] & inb)[..., None].astype(pos.dtype)
-    scatter_mask = not_solid[..., None].astype(pos.dtype)
+                        det3(fp_in), exponent_cap=params.hardening_max)
+    fe_t = jnp.swapaxes(fe_in, -1, -2)
     vol_alive = jnp.where(alive, volume, 0.0)
 
-    def forces_ext(u_ext_flat):
-        """u: (rows*n*n, 3) halo-extended displacement; returns scattered
-        force differentials on the extended slab (pre halo-reduce)."""
-        u_nodes = u_ext_flat[ids_ext] * gather_mask
-        gmat = jnp.einsum("pkd,pke->pde", u_nodes, gradw,
-                          precision=jax.lax.Precision.HIGHEST)
-        fe_new = state.FE + mm3(gmat, state.FE)
-        p_stress = piola_corotated(fe_new, mu, lam)
-        sigma = mm3(p_stress, fe_t)
-        f_pk = -vol_alive[:, None, None] * jnp.einsum(
-            "pde,pke->pkd", sigma, gradw,
-            precision=jax.lax.Precision.HIGHEST)
-        f_pk = f_pk * scatter_mask
-        return jnp.zeros((rows * n * n, 3), pos.dtype).at[
-            ids_ext.reshape(-1)].add(f_pk.reshape(-1, 3))
+    if use_pallas:
+        # explicit LINEAR Hessian chain (no jvp across pallas_call):
+        # gradW gather over active cells -> piola_linearized dP -> in-kernel
+        # M gradW(o) scatter, halo-reduced by the callers
+        p0, dp = piola_linearized(fe_in, mu, lam)
+        valid = jnp.all(jnp.abs(cround(pos)) <= B, axis=-1)
+        scale = jnp.where(valid, -vol_alive, 0.0)
+        not_solid_ext = ~solid_ext
 
-    zeros_u = jnp.zeros((rows * n * n, 3), pos.dtype)
-    f0 = jnp.stack([halo_reduce(
-        forces_ext(zeros_u).reshape(rows, n, n, 3)[..., d], W, AX)
-        for d in range(3)], axis=-1)
+        def scatter_sigma(sigma):
+            m9 = scale[:, None] * sigma.reshape(p, 9)
+            prows_f = prows.at[:p, pt._M0:pt._M0 + 9].set(m9)
+            df4 = pt.scatter_wv_fused(prows_f, flat_h, lay.xr, lay.lwr, n,
+                                      interpret=itp, expand="fg")
+            f = jnp.moveaxis(
+                df4[:3, ps._XH:ps._XH + rows,
+                    256 + ps._LH:256 + ps._LH + n * n].reshape(3, rows, n, n),
+                0, -1)
+            return jnp.where(not_solid_ext[..., None], f, 0.0)
+
+        def reduce3(f_ext):
+            return jnp.stack([halo_reduce(f_ext[..., d], W, AX)
+                              for d in range(3)], axis=-1)
+
+        f0 = reduce3(scatter_sigma(mm3(p0, fe_t)))
+
+        def dforce(wv_loc):
+            w_ext = exchange_halo(wv_loc, W, AX)
+            fm = mp._fm_hp(w_ext, active_ext, n, lay)
+            out16 = pt.gather_wv_fused(fm, prows, flat_h, n, nout=16,
+                                       contract="gw", interpret=itp)
+            gmat = jnp.stack([out16[4 * k:4 * k + 3, :p].T
+                              for k in range(3)], axis=-1)
+            return reduce3(scatter_sigma(mm3(dp(mm3(gmat, fe_in)), fe_t)))
+    else:
+        gather_mask = (active_ext.reshape(-1)[ids_ext]
+                       & inb)[..., None].astype(pos.dtype)
+        scatter_mask = not_solid[..., None].astype(pos.dtype)
+
+        def forces_ext(u_ext_flat):
+            """u: (rows*n*n, 3) halo-extended displacement; returns scattered
+            force differentials on the extended slab (pre halo-reduce)."""
+            u_nodes = u_ext_flat[ids_ext] * gather_mask
+            gmat = jnp.einsum("pkd,pke->pde", u_nodes, gradw,
+                              precision=jax.lax.Precision.HIGHEST)
+            fe_new = fe_in + mm3(gmat, fe_in)
+            p_stress = piola_corotated(fe_new, mu, lam)
+            sigma = mm3(p_stress, fe_t)
+            f_pk = -vol_alive[:, None, None] * jnp.einsum(
+                "pde,pke->pkd", sigma, gradw,
+                precision=jax.lax.Precision.HIGHEST)
+            f_pk = f_pk * scatter_mask
+            return jnp.zeros((rows * n * n, 3), pos.dtype).at[
+                ids_ext.reshape(-1)].add(f_pk.reshape(-1, 3))
+
+        zeros_u = jnp.zeros((rows * n * n, 3), pos.dtype)
+        f0 = jnp.stack([halo_reduce(
+            forces_ext(zeros_u).reshape(rows, n, n, 3)[..., d], W, AX)
+            for d in range(3)], axis=-1)
 
     mass_safe = jnp.where(active, mass, 1.0)[..., None]
     b = jnp.where(active[..., None], velg + dt * (f0 / mass_safe + g), 0.0)
@@ -149,11 +240,14 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
 
     def matvec(wv):
         wm_ = jnp.where(active[..., None], wv, 0.0)
-        w_ext = exchange_halo(wm_, W, AX).reshape(rows * n * n, 3)
-        _, df_ext = jax.jvp(forces_ext, (zeros_u,), (w_ext,))
-        df = jnp.stack([halo_reduce(
-            df_ext.reshape(rows, n, n, 3)[..., d], W, AX)
-            for d in range(3)], axis=-1)
+        if use_pallas:
+            df = dforce(wm_)
+        else:
+            w_ext = exchange_halo(wm_, W, AX).reshape(rows * n * n, 3)
+            _, df_ext = jax.jvp(forces_ext, (zeros_u,), (w_ext,))
+            df = jnp.stack([halo_reduce(
+                df_ext.reshape(rows, n, n, 3)[..., d], W, AX)
+                for d in range(3)], axis=-1)
         out = wv + beta_dt2 * (-df) / mass_safe
         return jnp.where(active[..., None], out, wv)
 
@@ -163,17 +257,21 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
 
     # ---- deformation gradient update ----
     velg_ext = exchange_halo(velg, W, AX)
-    v_nodes = _local_gather(velg_ext, cells + B, x0, nl, n, W) \
-        * not_solid[..., None].astype(pos.dtype)
-    gradv = jnp.einsum("pkd,pke->pde", v_nodes, gradw,
-                       precision=jax.lax.Precision.HIGHEST)
+    if use_pallas:
+        gradv = mp.gradv_gather(velg_ext, prows, flat_h, solid_ext, B, lay,
+                                interpret=itp)
+    else:
+        v_nodes = _local_gather(velg_ext, cells + B, x0, nl, n, W) \
+            * not_solid[..., None].astype(pos.dtype)
+        gradv = jnp.einsum("pkd,pke->pde", v_nodes, gradw,
+                           precision=jax.lax.Precision.HIGHEST)
     gmax = jnp.max(jnp.abs(gradv), axis=(-2, -1))
     scale_g = jnp.minimum(1.0, params.max_gradv_dt
                           / jnp.maximum(dt * gmax, 1e-12))
     gradv = gradv * scale_g[:, None, None]
     eye = jnp.eye(3, dtype=pos.dtype)
-    t_fe = mm3(eye + dt * gradv, state.FE)
-    f_total = mm3(t_fe, state.FP)
+    t_fe = mm3(eye + dt * gradv, fe_in)
+    f_total = mm3(t_fe, fp_in)
     fe_new, v_sinv_ut = clamp_singular(t_fe, 1.0 - params.theta_c,
                                        1.0 + params.theta_s)
     fp_new = mm3(v_sinv_ut, f_total)
@@ -183,13 +281,23 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
     # ---- FLIP advect ----
     vc_new = cell_center_velocity(exchange_halo(velg, W, AX))
     vc_old = cell_center_velocity(exchange_halo(velb, W, AX))
-    within_wall = jnp.all(jnp.abs(cells) <= params.wall, axis=-1)
-    wg = jnp.where(within_wall & inb, w27, 0.0)
-    dv = _local_gather(vc_new - vc_old, cells + B, x0, nl, n, W)
-    den = jnp.sum(wg, axis=1)
-    safe = jnp.where(den != 0, den, 1.0)
-    delta_v = jnp.where(den[:, None] != 0,
-                        jnp.sum(wg[..., None] * dv, axis=1) / safe[:, None], 0.0)
+    if use_pallas:
+        gi = jax.lax.broadcasted_iota(jnp.int32, (rows, n, n), 0) \
+            + x0 - W - B
+        cy = np.abs(np.arange(-B, B + 1)) <= params.wall
+        wall_yz = jnp.asarray(cy[:, None] & cy[None, :])
+        within_ext = (jnp.abs(gi) <= params.wall) & wall_yz[None, :, :]
+        delta_v = _g2p_pallas_local(pos, flat_h, prows, vc_new - vc_old,
+                                    within_ext, B, n, lay, itp)
+    else:
+        within_wall = jnp.all(jnp.abs(cells) <= params.wall, axis=-1)
+        wg = jnp.where(within_wall & inb, w27, 0.0)
+        dv = _local_gather(vc_new - vc_old, cells + B, x0, nl, n, W)
+        den = jnp.sum(wg, axis=1)
+        safe = jnp.where(den != 0, den, 1.0)
+        delta_v = jnp.where(den[:, None] != 0,
+                            jnp.sum(wg[..., None] * dv, axis=1)
+                            / safe[:, None], 0.0)
     vel = jnp.where(alive[:, None], vel + delta_v, 0.0)
 
     speed = jnp.sqrt(jnp.sum(vel * vel, axis=-1))
@@ -268,6 +376,12 @@ class ShardedMpmSim:
                 and np.array_equal(np.asarray(scene.solid),
                                    scene.spec.wall_mask())):
             params = dataclasses.replace(params, walls_only_solid=True)
+        if params.pallas_transfer is None:
+            # per-shard XLA scatters hit the TPU scatter-emitter compile
+            # wall at production slab sizes; route through the Pallas slab
+            # kernels on real backends
+            auto = (jax.default_backend() != "cpu" and scene.spec.n <= 255)
+            params = dataclasses.replace(params, pallas_transfer=auto)
         self.scene, self.params, self.mesh = scene, params, mesh
         ndev = mesh.devices.size
         n = scene.spec.n
