@@ -164,6 +164,92 @@ def _print_vdb(args) -> int:
     return 0
 
 
+def _levelset_cube(g, fog_half_width=None, warn=True):
+    """Embed a stored dense grid block in an odd cube ready for the
+    sphere tracer ([-b, b] index convention), converting ``--surface``
+    fog volumes back to signed distances when asked.  Returns
+    (cube, bound, offset) with ``offset`` mapping sim index space to the
+    cube's centred coordinates."""
+    import numpy as _np
+    vals = _np.asarray(g.values, _np.float32)
+    if fog_half_width is not None:
+        # invert sdf_to_fog's ramp at the 0.5 iso-level; outside the band
+        # the fog is 0, giving a constant (conservative) positive step
+        vals = (0.5 - vals) * fog_half_width
+        bg = 0.5 * fog_half_width
+    else:
+        if warn and vals.min() >= 0.0 and vals.max() <= 1.0:
+            print("warning: grid has no negative values — it looks like "
+                  "a fog volume (--surface output), not a signed "
+                  "distance field; pass --fog-half-width to convert",
+                  file=sys.stderr)
+        bg = float(max(g.background, 1e-3))
+    # the stored dense block is leaf-padded with an index-space origin;
+    # embed it in an odd cube so the tracer's [-b, b] convention holds
+    n = max(vals.shape)
+    n += 1 - n % 2
+    cube = _np.full((n, n, n), bg, _np.float32)
+    cube[:vals.shape[0], :vals.shape[1], :vals.shape[2]] = vals
+    bound = (n - 1) // 2
+    # sim index-space point p sits at array coord p - origin - bound
+    off = _np.asarray(g.origin, _np.float64) + bound
+    return cube, bound, off
+
+
+def _view(args) -> int:
+    """Offline viewer — the capability answer to ``vdb_view``
+    (``openvdb/viewer/Viewer.h:59-66``; GLFW is a non-starter headless):
+    orbit the camera around one grid, or play an animation over many
+    frame files with a fixed camera, writing an animated GIF (or a PNG
+    sequence) via the same jitted sphere tracer the ``raytrace``
+    subcommand uses."""
+    import numpy as _np
+    from fluidsim_tpu.io.vdb import read_vdb
+    from fluidsim_tpu.ops.raytrace import raytrace_levelset
+
+    frames = []
+    if len(args.files) == 1 and args.orbit > 1:
+        g = read_vdb(args.files[0])[args.grid]
+        cube, bound, off = _levelset_cube(g, args.fog_half_width)
+        look = _np.zeros(3) - off
+        r = 2.2 * bound
+        for k in range(args.orbit):
+            th = 2.0 * _np.pi * k / args.orbit
+            eye = _np.asarray([r * _np.sin(th), 0.4 * bound,
+                               -r * _np.cos(th)]) - off
+            img, _, _ = raytrace_levelset(
+                cube, bound, tuple(eye), tuple(look),
+                width=args.size[0], height=args.size[1], fov_deg=args.fov)
+            frames.append(_np.asarray(img))
+    else:
+        for path in args.files:
+            g = read_vdb(path)[args.grid]
+            cube, bound, off = _levelset_cube(g, args.fog_half_width,
+                                              warn=path == args.files[0])
+            eye = _np.asarray([0.0, 0.3 * bound, -2.2 * bound]) - off
+            look = _np.zeros(3) - off
+            img, _, _ = raytrace_levelset(
+                cube, bound, tuple(eye), tuple(look),
+                width=args.size[0], height=args.size[1], fov_deg=args.fov)
+            frames.append(_np.asarray(img))
+
+    out = args.output or (os.path.splitext(args.files[0])[0] + "_view.gif")
+    if out.endswith(".gif"):
+        from PIL import Image
+        ims = [Image.fromarray(_np.clip(f * 255.0, 0, 255).astype(_np.uint8))
+               for f in frames]
+        ims[0].save(out, save_all=True, append_images=ims[1:],
+                    duration=args.frame_ms, loop=0)
+    else:
+        from fluidsim_tpu.io.render import write_image
+        base, ext = os.path.splitext(out)
+        for i, f in enumerate(frames):
+            write_image(f"{base}_{i:04d}{ext}", f * 255.0)
+    print(f"wrote {out} ({len(frames)} frames, "
+          f"{args.size[0]}x{args.size[1]})")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="fluidsim", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -203,6 +289,21 @@ def main(argv=None) -> int:
                     help="treat the grid as fog (0..1) written by --surface "
                          "and convert back to a signed distance first")
 
+    pv = sub.add_parser("view", help="offline viewer (vdb_view): orbit one "
+                                     "grid or play many frame files, to an "
+                                     "animated GIF or PNG sequence")
+    pv.add_argument("files", nargs="+")
+    pv.add_argument("-o", "--output", default=None,
+                    help=".gif for animation, other extensions for a "
+                         "numbered image sequence")
+    pv.add_argument("--grid", type=int, default=0)
+    pv.add_argument("--orbit", type=int, default=24,
+                    help="turntable frame count when viewing a single file")
+    pv.add_argument("--size", type=int, nargs=2, default=(384, 384))
+    pv.add_argument("--fov", type=float, default=40.0)
+    pv.add_argument("--frame-ms", type=int, default=80)
+    pv.add_argument("--fog-half-width", type=float, default=None)
+
     pl = sub.add_parser("lod", help="write a mean-pooled mip pyramid "
                                     "(vdb_lod)")
     pl.add_argument("file")
@@ -234,28 +335,7 @@ def main(argv=None) -> int:
         from fluidsim_tpu.io.render import write_image
         from fluidsim_tpu.ops.raytrace import raytrace_levelset
         g = read_vdb(args.file)[args.grid]
-        vals = _np.asarray(g.values, _np.float32)
-        if args.fog_half_width is not None:
-            # invert sdf_to_fog's ramp at the 0.5 iso-level; outside the band
-            # the fog is 0, giving a constant (conservative) positive step
-            vals = (0.5 - vals) * args.fog_half_width
-            bg = 0.5 * args.fog_half_width
-        else:
-            if vals.min() >= 0.0 and vals.max() <= 1.0:
-                print("warning: grid has no negative values — it looks like "
-                      "a fog volume (--surface output), not a signed "
-                      "distance field; pass --fog-half-width to convert",
-                      file=sys.stderr)
-            bg = float(max(g.background, 1e-3))
-        # the stored dense block is leaf-padded with an index-space origin;
-        # embed it in an odd cube so the tracer's [-b, b] convention holds
-        n = max(vals.shape)
-        n += 1 - n % 2
-        cube = _np.full((n, n, n), bg, _np.float32)
-        cube[:vals.shape[0], :vals.shape[1], :vals.shape[2]] = vals
-        bound = (n - 1) // 2
-        # sim index-space point p sits at array coord p - origin - bound
-        off = _np.asarray(g.origin, _np.float64) + bound
+        cube, bound, off = _levelset_cube(g, args.fog_half_width)
         eye = _np.asarray(args.eye if args.eye is not None
                           else (0.0, 0.3 * bound, -2.2 * bound), _np.float64)
         look = _np.asarray(args.look, _np.float64)
@@ -267,6 +347,8 @@ def main(argv=None) -> int:
         print(f"wrote {out} ({args.size[0]}x{args.size[1]}, "
               f"{float(_np.asarray(hit).mean()):.1%} coverage)")
         return 0
+    if args.cmd == "view":
+        return _view(args)
     if args.cmd == "lod":
         from fluidsim_tpu.io.vdb import read_vdb, write_vdb, VdbGrid
         from fluidsim_tpu.io.render import build_lod

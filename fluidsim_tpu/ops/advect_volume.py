@@ -44,6 +44,63 @@ def sample_trilinear(field, pos, bound: int):
     return out if field.ndim == 4 else out[:, 0]
 
 
+def sample_nearest(field, pos, bound: int):
+    """Nearest-neighbor sample — ``tools::PointSampler``
+    (``openvdb/tools/Interpolation.h:191,816-821`` rounds the query to the
+    closest voxel).  Same field/pos conventions as ``sample_trilinear``."""
+    n = 2 * bound + 1
+    i = jnp.clip(jnp.round(pos + bound).astype(jnp.int32), 0, n - 1)
+    flat = (i[:, 0] * n + i[:, 1]) * n + i[:, 2]
+    vals = field.reshape(n * n * n, -1)[flat]
+    return vals if field.ndim == 4 else vals[:, 0]
+
+
+def sample_quadratic(field, pos, bound: int):
+    """Triquadratic sample — ``tools::QuadraticSampler``
+    (``openvdb/tools/Interpolation.h:189,802-846``): per axis, fit a
+    parabola through the samples at offsets −1/0/+1 from the floored
+    query and evaluate at the fractional part; separable tensor product.
+    Out-of-box stencil taps clamp to the box edge."""
+    n = 2 * bound + 1
+    p = jnp.clip(pos + bound, 0.0, n - 1.000001)
+    i0 = jnp.floor(p).astype(jnp.int32)
+    t = p - i0
+
+    # quadratic Lagrange weights at nodes -1, 0, +1
+    def wts(td):
+        return (0.5 * td * (td - 1.0), 1.0 - td * td, 0.5 * td * (td + 1.0))
+
+    wx, wy, wz = wts(t[:, 0:1]), wts(t[:, 1:2]), wts(t[:, 2:3])
+    flat_field = field.reshape(n * n * n, -1)
+    out = 0.0
+    for dx in (-1, 0, 1):
+        ix = jnp.clip(i0[:, 0] + dx, 0, n - 1)
+        for dy in (-1, 0, 1):
+            iy = jnp.clip(i0[:, 1] + dy, 0, n - 1)
+            for dz in (-1, 0, 1):
+                iz = jnp.clip(i0[:, 2] + dz, 0, n - 1)
+                w = wx[dx + 1] * wy[dy + 1] * wz[dz + 1]
+                out = out + w * flat_field[(ix * n + iy) * n + iz]
+    return out if field.ndim == 4 else out[:, 0]
+
+
+def sample_staggered(field, pos, bound: int, order: int = 1):
+    """Staggered sample of an ``(N,N,N,3)`` vector field whose component
+    ``d`` lives at the face center ``+0.5·e_d`` —
+    ``tools::Staggered{Point,Box,Quadratic}Sampler``
+    (``openvdb/tools/Interpolation.h:906-931,937-970,976-1007``): each
+    component is sampled independently with the query shifted by +0.5
+    along its own axis.  ``order``: 0 nearest, 1 trilinear, 2 triquadratic.
+    """
+    sampler = {0: sample_nearest, 1: sample_trilinear,
+               2: sample_quadratic}[order]
+    comps = []
+    for d in range(3):
+        shifted = pos.at[:, d].add(0.5)
+        comps.append(sampler(field[..., d:d + 1], shifted, bound)[:, 0])
+    return jnp.stack(comps, axis=-1)
+
+
 def _velocity_at(vc, pos, bound):
     return sample_trilinear(vc, pos, bound)
 

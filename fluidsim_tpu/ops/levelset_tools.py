@@ -24,7 +24,8 @@ from fluidsim_tpu.ops.advect_volume import advect_volume
 
 __all__ = [
     "redistance", "rebuild_levelset", "filter_mean", "filter_gaussian",
-    "filter_median", "morph_levelset", "track_levelset", "levelset_area",
+    "filter_median", "filter_offset", "morph_levelset", "track_levelset",
+    "levelset_area",
 ]
 
 
@@ -186,6 +187,20 @@ def filter_median(phi, band: float | None = None, dx: float = 1.0):
     return _banded(phi, med, band, dx)
 
 
+def filter_offset(grid, offset, mask=None):
+    """Add a constant to every voxel — ``tools::Filter::offset``
+    (``openvdb/tools/Filter.h:166-168,419-433``).  With ``mask`` (an
+    alpha grid in [0,1]) the offset is alpha-blended per voxel exactly
+    like the reference's masked variant (``Filter.h:427``).  Together
+    with ``filter_mean``/``filter_gaussian``/``filter_median`` (which with
+    ``band=None`` operate on the whole grid) this provides the generic
+    volume-filter capability of ``openvdb/tools/Filter.h``, not just the
+    level-set-banded specialization."""
+    if mask is None:
+        return grid + offset
+    return grid + mask * offset
+
+
 def morph_levelset(phi, target, iterations: int = 20, dx: float = 1.0,
                    renorm_every: int = 5, speed_clamp: float = 3.0):
     """Morph one level set toward another — ``tools::LevelSetMorph``.
@@ -225,13 +240,25 @@ def morph_levelset(phi, target, iterations: int = 20, dx: float = 1.0,
 
 def track_levelset(phi, vc, dt, bound: int, order: int = 2,
                    redist_iterations: int = 5, half_width: float | None = None,
-                   dx: float = 1.0):
+                   dx: float = 1.0, spatial: str = "semi"):
     """One tracked level-set advection step — ``tools::LevelSetAdvect`` +
-    ``LevelSetTracker``: semi-Lagrangian transport in velocity field
-    ``vc`` (cell-centred ``(N,N,N,3)``), then renormalization, then
-    optional truncation to ``±half_width·dx`` (the tracker's band prune).
+    ``LevelSetTracker``: transport in velocity field ``vc`` (cell-centred
+    ``(N,N,N,3)``), then renormalization, then optional truncation to
+    ``±half_width·dx`` (the tracker's band prune).
+
+    ``spatial`` selects the transport discretization, mirroring the
+    reference's ``BiasedGradientScheme`` menu (``LevelSetAdvect.h`` with
+    ``math/FiniteDifference.h:207-219``): ``"semi"`` (default) is the
+    semi-Lagrangian path; ``"first"``/``"second"``/``"third"``/``"weno5"``/
+    ``"hjweno5"`` run Eulerian upwind HJ advection (``ops/fd.py``) with
+    TVD-RK``order`` time integration.
     """
-    phi = advect_volume(phi, vc, dt, bound, order=order)
+    if spatial == "semi":
+        phi = advect_volume(phi, vc, dt, bound, order=order)
+    else:
+        from fluidsim_tpu.ops.fd import advect_hj
+        phi = advect_hj(phi, vc, dt, spatial=spatial,
+                        temporal=min(order, 3), dx=dx)
     phi = redistance(phi, iterations=redist_iterations, dx=dx)
     if half_width is not None:
         w = half_width * dx

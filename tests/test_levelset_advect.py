@@ -91,3 +91,59 @@ def test_advect_volume_translates_blob():
     # mass moved +2 cells in x
     assert out[12, 10, 10] > 0.9
     assert out[10, 10, 10] < 0.1
+
+
+def test_sample_quadratic_reproduces_quadratic_field():
+    # triquadratic interpolation (tools::QuadraticSampler,
+    # Interpolation.h:802-846) is exact on per-axis quadratic polynomials
+    from fluidsim_tpu.ops.advect_volume import sample_quadratic
+    bound = 8
+    c = np.arange(-bound, bound + 1, dtype=np.float32)
+    f = (0.5 * c[:, None, None] ** 2 - c[None, :, None] ** 2
+         + 2.0 * c[None, None, :] ** 2 + 3.0 * c[:, None, None]
+         - c[None, None, :] + 1.0)
+    rng = np.random.default_rng(3)
+    pos = jnp.asarray(rng.uniform(-6, 6, size=(64, 3)), jnp.float32)
+    got = sample_quadratic(jnp.asarray(f, jnp.float32), pos, bound)
+    p = np.asarray(pos, np.float64)
+    want = (0.5 * p[:, 0] ** 2 - p[:, 1] ** 2 + 2.0 * p[:, 2] ** 2
+            + 3.0 * p[:, 0] - p[:, 2] + 1.0)
+    np.testing.assert_allclose(np.asarray(got, np.float64), want,
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_sample_nearest_rounds():
+    from fluidsim_tpu.ops.advect_volume import sample_nearest
+    bound = 4
+    n = 2 * bound + 1
+    c = np.arange(-bound, bound + 1, dtype=np.float32)
+    f = (c[:, None, None] * 100 + c[None, :, None] * 10 + c[None, None, :])
+    pos = jnp.asarray([[0.4, -1.6, 2.2], [-0.5, 0.49, -0.51]], jnp.float32)
+    got = np.asarray(sample_nearest(jnp.asarray(f), pos, bound))
+    # rounds each coordinate to the nearest voxel (ties like the
+    # reference's round-half-up local_util::roundVec3)
+    assert got[0] == 0 * 100 + (-2) * 10 + 2
+    assert got[1] == 0 * 100 + 0 * 10 + (-1)
+
+
+def test_sample_staggered_offsets_each_component():
+    # component d of a staggered vector grid lives at +0.5*e_d: sampling
+    # a linear per-component field at pos must return field(pos + 0.5 e_d)
+    from fluidsim_tpu.ops.advect_volume import sample_staggered
+    bound = 8
+    c = np.arange(-bound, bound + 1, dtype=np.float32)
+    X = np.broadcast_to(c[:, None, None], (17, 17, 17))
+    Y = np.broadcast_to(c[None, :, None], (17, 17, 17))
+    Z = np.broadcast_to(c[None, None, :], (17, 17, 17))
+    field = jnp.asarray(np.stack([2 * X, 3 * Y, -Z], axis=-1), jnp.float32)
+    rng = np.random.default_rng(5)
+    pos = jnp.asarray(rng.uniform(-6, 6, size=(32, 3)), jnp.float32)
+    for order in (1, 2):
+        got = np.asarray(sample_staggered(field, pos, bound, order=order))
+        p = np.asarray(pos)
+        np.testing.assert_allclose(got[:, 0], 2 * (p[:, 0] + 0.5),
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(got[:, 1], 3 * (p[:, 1] + 0.5),
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(got[:, 2], -(p[:, 2] + 0.5),
+                                   rtol=1e-4, atol=1e-3)

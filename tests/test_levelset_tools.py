@@ -8,7 +8,8 @@ import jax.numpy as jnp
 from fluidsim_tpu.ops.levelset import sphere_sdf, box_sdf, levelset_volume
 from fluidsim_tpu.ops.levelset_tools import (
     redistance, rebuild_levelset, filter_mean, filter_gaussian,
-    filter_median, morph_levelset, track_levelset, levelset_area)
+    filter_median, filter_offset, morph_levelset, track_levelset,
+    levelset_area)
 from fluidsim_tpu.ops.gridops import gradient, magnitude
 
 B = 12
@@ -113,6 +114,21 @@ def test_filter_median_rejects_outliers():
     line = out[B:, B, B]
     crossing = np.where(np.diff(np.sign(line)) != 0)[0]
     assert len(crossing) >= 1 and abs(int(crossing[0]) - 6) <= 1
+
+
+def test_filter_offset_plain_and_masked():
+    # tools::Filter::offset — constant add, alpha-blended under a mask
+    # (openvdb/tools/Filter.h:166-168,419-433).
+    s = sphere_sdf(None, B, (0.0, 0.0, 0.0), 6.0)
+    out = np.asarray(filter_offset(s, 2.5))
+    assert np.allclose(out, np.asarray(s) + 2.5, atol=1e-6)
+    # mask = 0 leaves voxels untouched; mask = 0.5 applies half the offset
+    mask = jnp.zeros_like(s).at[B, B, B].set(0.5).at[0, 0, 0].set(1.0)
+    out_m = np.asarray(filter_offset(s, 4.0, mask=mask))
+    sn = np.asarray(s)
+    assert out_m[1, 1, 1] == sn[1, 1, 1]
+    assert np.isclose(out_m[B, B, B], sn[B, B, B] + 2.0, atol=1e-6)
+    assert np.isclose(out_m[0, 0, 0], sn[0, 0, 0] + 4.0, atol=1e-6)
 
 
 def test_filter_band_freezes_far_field():

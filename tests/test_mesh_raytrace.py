@@ -110,3 +110,27 @@ def test_raytrace_mesh_sdf_end_to_end():
     hit = np.asarray(hit)
     assert hit[24, 24]
     assert np.isfinite(np.asarray(depth)[24, 24])
+
+
+def test_cli_view_turntable_and_sequence(tmp_path):
+    # offline vdb_view analogue: orbit GIF + fixed-camera PNG sequence
+    from fluidsim_tpu.cli import main as cli_main
+    from fluidsim_tpu.io.vdb import VdbGrid, write_vdb
+    n = 33
+    ax = np.arange(n) - 16.0
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    sdf = (np.sqrt(X ** 2 + Y ** 2 + Z ** 2) - 9.0).astype(np.float32)
+    vdb = str(tmp_path / "sphere.vdb")
+    write_vdb(vdb, [VdbGrid(values=sdf, origin=(-16,) * 3, background=3.0)])
+
+    gif = str(tmp_path / "turn.gif")
+    assert cli_main(["view", vdb, "-o", gif, "--orbit", "3",
+                     "--size", "64", "64"]) == 0
+    from PIL import Image
+    with Image.open(gif) as im:
+        assert im.n_frames == 3 and im.size == (64, 64)
+
+    seq = str(tmp_path / "seq.png")
+    assert cli_main(["view", vdb, vdb, "-o", seq, "--size", "48", "48"]) == 0
+    assert (tmp_path / "seq_0000.png").exists()
+    assert (tmp_path / "seq_0001.png").exists()
