@@ -25,7 +25,7 @@ from fluidsim_tpu.ops.advect_volume import advect_volume
 __all__ = [
     "redistance", "rebuild_levelset", "filter_mean", "filter_gaussian",
     "filter_median", "filter_offset", "morph_levelset", "track_levelset",
-    "levelset_area",
+    "levelset_area", "levelset_avg_curvature",
 ]
 
 
@@ -264,6 +264,28 @@ def track_levelset(phi, vc, dt, bound: int, order: int = 2,
         w = half_width * dx
         phi = jnp.clip(phi, -w, w)
     return phi
+
+
+def levelset_avg_curvature(phi, dx: float = 1.0, eps_voxels: float = 1.5):
+    """Average mean curvature over the zero level set —
+    ``tools::levelSetMeasure``'s third output
+    (``openvdb/tools/LevelSetMeasure.h:95-108``): the surface-integral
+    average ``(∫ δ_ε(φ)|∇φ| κ) / (∫ δ_ε(φ)|∇φ|)`` with the same smeared
+    delta as ``levelset_area`` and κ = (κ₁+κ₂)/2 from the grid-operator
+    mean-curvature stencil.  For a sphere of radius r this returns 1/r.
+    """
+    from fluidsim_tpu.ops.gridops import mean_curvature
+    eps = eps_voxels * dx
+    d = jnp.where(jnp.abs(phi) < eps,
+                  (1.0 + jnp.cos(jnp.pi * phi / eps)) / (2.0 * eps), 0.0)
+    g2 = jnp.zeros_like(phi)
+    for ax in range(3):
+        g = (shift_to_plus(phi, ax) - shift_to_minus(phi, ax)) / (2.0 * dx)
+        g2 = g2 + g * g
+    w = d * jnp.sqrt(g2)
+    kappa = mean_curvature(phi, dx)
+    tot = jnp.sum(w)
+    return jnp.sum(w * kappa) / jnp.where(tot > 0, tot, 1.0)
 
 
 def levelset_area(phi, dx: float = 1.0, eps_voxels: float = 1.5):

@@ -167,3 +167,13 @@ def test_levelset_area_and_volume_sphere():
     assert np.isclose(a, 4 * np.pi * r * r, rtol=0.05)
     v = float(levelset_volume(s))
     assert np.isclose(v, 4 / 3 * np.pi * r**3, rtol=0.05)
+
+
+def test_levelset_avg_curvature_sphere():
+    # levelSetMeasure's avgCurvature: a radius-r sphere has mean
+    # curvature (k1+k2)/2 = 1/r everywhere on the surface
+    from fluidsim_tpu.ops.levelset_tools import levelset_avg_curvature
+    for r in (6.0, 9.0):
+        s = sphere_sdf(None, B, (0.0, 0.0, 0.0), r)
+        k = float(levelset_avg_curvature(s))
+        assert abs(k - 1.0 / r) < 0.15 / r, (r, k)
