@@ -235,7 +235,13 @@ def _view(args) -> int:
 
     out = args.output or (os.path.splitext(args.files[0])[0] + "_view.gif")
     if out.endswith(".gif"):
-        from PIL import Image
+        try:
+            from PIL import Image
+        except ImportError:
+            print("GIF output needs pillow (pip install fluidsim-tpu[viz]); "
+                  "falling back to a PNG sequence", file=sys.stderr)
+            out = os.path.splitext(out)[0] + ".png"
+    if out.endswith(".gif"):
         ims = [Image.fromarray(_np.clip(f * 255.0, 0, 255).astype(_np.uint8))
                for f in frames]
         ims[0].save(out, save_all=True, append_images=ims[1:],

@@ -47,9 +47,15 @@ def sample_trilinear(field, pos, bound: int):
 def sample_nearest(field, pos, bound: int):
     """Nearest-neighbor sample — ``tools::PointSampler``
     (``openvdb/tools/Interpolation.h:191,816-821`` rounds the query to the
-    closest voxel).  Same field/pos conventions as ``sample_trilinear``."""
+    closest voxel).  Same field/pos conventions as ``sample_trilinear``.
+    Ties round half-AWAY-FROM-ZERO on the index-space coordinate, exactly
+    the reference's ``roundVec3`` (``::round``) — ``jnp.round``'s
+    half-to-even would pick the wrong voxel at every .5 tie with an even
+    floor, which ``sample_staggered(order=0)``'s +0.5 shifts hit at every
+    integer particle position."""
     n = 2 * bound + 1
-    i = jnp.clip(jnp.round(pos + bound).astype(jnp.int32), 0, n - 1)
+    r = jnp.where(pos >= 0, jnp.floor(pos + 0.5), jnp.ceil(pos - 0.5))
+    i = jnp.clip(r.astype(jnp.int32) + bound, 0, n - 1)
     flat = (i[:, 0] * n + i[:, 1]) * n + i[:, 2]
     vals = field.reshape(n * n * n, -1)[flat]
     return vals if field.ndim == 4 else vals[:, 0]
@@ -86,11 +92,13 @@ def sample_quadratic(field, pos, bound: int):
 
 def sample_staggered(field, pos, bound: int, order: int = 1):
     """Staggered sample of an ``(N,N,N,3)`` vector field whose component
-    ``d`` lives at the face center ``+0.5·e_d`` —
+    ``d`` at index ``i`` is stored on the cell's LOWER face ``i − 0.5·e_d``
+    (the MAC convention of ``gridspec.cell_center_velocity``) —
     ``tools::Staggered{Point,Box,Quadratic}Sampler``
     (``openvdb/tools/Interpolation.h:906-931,937-970,976-1007``): each
     component is sampled independently with the query shifted by +0.5
-    along its own axis.  ``order``: 0 nearest, 1 trilinear, 2 triquadratic.
+    along its own axis, which maps the face-centred data back onto the
+    query point.  ``order``: 0 nearest, 1 trilinear, 2 triquadratic.
     """
     sampler = {0: sample_nearest, 1: sample_trilinear,
                2: sample_quadratic}[order]

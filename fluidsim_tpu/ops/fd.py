@@ -30,11 +30,11 @@ import jax.numpy as jnp
 
 __all__ = [
     "DSCHEMES", "weno5", "d1", "biased_gradient", "godunov_norm_sqrd",
-    "advect_hj", "tvd_rk",
+    "advect_hj", "tvd_rk", "shift_edge",
 ]
 
 
-def _shift(a, d: int, s: int):
+def shift_edge(a, d: int, s: int):
     """Shift so result[i] = a[i+s] along axis ``d``, edge-clamped (the
     reference's accessors read the tree background out of band; for the
     SDF/fog fields these schemes serve, repeating the boundary value is
@@ -79,7 +79,7 @@ def _d1_weno5(phi, d, dx, sign: int):
     # (D1<FD_WENO5>::inX reads +3..-2), giving the downwind-biased
     # derivative (f^(i+1/2)-f^(i-1/2))/dx on the axis-reversed stencil;
     # the backward scheme is its mirror image negated (D1<BD_WENO5>).
-    f = [_shift(phi, d, sign * s) for s in (3, 2, 1, 0, -1, -2)]
+    f = [shift_edge(phi, d, sign * s) for s in (3, 2, 1, 0, -1, -2)]
     return sign * (weno5(f[0], f[1], f[2], f[3], f[4])
                    - weno5(f[1], f[2], f[3], f[4], f[5])) / dx
 
@@ -87,34 +87,34 @@ def _d1_weno5(phi, d, dx, sign: int):
 def _d1_hjweno5(phi, d, dx, sign: int):
     # HJ-WENO on the stencil's consecutive first differences
     # (D1<FD_HJWENO5>::difference); backward = mirrored and negated.
-    f = [_shift(phi, d, sign * s) for s in (3, 2, 1, 0, -1, -2)]
+    f = [shift_edge(phi, d, sign * s) for s in (3, 2, 1, 0, -1, -2)]
     return sign * weno5(f[0] - f[1], f[1] - f[2], f[2] - f[3],
                         f[3] - f[4], f[4] - f[5]) / dx
 
 
 # name -> derivative function of (phi, axis, dx); per-dx physical units.
 DSCHEMES = {
-    "cd_2ndt": lambda p, d, dx: (_shift(p, d, 1) - _shift(p, d, -1)) / dx,
-    "cd_2nd": lambda p, d, dx: (_shift(p, d, 1) - _shift(p, d, -1)) / (2 * dx),
-    "cd_4th": lambda p, d, dx: (8.0 * (_shift(p, d, 1) - _shift(p, d, -1))
-                                - (_shift(p, d, 2) - _shift(p, d, -2))) / (12 * dx),
-    "cd_6th": lambda p, d, dx: (45.0 * (_shift(p, d, 1) - _shift(p, d, -1))
-                                - 9.0 * (_shift(p, d, 2) - _shift(p, d, -2))
-                                + (_shift(p, d, 3) - _shift(p, d, -3))) / (60 * dx),
-    "fd_1st": lambda p, d, dx: (_shift(p, d, 1) - p) / dx,
-    "fd_2nd": lambda p, d, dx: (-3.0 * p + 4.0 * _shift(p, d, 1)
-                                - _shift(p, d, 2)) / (2 * dx),
-    "fd_3rd": lambda p, d, dx: (_shift(p, d, 3) / 3.0 - 1.5 * _shift(p, d, 2)
-                                + 3.0 * _shift(p, d, 1) - (11.0 / 6.0) * p) / dx,
+    "cd_2ndt": lambda p, d, dx: (shift_edge(p, d, 1) - shift_edge(p, d, -1)) / dx,
+    "cd_2nd": lambda p, d, dx: (shift_edge(p, d, 1) - shift_edge(p, d, -1)) / (2 * dx),
+    "cd_4th": lambda p, d, dx: (8.0 * (shift_edge(p, d, 1) - shift_edge(p, d, -1))
+                                - (shift_edge(p, d, 2) - shift_edge(p, d, -2))) / (12 * dx),
+    "cd_6th": lambda p, d, dx: (45.0 * (shift_edge(p, d, 1) - shift_edge(p, d, -1))
+                                - 9.0 * (shift_edge(p, d, 2) - shift_edge(p, d, -2))
+                                + (shift_edge(p, d, 3) - shift_edge(p, d, -3))) / (60 * dx),
+    "fd_1st": lambda p, d, dx: (shift_edge(p, d, 1) - p) / dx,
+    "fd_2nd": lambda p, d, dx: (-3.0 * p + 4.0 * shift_edge(p, d, 1)
+                                - shift_edge(p, d, 2)) / (2 * dx),
+    "fd_3rd": lambda p, d, dx: (shift_edge(p, d, 3) / 3.0 - 1.5 * shift_edge(p, d, 2)
+                                + 3.0 * shift_edge(p, d, 1) - (11.0 / 6.0) * p) / dx,
     "fd_weno5": lambda p, d, dx: _d1_weno5(p, d, dx, +1),
     "fd_hjweno5": lambda p, d, dx: _d1_hjweno5(p, d, dx, +1),
 }
-DSCHEMES["bd_1st"] = lambda p, d, dx: (p - _shift(p, d, -1)) / dx
-DSCHEMES["bd_2nd"] = lambda p, d, dx: (3.0 * p - 4.0 * _shift(p, d, -1)
-                                       + _shift(p, d, -2)) / (2 * dx)
-DSCHEMES["bd_3rd"] = lambda p, d, dx: -(_shift(p, d, -3) / 3.0
-                                        - 1.5 * _shift(p, d, -2)
-                                        + 3.0 * _shift(p, d, -1)
+DSCHEMES["bd_1st"] = lambda p, d, dx: (p - shift_edge(p, d, -1)) / dx
+DSCHEMES["bd_2nd"] = lambda p, d, dx: (3.0 * p - 4.0 * shift_edge(p, d, -1)
+                                       + shift_edge(p, d, -2)) / (2 * dx)
+DSCHEMES["bd_3rd"] = lambda p, d, dx: -(shift_edge(p, d, -3) / 3.0
+                                        - 1.5 * shift_edge(p, d, -2)
+                                        + 3.0 * shift_edge(p, d, -1)
                                         - (11.0 / 6.0) * p) / dx
 DSCHEMES["bd_weno5"] = lambda p, d, dx: _d1_weno5(p, d, dx, -1)
 DSCHEMES["bd_hjweno5"] = lambda p, d, dx: _d1_hjweno5(p, d, dx, -1)

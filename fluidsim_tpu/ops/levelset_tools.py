@@ -29,15 +29,10 @@ __all__ = [
 ]
 
 
-def _shift_edge(a, d, s):
-    """Edge-clamped shift (out-of-box reads repeat the boundary value —
-    zero-background shifts would pin boundary cells of an SDF at 1/√3
-    during redistancing)."""
-    pad = [(0, 0)] * 3
-    pad[d] = (0, 1) if s > 0 else (1, 0)
-    sl = [slice(None)] * 3
-    sl[d] = slice(1, None) if s > 0 else slice(0, -1)
-    return jnp.pad(a, pad, mode="edge")[tuple(sl)]
+# Edge-clamped shift (out-of-box reads repeat the boundary value —
+# zero-background shifts would pin boundary cells of an SDF at 1/√3
+# during redistancing); shared with the FD scheme family.
+from fluidsim_tpu.ops.fd import shift_edge as _shift_edge  # noqa: E402
 
 
 def _godunov_grad_norm(phi, speed_sign, dx: float):
@@ -257,13 +252,32 @@ def track_levelset(phi, vc, dt, bound: int, order: int = 2,
         phi = advect_volume(phi, vc, dt, bound, order=order)
     else:
         from fluidsim_tpu.ops.fd import advect_hj
+        # vc is index-space velocity (voxels/time) in BOTH paths —
+        # advect_volume back-traces in index space, so the HJ gradient
+        # must also be per-voxel (dx=1); this function's own ``dx`` only
+        # scales the renormalization below
         phi = advect_hj(phi, vc, dt, spatial=spatial,
-                        temporal=min(order, 3), dx=dx)
+                        temporal=min(order, 3), dx=1.0)
     phi = redistance(phi, iterations=redist_iterations, dx=dx)
     if half_width is not None:
         w = half_width * dx
         phi = jnp.clip(phi, -w, w)
     return phi
+
+
+def _delta_weight(phi, dx: float, eps_voxels: float):
+    """Surface-integral weight field ``δ_ε(φ)|∇φ|`` shared by the
+    levelSetMeasure outputs: smeared delta
+    ``δ_ε(φ) = (1 + cos(πφ/ε)) / (2ε)`` on ``|φ| < ε`` times the
+    central-difference gradient magnitude."""
+    eps = eps_voxels * dx
+    d = jnp.where(jnp.abs(phi) < eps,
+                  (1.0 + jnp.cos(jnp.pi * phi / eps)) / (2.0 * eps), 0.0)
+    g2 = jnp.zeros_like(phi)
+    for ax in range(3):
+        g = (shift_to_plus(phi, ax) - shift_to_minus(phi, ax)) / (2.0 * dx)
+        g2 = g2 + g * g
+    return d * jnp.sqrt(g2)
 
 
 def levelset_avg_curvature(phi, dx: float = 1.0, eps_voxels: float = 1.5):
@@ -275,14 +289,7 @@ def levelset_avg_curvature(phi, dx: float = 1.0, eps_voxels: float = 1.5):
     mean-curvature stencil.  For a sphere of radius r this returns 1/r.
     """
     from fluidsim_tpu.ops.gridops import mean_curvature
-    eps = eps_voxels * dx
-    d = jnp.where(jnp.abs(phi) < eps,
-                  (1.0 + jnp.cos(jnp.pi * phi / eps)) / (2.0 * eps), 0.0)
-    g2 = jnp.zeros_like(phi)
-    for ax in range(3):
-        g = (shift_to_plus(phi, ax) - shift_to_minus(phi, ax)) / (2.0 * dx)
-        g2 = g2 + g * g
-    w = d * jnp.sqrt(g2)
+    w = _delta_weight(phi, dx, eps_voxels)
     kappa = mean_curvature(phi, dx)
     tot = jnp.sum(w)
     return jnp.sum(w * kappa) / jnp.where(tot > 0, tot, 1.0)
@@ -290,15 +297,5 @@ def levelset_avg_curvature(phi, dx: float = 1.0, eps_voxels: float = 1.5):
 
 def levelset_area(phi, dx: float = 1.0, eps_voxels: float = 1.5):
     """Surface area of the zero level set — ``tools::levelSetArea``
-    (``LevelSetMeasure.h``), via the smeared delta function
-    ``δ_ε(φ) = (1 + cos(πφ/ε)) / (2ε)`` on ``|φ| < ε``:
-    ``A = Σ δ_ε(φ) |∇φ| dx³``.
-    """
-    eps = eps_voxels * dx
-    d = jnp.where(jnp.abs(phi) < eps,
-                  (1.0 + jnp.cos(jnp.pi * phi / eps)) / (2.0 * eps), 0.0)
-    g2 = jnp.zeros_like(phi)
-    for ax in range(3):
-        g = (shift_to_plus(phi, ax) - shift_to_minus(phi, ax)) / (2.0 * dx)
-        g2 = g2 + g * g
-    return jnp.sum(d * jnp.sqrt(g2)) * dx ** 3
+    (``LevelSetMeasure.h``): ``A = Σ δ_ε(φ) |∇φ| dx³``."""
+    return jnp.sum(_delta_weight(phi, dx, eps_voxels)) * dx ** 3

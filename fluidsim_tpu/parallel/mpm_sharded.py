@@ -251,8 +251,10 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
         out = wv + beta_dt2 * (-df) / mass_safe
         return jnp.where(active[..., None], out, wv)
 
-    res = pcg(matvec, b, rtol=params.cg_rtol, maxiter=params.cg_maxiter,
-              reduce_fn=psum)
+    # x0 = b warm start, matching the single-chip mpm_step (b is within
+    # O(beta*dt^2) of the solution; saves 1-3 Hessian-vector products)
+    res = pcg(matvec, b, x0=b, rtol=params.cg_rtol,
+              maxiter=params.cg_maxiter, reduce_fn=psum)
     velg = jnp.where(active[..., None], res.x, 0.0)
 
     # ---- deformation gradient update ----

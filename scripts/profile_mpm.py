@@ -86,7 +86,7 @@ def main():
                 out = wv + beta_dt2 * (-df) / mass_safe
                 return jnp.where(active[..., None], out, wv)
 
-            res = pcg(matvec, b, rtol=p.cg_rtol, maxiter=p.cg_maxiter)
+            res = pcg(matvec, b, x0=b, rtol=p.cg_rtol, maxiter=p.cg_maxiter)
             velg2 = jnp.where(active[..., None], res.x, 0.0)
             if stage == "cg":
                 return jnp.sum(velg2[0, 0]) + res.residual

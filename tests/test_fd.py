@@ -167,3 +167,22 @@ def test_track_levelset_hj_path():
     want = _sphere(n, (15.0, 16.0, 16.0), 6.0)
     band = np.abs(want) < 2.0
     assert np.abs(np.asarray(p, np.float64) - want)[band].max() < 0.25
+
+
+def test_track_levelset_schemes_agree_on_units_dx2():
+    # regression: vc is index-space velocity in BOTH transport paths, so
+    # semi-Lagrangian and HJ-upwind must move the interface the same
+    # distance regardless of dx (the HJ gradient is per-voxel, dx only
+    # scales the renormalization)
+    from fluidsim_tpu.ops.levelset_tools import track_levelset
+    n = 33
+    phi0 = jnp.asarray(_sphere(n, (12.0, 16.0, 16.0), 6.0), jnp.float32)
+    v = jnp.zeros((n, n, n, 3), jnp.float32).at[..., 0].set(1.0)
+    outs = {}
+    for spatial in ("semi", "hjweno5"):
+        p = track_levelset(phi0, v, 2.0, bound=n // 2, order=2,
+                           spatial=spatial, redist_iterations=2, dx=2.0)
+        line = np.asarray(p)[:, 16, 16]
+        outs[spatial] = int(np.where(np.diff(np.sign(line)) != 0)[0][0])
+    # both move the -x zero crossing 2 voxels (from ~6 to ~8)
+    assert outs["semi"] == outs["hjweno5"], outs

@@ -120,10 +120,15 @@ def test_sample_nearest_rounds():
     f = (c[:, None, None] * 100 + c[None, :, None] * 10 + c[None, None, :])
     pos = jnp.asarray([[0.4, -1.6, 2.2], [-0.5, 0.49, -0.51]], jnp.float32)
     got = np.asarray(sample_nearest(jnp.asarray(f), pos, bound))
-    # rounds each coordinate to the nearest voxel (ties like the
-    # reference's round-half-up local_util::roundVec3)
+    # rounds each coordinate to the nearest voxel; ties round
+    # half-away-from-zero in index space, matching the reference's
+    # roundVec3 (::round): 0.5 -> 1 but -1.5 -> -2
     assert got[0] == 0 * 100 + (-2) * 10 + 2
-    assert got[1] == 0 * 100 + 0 * 10 + (-1)
+    assert got[1] == (-1) * 100 + 0 * 10 + (-1)   # -0.5 -> -1 (not 0)
+    # explicit tie cases where jnp.round's half-to-even would differ
+    ties = jnp.asarray([[0.5, -1.5, 2.5]], jnp.float32)
+    got_t = np.asarray(sample_nearest(jnp.asarray(f), ties, bound))
+    assert got_t[0] == 1 * 100 + (-2) * 10 + 3
 
 
 def test_sample_staggered_offsets_each_component():
