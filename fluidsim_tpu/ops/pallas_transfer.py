@@ -819,6 +819,17 @@ def _scatter_wv_fused_kernel(blk_ref, ps_ref, pe_ref, wv_hbm, init_ref,
         _prefetch(0, mc, blk_ref, start_wv)
     _prefetch(j + 1, mc, blk_ref, start_wv)
 
+    # Window-run coalescing: consecutive live chunks share one window b
+    # (build_chunks splits window runs into <= T-particle chunks), hence
+    # one RMW band.  Read the band into ``outwin`` only on the FIRST chunk
+    # of a run and write it back only on the LAST: ``outwin`` (VMEM
+    # scratch) persists across sequential grid steps, and the accumulation
+    # order (band + c1 + c2 + ...) is exactly the per-chunk RMW's.
+    prv = jnp.where(j > 0, blk_ref[jnp.maximum(j - 1, 0)], -2)
+    nxt = jnp.where(j + 1 < mc, blk_ref[jnp.minimum(j + 1, mc - 1)], -2)
+    first_of_run = prv != b
+    last_of_run = nxt != b
+
     @pl.when(b >= 0)
     def _():
         pstart = ps_ref[j]
@@ -831,11 +842,14 @@ def _scatter_wv_fused_kernel(blk_ref, ps_ref, pe_ref, wv_hbm, init_ref,
         a_r = pl.multiple_of(((r - 1) // 8) * 8, 8)
         lane0 = pl.multiple_of((b % winrow) * w, w)   # = padded lane - 256
         # RMW band read: NOT prefetched across grid steps — the previous
-        # chunk's write-back into an overlapping band must land first.
+        # run's write-back into an overlapping band must land first.
         cp_w = pltpu.make_async_copy(
             out_hbm.at[:, pl.ds(a_r, 16), pl.ds(lane0, w + 2 * 256)],
             outwin, sems.at[2])
-        cp_w.start()
+
+        @pl.when(first_of_run)
+        def _():
+            cp_w.start()
         pltpu.make_async_copy(wv_hbm.at[pl.ds(a, tt)], wvbuf2.at[slot],
                               sems.at[slot]).wait()
 
@@ -878,7 +892,9 @@ def _scatter_wv_fused_kernel(blk_ref, ps_ref, pe_ref, wv_hbm, init_ref,
         sel = (jax.lax.broadcasted_iota(jnp.int32, (3, 16), 1)
                == dr + jax.lax.broadcasted_iota(jnp.int32, (3, 16), 0)
                ).astype(jnp.bfloat16)
-        cp_w.wait()
+        @pl.when(first_of_run)
+        def _():
+            cp_w.wait()
         for g in range(4):
             addg = None
             for part in _split3(acc3[g]):                         # (3, W+512)
@@ -887,11 +903,14 @@ def _scatter_wv_fused_kernel(blk_ref, ps_ref, pe_ref, wv_hbm, init_ref,
                 addg = d3 if addg is None else addg + d3          # (16, W+512)
             outwin[g] = outwin[g] + addg
 
-        cp_back = pltpu.make_async_copy(
-            outwin, out_hbm.at[:, pl.ds(a_r, 16), pl.ds(lane0, w + 2 * 256)],
-            sems.at[2])
-        cp_back.start()
-        cp_back.wait()
+        @pl.when(last_of_run)
+        def _():
+            cp_back = pltpu.make_async_copy(
+                outwin,
+                out_hbm.at[:, pl.ds(a_r, 16), pl.ds(lane0, w + 2 * 256)],
+                sems.at[2])
+            cp_back.start()
+            cp_back.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("xr", "lwr", "n", "w", "t",
@@ -989,6 +1008,11 @@ def _gather_wv_fused_kernel(blk_ref, ps_ref, pe_ref, fm_hbm, wv_hbm, init_ref,
     _prefetch(j + 1, mc, blk_ref, start_fm)
     _prefetch(j + 1, mc, blk_ref, start_wv)
 
+    # Consecutive chunks of one window run share the table: rebuild only on
+    # the first chunk of a run (tablebuf persists across grid steps).  The
+    # fm slab DMA + wait still run per chunk to keep semaphores balanced.
+    rebuild = jnp.where(j > 0, blk_ref[jnp.maximum(j - 1, 0)], -2) != b
+
     @pl.when(b >= 0)
     def _():
         pstart = ps_ref[j]
@@ -1011,24 +1035,28 @@ def _gather_wv_fused_kernel(blk_ref, ps_ref, pe_ref, fm_hbm, wv_hbm, init_ref,
         # table window build: rows r-1/r/r+1 of each field channel via an
         # exact one-hot row select (drow = local index of row r-1), then 108
         # statically-shifted (1, W) slices into the table scratch.
-        r = b // winrow
-        drow = r - 1 - ((r - 1) // 8) * 8                   # in [0, 8)
-        sel_i = (jax.lax.broadcasted_iota(jnp.int32, (3, 16), 1)
-                 == drow + jax.lax.broadcasted_iota(jnp.int32, (3, 16), 0))
-        sel = sel_i.astype(jnp.bfloat16)
-        rows = []
-        for g in range(4):
-            acc3 = None
-            for part in _split3(fmbuf2[slot, g]):
-                d3 = jax.lax.dot_general(sel, part, (((1,), (0,)), ((), ())),
-                                         preferred_element_type=jnp.float32)
-                acc3 = d3 if acc3 is None else acc3 + d3
-            rows.append(acc3)                               # (3, W + 512)
-        for o in range(27):
-            ox = _off(o, 0)
-            s = _off(o, 1) * n + _off(o, 2)
+        @pl.when(rebuild)
+        def _():
+            r = b // winrow
+            drow = r - 1 - ((r - 1) // 8) * 8               # in [0, 8)
+            sel_i = (jax.lax.broadcasted_iota(jnp.int32, (3, 16), 1)
+                     == drow + jax.lax.broadcasted_iota(jnp.int32, (3, 16), 0))
+            sel = sel_i.astype(jnp.bfloat16)
+            rows = []
             for g in range(4):
-                tablebuf[o * 4 + g, :] = rows[g][ox + 1, 256 + s:256 + s + w]
+                acc3 = None
+                for part in _split3(fmbuf2[slot, g]):
+                    d3 = jax.lax.dot_general(sel, part,
+                                             (((1,), (0,)), ((), ())),
+                                             preferred_element_type=jnp.float32)
+                    acc3 = d3 if acc3 is None else acc3 + d3
+                rows.append(acc3)                           # (3, W + 512)
+            for o in range(27):
+                ox = _off(o, 0)
+                s = _off(o, 1) * n + _off(o, 2)
+                for g in range(4):
+                    tablebuf[o * 4 + g, :] = rows[g][ox + 1,
+                                                     256 + s:256 + s + w]
 
         buf = wvbuf2[slot]
         local = (buf[:, _CP - 1:_CP]).astype(jnp.int32)  # window-local
