@@ -120,16 +120,12 @@ def build_chunks(flat_s, p: int, ncells: int, w: int, t: int):
     return blk, pstart, pend, cum[nb]
 
 
-def pad_rows_with_ids(flat_s, values, t: int, idmod: int = 0, rw: int = _CP):
-    """(P, C<=rw-1) values -> (P_pad, rw) f32 with the flat id in lane rw-1
+def pad_rows_with_ids(flat_s, values, t: int, idmod: int = 0):
+    """(P, C<=127) values -> (P_pad, 128) f32 with the flat id in lane 127
     and enough tail rows that every chunk's 8-aligned (T+8)-row window is in
     range.  Pad-row ids are -1 (match no window cell).  Callers that already
     assemble per-particle channel rows should write into this layout
     directly and only pay for the id lane.
-
-    ``rw`` is the packed ROW WIDTH.  The wv kernels infer it from the rows
-    array, so narrow packs cut the row DMA + pack traffic proportionally:
-    FLIP needs 27 w + 1 + 3 v + id = 32 lanes, APIC 40 + id -> 48, MPM 128.
 
     ``idmod`` > 0 stores the *window-local* id ``flat % idmod`` (use the
     kernels' cell-window size W): local ids are exact in f32 for ANY grid
@@ -140,20 +136,19 @@ def pad_rows_with_ids(flat_s, values, t: int, idmod: int = 0, rw: int = _CP):
     still require global ids (idmod=0)."""
     p = flat_s.shape[0]
     p_pad = _ceil_to(p, 8) + t + 8
-    out = jnp.zeros((p_pad, rw), jnp.float32)
+    out = jnp.zeros((p_pad, _CP), jnp.float32)
     if values is not None:
-        assert values.shape[1] <= rw - 1
         out = out.at[:p, :values.shape[1]].set(values)
     ids = flat_s % idmod if idmod else flat_s
     ids = jnp.pad(ids, (0, p_pad - p), constant_values=-1)
-    return out.at[:, rw - 1].set(ids.astype(jnp.float32)), p_pad
+    return out.at[:, _CP - 1].set(ids.astype(jnp.float32)), p_pad
 
 
 def attach_ids(values_padded, flat_s):
-    """Set the id lane (last lane) of an existing (P_pad, rw) row buffer."""
-    p_pad, rw = values_padded.shape
+    """Set the id lane of an existing (P_pad, 128) row buffer."""
+    p_pad = values_padded.shape[0]
     ids = jnp.pad(flat_s, (0, p_pad - flat_s.shape[0]), constant_values=-1)
-    return values_padded.at[:, rw - 1].set(ids.astype(jnp.float32))
+    return values_padded.at[:, _CP - 1].set(ids.astype(jnp.float32))
 
 
 def _prefetch(j2, mc, blk_ref, start_fn):
@@ -359,7 +354,7 @@ def scatter_rows_cm(u_rows, flat_s, ncells: int, w: int = 512, t: int = 2048,
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((_CP, ncells), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((2, tt, rw), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, tt, _CP), jnp.float32),
                         pltpu.VMEM((_CP, w), jnp.float32),
                         pltpu.SemaphoreType.DMA((3,))],
         input_output_aliases={4: 0},
@@ -394,14 +389,10 @@ def scatter_rows_cm(u_rows, flat_s, ncells: int, w: int = 512, t: int = 2048,
 # catastrophically, and skipping the post-gather XLA contraction round trip.
 
 
-def pack_wv_rows(flat_s, w27, vel, t: int, aff=None, w: int = 512,
-                 rw: int | None = None):
+def pack_wv_rows(flat_s, w27, vel, t: int, aff=None, w: int = 512):
     """(P, 27) weights + (P, 3) velocities [+ (P, 3, 3) affine C] ->
-    (P_pad, rw) packed rows.  For APIC pass ``vel`` = veff = v + C e
+    (P_pad, 128) packed rows.  For APIC pass ``vel`` = veff = v + C e
     (e = base - pos) so channel 4o+c expands to w*(veff + C off_o).
-
-    ``rw`` defaults to the narrowest width the payload needs (32 for FLIP,
-    48 for APIC) — 4x less pack + row-DMA traffic than the legacy 128.
 
     The id lane holds the WINDOW-LOCAL id ``flat % w`` (w = the wv kernels'
     cell-window size), so grids of any ncells stay f32-exact."""
@@ -411,11 +402,9 @@ def pack_wv_rows(flat_s, w27, vel, t: int, aff=None, w: int = 512,
         vals.append(vel)
     if aff is not None:
         vals.append(aff.reshape(p, 9))
-    if rw is None:
-        rw = 48 if aff is not None else 32
     # +128 tail: gather_wv_cm uses 128-aligned windows of t+128 rows
     return pad_rows_with_ids(flat_s, jnp.concatenate(vals, axis=1), t + 128,
-                             idmod=w, rw=rw)
+                             idmod=w)
 
 
 def _off(o, k):
@@ -424,27 +413,23 @@ def _off(o, k):
     return (o // (3 ** (2 - k))) % 3 - 1
 
 
-def _wv_mats(rw: int = _CP):
+def _wv_mats():
     """In-kernel constant expansion matrices (entries in {-1,0,1}, exact
-    in bf16), shaped (rw, 128) for rw-lane packed rows.  ``tm`` includes
-    the APIC affine block (lanes 31-39 hold the row-major C matrix) when
-    the rows are wide enough to carry it (rw > 32): channel 4o+c (c>=1)
-    gets veff_{c-1} plus sum_k C[c-1,k]*off_k(o).  FLIP rows carry zeros
-    in those lanes (legacy rw=128) or omit them (rw=32), so the same
-    construction serves both modes; the id lane rw-1 never selects."""
-    col = jax.lax.broadcasted_iota(jnp.int32, (rw, _CP), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (rw, _CP), 0)
+    in bf16).  ``tm`` includes the APIC affine block (lanes 31-39 hold the
+    row-major C matrix): channel 4o+c (c>=1) gets veff_{c-1} plus
+    sum_k C[c-1,k]*off_k(o).  FLIP rows carry zeros in those lanes, so the
+    same matrix serves both modes."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (_CP, _CP), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (_CP, _CP), 0)
     live = col < 108
     o, c = col // 4, col % 4
     r = ((row == o) & (col // 4 < 27) & live).astype(jnp.bfloat16)  # w repeat
-    tm = jnp.zeros((rw, _CP), jnp.int32)
-    tm = tm + jnp.where(live & (row == 27 + c) & (row < rw - 1), 1, 0)
-    if rw > 32:                                            # APIC C block
-        for k in range(3):
-            ck = jnp.where(live & (c >= 1)
-                           & (row == 31 + 3 * (c - 1) + k) & (row < rw - 1),
-                           _off(o, k), 0)
-            tm = tm + ck
+    tm = jnp.zeros((_CP, _CP), jnp.int32)
+    tm = tm + jnp.where(live & (row == 27 + c), 1, 0)      # 1 / veff lanes
+    for k in range(3):
+        ck = jnp.where(live & (c >= 1) & (row == 31 + 3 * (c - 1) + k),
+                       _off(o, k), 0)
+        tm = tm + ck
     return r, tm.astype(jnp.bfloat16)
 
 
@@ -570,7 +555,7 @@ def _contract_mat(nout: int):
 
 
 def _scatter_wv_kernel(blk_ref, ps_ref, pe_ref, wv_hbm, init_ref, out_hbm,
-                       wvbuf2, wbuf, sems, *, w, t, wc, rw):
+                       wvbuf2, wbuf, sems, *, w, t, wc):
     del init_ref  # aliased with out_hbm (zero init)
     j = pl.program_id(0)
     mc = pl.num_programs(0)
@@ -603,11 +588,11 @@ def _scatter_wv_kernel(blk_ref, ps_ref, pe_ref, wv_hbm, init_ref, out_hbm,
         cp_w.wait()
 
         buf = wvbuf2[slot]
-        local = (buf[:, rw - 1:rw]).astype(jnp.int32)  # window-local (TT, 1)
+        local = (buf[:, _CP - 1:_CP]).astype(jnp.int32)  # window-local   # (TT, 1)
         gidx = a + jax.lax.broadcasted_iota(jnp.int32, (tt, 1), 0)
         valid = (gidx >= pstart) & (gidx < pend)
 
-        r, tm = _wv_mats(rw)
+        r, tm = _wv_mats()
         _, u = _wv_expand(buf, r, tm)                             # (TT, CP)
         um = jnp.where(valid, u, 0.0)
         um_split = _split3(um)
@@ -638,11 +623,10 @@ def scatter_wv_cm(wv_rows, flat_s, ncells: int, w: int = 512, t: int = 2048,
     """Channel-major scatter-add of in-kernel-built u rows:
     ``out[4o+c, i] = sum_{flat_s[p]==i} w27[p,o] * [1,v][p,c]``.
 
-    wv_rows: (P_pad, rw) from ``pack_wv_rows`` (rw inferred from the
-    shape).  Returns (128, ncells); lanes 108..127 are exactly zero.
+    wv_rows: (P_pad, 128) from ``pack_wv_rows``.  Returns (128, ncells);
+    lanes 108..127 are exactly zero.
     """
     p = flat_s.shape[0]
-    rw = wv_rows.shape[1]
     assert ncells % w == 0          # window-local ids: no ncells f32 limit
     blk, ps, pe, nlive = build_chunks(flat_s, p, ncells, w, t)
     mc = blk.shape[0]
@@ -650,7 +634,7 @@ def scatter_wv_cm(wv_rows, flat_s, ncells: int, w: int = 512, t: int = 2048,
 
     init = jnp.zeros((_CP, ncells), jnp.float32)
     return pl.pallas_call(
-        functools.partial(_scatter_wv_kernel, w=w, t=t, wc=wc, rw=rw),
+        functools.partial(_scatter_wv_kernel, w=w, t=t, wc=wc),
         grid=(nlive if dynamic_grid and not interpret else mc,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -659,7 +643,7 @@ def scatter_wv_cm(wv_rows, flat_s, ncells: int, w: int = 512, t: int = 2048,
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((_CP, ncells), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((2, tt, rw), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, tt, _CP), jnp.float32),
                         pltpu.VMEM((_CP, w), jnp.float32),
                         pltpu.SemaphoreType.DMA((3,))],
         input_output_aliases={4: 0},
@@ -669,7 +653,7 @@ def scatter_wv_cm(wv_rows, flat_s, ncells: int, w: int = 512, t: int = 2048,
 
 def _gather_wv_kernel(blk_ref, ps_ref, pe_ref, table_hbm, wv_hbm, init_ref,
                       out_hbm, tbuf2, wvbuf2, outbuf, sems, *, w, t, wc,
-                      nout, rw):
+                      nout):
     """Chunk windows here are 128-aligned (not 8-): the channel-major
     (8, P_padL) output is sliced along LANES, and Mosaic DMA lane slices
     must be aligned to the (1, 128) tiling."""
@@ -715,7 +699,7 @@ def _gather_wv_kernel(blk_ref, ps_ref, pe_ref, table_hbm, wv_hbm, init_ref,
         cp_o.wait()
 
         buf = wvbuf2[slot]
-        local = (buf[:, rw - 1:rw]).astype(jnp.int32)  # window-local
+        local = (buf[:, _CP - 1:_CP]).astype(jnp.int32)  # window-local
         gidx = a + jax.lax.broadcasted_iota(jnp.int32, (1, tt), 1)
         valid = (gidx >= pstart) & (gidx < pend)                  # (1, TT)
 
@@ -730,7 +714,7 @@ def _gather_wv_kernel(blk_ref, ps_ref, pe_ref, table_hbm, wv_hbm, init_ref,
                 part = d if part is None else part + d
             acc = part if acc is None else acc + part             # (TT, CP)
 
-        r, tm = _wv_mats(rw)
+        r, tm = _wv_mats()
         wrep, _ = _wv_expand(buf, r, tm)
         m = acc * wrep                                            # (TT, CP)
 
@@ -761,7 +745,6 @@ def gather_wv_cm(table_cm, wv_rows, flat_s, w: int = 512, t: int = 2048,
     """
     ncells = table_cm.shape[1]
     p = flat_s.shape[0]
-    rw = wv_rows.shape[1]
     assert ncells % w == 0          # window-local ids: no ncells f32 limit
     p_pad = wv_rows.shape[0]
     assert p_pad >= _ceil_to(p, 8) + t + 136, (
@@ -775,7 +758,7 @@ def gather_wv_cm(table_cm, wv_rows, flat_s, w: int = 512, t: int = 2048,
     init = jnp.zeros((nout, p_padl), jnp.float32)
     return pl.pallas_call(
         functools.partial(_gather_wv_kernel, w=w, t=t, wc=wc,
-                          nout=nout, rw=rw),
+                          nout=nout),
         grid=(nlive if dynamic_grid and not interpret else mc,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -786,7 +769,7 @@ def gather_wv_cm(table_cm, wv_rows, flat_s, w: int = 512, t: int = 2048,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((nout, p_padl), jnp.float32),
         scratch_shapes=[pltpu.VMEM((2, _CP, w), jnp.float32),
-                        pltpu.VMEM((2, tt, rw), jnp.float32),
+                        pltpu.VMEM((2, tt, _CP), jnp.float32),
                         pltpu.VMEM((nout, tt), jnp.float32),
                         pltpu.SemaphoreType.DMA((5,))],
         input_output_aliases={5: 0},
@@ -820,7 +803,7 @@ def gather_wv_cm(table_cm, wv_rows, flat_s, w: int = 512, t: int = 2048,
 
 def _scatter_wv_fused_kernel(blk_ref, ps_ref, pe_ref, wv_hbm, init_ref,
                              out_hbm, wvbuf2, zbuf, acc3, outwin, sems,
-                             *, w, t, wc, n, winrow, expand, rw):
+                             *, w, t, wc, n, winrow, expand):
     del init_ref  # aliased with out_hbm (zero init)
     j = pl.program_id(0)
     mc = pl.num_programs(0)
@@ -871,14 +854,14 @@ def _scatter_wv_fused_kernel(blk_ref, ps_ref, pe_ref, wv_hbm, init_ref,
                               sems.at[slot]).wait()
 
         buf = wvbuf2[slot]
-        local = (buf[:, rw - 1:rw]).astype(jnp.int32)  # window-local
+        local = (buf[:, _CP - 1:_CP]).astype(jnp.int32)  # window-local
         gidx = a + jax.lax.broadcasted_iota(jnp.int32, (tt, 1), 0)
         valid = (gidx >= pstart) & (gidx < pend)
 
         if expand == "fg":
             u = _fg_expand(buf)                                   # (TT, CP)
         else:
-            r_m, tm = _wv_mats(rw)
+            r_m, tm = _wv_mats()
             _, u = _wv_expand(buf, r_m, tm)                       # (TT, CP)
         um = jnp.where(valid, u, 0.0)
         um_split = _split3(um)
@@ -953,8 +936,6 @@ def scatter_wv_fused(wv_rows, flat_s, xr: int, lwr: int, n: int,
     """
     ncells = xr * lwr
     p = flat_s.shape[0]
-    rw = wv_rows.shape[1]
-    assert expand != "fg" or rw == _CP   # MPM force rows use the full width
     assert n + 1 <= 256 and lwr % w == 0   # window-local ids: no ncells cap
     winrow = lwr // w
     blk, ps, pe, nlive = build_chunks(flat_s, p, ncells, w, t)
@@ -964,7 +945,7 @@ def scatter_wv_fused(wv_rows, flat_s, xr: int, lwr: int, n: int,
     init = jnp.zeros((4, xr, lwr + 2 * 256), jnp.float32)
     return pl.pallas_call(
         functools.partial(_scatter_wv_fused_kernel, w=w, t=t, wc=wc, n=n,
-                          winrow=winrow, expand=expand, rw=rw),
+                          winrow=winrow, expand=expand),
         grid=(nlive if dynamic_grid and not interpret else mc,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -973,7 +954,7 @@ def scatter_wv_fused(wv_rows, flat_s, xr: int, lwr: int, n: int,
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((4, xr, lwr + 2 * 256), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((2, tt, rw), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, tt, _CP), jnp.float32),
                         pltpu.VMEM((_CP, w), jnp.float32),
                         pltpu.VMEM((4, 3, w + 2 * 256), jnp.float32),
                         pltpu.VMEM((4, 16, w + 2 * 256), jnp.float32),
@@ -998,7 +979,7 @@ def scatter_wv_fused(wv_rows, flat_s, xr: int, lwr: int, n: int,
 
 def _gather_wv_fused_kernel(blk_ref, ps_ref, pe_ref, fm_hbm, wv_hbm, init_ref,
                             out_hbm, fmbuf2, wvbuf2, tablebuf, outbuf, sems,
-                            *, w, t, wc, nout, n, winrow, contract, rw):
+                            *, w, t, wc, nout, n, winrow, contract):
     del init_ref  # aliased with out_hbm (zero init)
     j = pl.program_id(0)
     mc = pl.num_programs(0)
@@ -1078,7 +1059,7 @@ def _gather_wv_fused_kernel(blk_ref, ps_ref, pe_ref, fm_hbm, wv_hbm, init_ref,
                                                      256 + s:256 + s + w]
 
         buf = wvbuf2[slot]
-        local = (buf[:, rw - 1:rw]).astype(jnp.int32)  # window-local
+        local = (buf[:, _CP - 1:_CP]).astype(jnp.int32)  # window-local
         gidx = a + jax.lax.broadcasted_iota(jnp.int32, (1, tt), 1)
         valid = (gidx >= pstart) & (gidx < pend)                  # (1, TT)
 
@@ -1118,7 +1099,7 @@ def _gather_wv_fused_kernel(blk_ref, ps_ref, pe_ref, fm_hbm, wv_hbm, init_ref,
                 outs.append(o8[:4])
             out4 = jnp.concatenate(outs + [jnp.zeros_like(outs[0])], axis=0)
         else:
-            r_m, tm = _wv_mats(rw)
+            r_m, tm = _wv_mats()
             wrep, _ = _wv_expand(buf, r_m, tm)
             m = acc * wrep                                        # (TT, CP)
 
@@ -1158,8 +1139,6 @@ def gather_wv_fused(fm_hp, wv_rows, flat_s, n: int, w: int = 512,
     lwr = lwrp - 2 * 256
     ncells = xr * lwr
     p = flat_s.shape[0]
-    rw = wv_rows.shape[1]
-    assert contract != "gw" or rw == _CP   # MPM gradW rows use full width
     assert n + 1 <= 256 and lwr % w == 0   # window-local ids: no ncells cap
     winrow = lwr // w
     p_pad = wv_rows.shape[0]
@@ -1174,8 +1153,7 @@ def gather_wv_fused(fm_hp, wv_rows, flat_s, n: int, w: int = 512,
     init = jnp.zeros((nout, p_padl), jnp.float32)
     return pl.pallas_call(
         functools.partial(_gather_wv_fused_kernel, w=w, t=t, wc=wc,
-                          nout=nout, n=n, winrow=winrow, contract=contract,
-                          rw=rw),
+                          nout=nout, n=n, winrow=winrow, contract=contract),
         grid=(nlive if dynamic_grid and not interpret else mc,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1186,7 +1164,7 @@ def gather_wv_fused(fm_hp, wv_rows, flat_s, n: int, w: int = 512,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((nout, p_padl), jnp.float32),
         scratch_shapes=[pltpu.VMEM((2, 4, 16, w + 2 * 256), jnp.float32),
-                        pltpu.VMEM((2, tt, rw), jnp.float32),
+                        pltpu.VMEM((2, tt, _CP), jnp.float32),
                         pltpu.VMEM((_CP, w), jnp.float32),
                         pltpu.VMEM((nout, tt), jnp.float32),
                         pltpu.SemaphoreType.DMA((5,))],
@@ -1219,7 +1197,7 @@ def build_spans(flat_s, p: int, w: int, t: int):
 
 
 def _scatter_wv_spans_kernel(blo_ref, bhi_ref, wv_hbm, init_ref, out_hbm,
-                             wvbuf2, wbuf2, sems, *, w, t, wc, nch, p, rw):
+                             wvbuf2, wbuf2, sems, *, w, t, wc, nch, p):
     """RMW window reads are double-buffered against compute: the chunk's
     first window read starts before the (u-expansion) prologue, and the
     inner loop prefetches window wb+1 into the alternate slot while
@@ -1252,8 +1230,8 @@ def _scatter_wv_spans_kernel(blo_ref, bhi_ref, wv_hbm, init_ref, out_hbm,
     pltpu.make_async_copy(wv_hbm.at[pl.ds(j * t, t)], wvbuf2.at[slot],
                           sems.at[slot]).wait()
     buf = wvbuf2[slot]
-    local0 = (buf[:, rw - 1:rw]).astype(jnp.int32)            # (T, 1) ids
-    r, tm = _wv_mats(rw)
+    local0 = (buf[:, _CP - 1:_CP]).astype(jnp.int32)          # (T, 1) ids
+    r, tm = _wv_mats()
     _, u = _wv_expand(buf, r, tm)                             # (T, CP)
     # pad-row ids are -1 and their packed lanes zero, so no valid mask is
     # needed: they match no window cell and contribute exact zeros.
@@ -1296,7 +1274,6 @@ def scatter_wv_spans(wv_rows, flat_s, ncells: int, w: int = 512,
     """Span-chunked ``scatter_wv_cm`` (same contract, ~no inert steps).
     Requires GLOBAL-id rows (``pad_rows_with_ids(..., idmod=0)``)."""
     p = flat_s.shape[0]
-    rw = wv_rows.shape[1]
     assert ncells < _ID_LIMIT and ncells % w == 0
     blo, bhi = build_spans(flat_s, p, w, t)
     nch = blo.shape[0]
@@ -1305,7 +1282,7 @@ def scatter_wv_spans(wv_rows, flat_s, ncells: int, w: int = 512,
     init = jnp.zeros((_CP, ncells), jnp.float32)
     return pl.pallas_call(
         functools.partial(_scatter_wv_spans_kernel, w=w, t=t, wc=wc,
-                          nch=nch, p=p, rw=rw),
+                          nch=nch, p=p),
         grid=(nch,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1313,7 +1290,7 @@ def scatter_wv_spans(wv_rows, flat_s, ncells: int, w: int = 512,
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((_CP, ncells), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((2, t, rw), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, t, _CP), jnp.float32),
                         pltpu.VMEM((2, _CP, w), jnp.float32),
                         pltpu.SemaphoreType.DMA((5,))],
         input_output_aliases={3: 0},
@@ -1323,7 +1300,7 @@ def scatter_wv_spans(wv_rows, flat_s, ncells: int, w: int = 512,
 
 def _gather_wv_spans_kernel(blo_ref, bhi_ref, table_hbm, wv_hbm, out_hbm,
                             tbuf2, wvbuf2, outbuf, sems, *, w, t, wc, nch,
-                            nout, rw):
+                            nout):
     """Table window reads double-buffered against compute; see the scatter
     twin.  Windows are read-only here, so cross-chunk boundary windows need
     no ordering beyond the sequential grid."""
@@ -1352,7 +1329,7 @@ def _gather_wv_spans_kernel(blo_ref, bhi_ref, table_hbm, wv_hbm, out_hbm,
     pltpu.make_async_copy(wv_hbm.at[pl.ds(j * t, t)], wvbuf2.at[slot],
                           sems.at[slot]).wait()
     buf = wvbuf2[slot]
-    local0 = (buf[:, rw - 1:rw]).astype(jnp.int32)
+    local0 = (buf[:, _CP - 1:_CP]).astype(jnp.int32)
 
     def body(wb, acc):
         ws = wb % 2
@@ -1377,7 +1354,7 @@ def _gather_wv_spans_kernel(blo_ref, bhi_ref, table_hbm, wv_hbm, out_hbm,
     acc = jax.lax.fori_loop(blo, bhi + 1, body,
                             jnp.zeros((t, _CP), jnp.float32))
 
-    r, tm = _wv_mats(rw)
+    r, tm = _wv_mats()
     wrep, _ = _wv_expand(buf, r, tm)
     m = acc * wrep
     st = _contract_mat(nout)
@@ -1402,7 +1379,6 @@ def gather_wv_spans(table_cm, wv_rows, flat_s, w: int = 512, t: int = 2048,
     Requires GLOBAL-id rows (``pad_rows_with_ids(..., idmod=0)``)."""
     ncells = table_cm.shape[1]
     p = flat_s.shape[0]
-    rw = wv_rows.shape[1]
     assert ncells < _ID_LIMIT and ncells % w == 0
     blo, bhi = build_spans(flat_s, p, w, t)
     nch = blo.shape[0]
@@ -1411,7 +1387,7 @@ def gather_wv_spans(table_cm, wv_rows, flat_s, w: int = 512, t: int = 2048,
 
     return pl.pallas_call(
         functools.partial(_gather_wv_spans_kernel, w=w, t=t, wc=wc,
-                          nch=nch, nout=nout, rw=rw),
+                          nch=nch, nout=nout),
         grid=(nch,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1420,7 +1396,7 @@ def gather_wv_spans(table_cm, wv_rows, flat_s, w: int = 512, t: int = 2048,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((nout, p_padl), jnp.float32),
         scratch_shapes=[pltpu.VMEM((2, _CP, w), jnp.float32),
-                        pltpu.VMEM((2, t, rw), jnp.float32),
+                        pltpu.VMEM((2, t, _CP), jnp.float32),
                         pltpu.VMEM((nout, t), jnp.float32),
                         pltpu.SemaphoreType.DMA((5,))],
         interpret=interpret,
