@@ -87,6 +87,46 @@ def pcg(apply_a: Callable, b, x0=None, precond: Callable | None = None,
     return PCGResult(x=x, iters=k, residual=jnp.sqrt(_dot(r, r)))
 
 
+def chebyshev_preconditioner(apply_a, precond_d, degree: int = 3,
+                             lam_max: float = 2.0, ratio: float = 30.0):
+    """SPD fixed-polynomial preconditioner: z ~= A^{-1} r via ``degree``
+    Chebyshev semi-iteration steps with Jacobi splitting (``precond_d`` =
+    D^{-1}) on the interval [lam_max/ratio, lam_max] of D^{-1}A.
+
+    Replaces the reference's IncompleteCholesky role (``fluid.cc:1352``)
+    with something that stays in the packed stencil layout: the induced
+    operator is q(D^{-1/2} A D^{-1/2}) conjugated by D^{-1/2} — symmetric,
+    and positive definite when q > 0 on the spectrum (guaranteed by the
+    Chebyshev construction on a positive interval).  For the masked 7-point
+    pressure Laplacian, Gershgorin gives lam(D^{-1}A) <= 2 exactly
+    (adiag >= sum of off-diagonal magnitudes, free surface included), so
+    ``lam_max=2`` is safe for any fluid configuration.
+
+    Why this wins over plain Jacobi-PCG even though CG is already optimal:
+    each CG iteration costs ~2x the stencil apply in dots/axpys/while-step
+    overhead; a degree-d preconditioner runs d+1 applies per iteration and
+    cuts the iteration count by ~(d+1), amortizing that fixed overhead.
+    """
+    a, b = lam_max / ratio, lam_max
+    theta = 0.5 * (b + a)
+    delta = 0.5 * (b - a)
+    sigma1 = theta / delta
+
+    def precond(r):
+        rho = 1.0 / sigma1
+        d = precond_d(r) * (1.0 / theta)
+        z = d
+        for _ in range(degree - 1):
+            resid = r - apply_a(z)
+            rho_new = 1.0 / (2.0 * sigma1 - rho)
+            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * precond_d(resid)
+            z = z + d
+            rho = rho_new
+        return z
+
+    return precond
+
+
 def jacobi_preconditioner(diag, mask=None):
     """z = r / diag where diag > 0 (identity elsewhere)."""
     safe = jnp.where(diag > 0, diag, 1.0)

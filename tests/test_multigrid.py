@@ -78,3 +78,48 @@ def test_flip_with_multigrid_matches_jacobi():
         mb = b.step()
         np.testing.assert_allclose(float(ma["kinetic_energy"]),
                                    float(mb["kinetic_energy"]), rtol=2e-3)
+
+
+def test_chebyshev_cuts_iterations_and_converges():
+    spec, fluid, solid, adiag, apply_a, (dt, rho, dx) = _system()
+    from fluidsim_tpu.ops.pcg import chebyshev_preconditioner
+    rng = np.random.default_rng(3)
+    x_true = jnp.where(fluid, jnp.asarray(rng.normal(size=spec.shape),
+                                          jnp.float32), 0)
+    b = apply_a(x_true)
+    jac = jacobi_preconditioner(adiag, mask=fluid)
+    res_j = pcg(apply_a, b, precond=jac, rtol=1e-5, maxiter=500)
+    res_c = pcg(apply_a, b,
+                precond=chebyshev_preconditioner(apply_a, jac, degree=3),
+                rtol=1e-5, maxiter=500)
+    # degree-3 polynomial => ~4 applies per iteration => ~4x fewer iterations
+    assert int(res_c.iters) <= int(res_j.iters) // 2
+    r = b - apply_a(res_c.x)
+    rel = float(jnp.linalg.norm(r.ravel()) / jnp.linalg.norm(b.ravel()))
+    assert rel < 2e-5
+
+
+def test_chebyshev_preconditioner_is_symmetric():
+    spec, fluid, solid, adiag, apply_a, (dt, rho, dx) = _system()
+    from fluidsim_tpu.ops.pcg import chebyshev_preconditioner
+    jac = jacobi_preconditioner(adiag, mask=fluid)
+    ch = chebyshev_preconditioner(apply_a, jac, degree=4)
+    rng = np.random.default_rng(4)
+    z1 = jnp.where(fluid, jnp.asarray(rng.normal(size=spec.shape), jnp.float32), 0)
+    z2 = jnp.where(fluid, jnp.asarray(rng.normal(size=spec.shape), jnp.float32), 0)
+    a1 = float(jnp.sum(ch(z1) * z2))
+    a2 = float(jnp.sum(ch(z2) * z1))
+    np.testing.assert_allclose(a1, a2, rtol=1e-4)
+
+
+def test_flip_with_chebyshev_matches_jacobi():
+    scene = get_scene("water_cube_drop", bound=12, density=3.0)
+    a = FlipSim(scene, params=FlipParams(bound=12, wall=10,
+                                         preconditioner="chebyshev"))
+    b = FlipSim(scene, params=FlipParams(bound=12, wall=10,
+                                         preconditioner="jacobi"))
+    for _ in range(4):
+        ma = a.step()
+        mb = b.step()
+        np.testing.assert_allclose(float(ma["kinetic_energy"]),
+                                   float(mb["kinetic_energy"]), rtol=2e-3)
