@@ -48,26 +48,31 @@ def main():
     print(f"grid {2*B+1}^3  particles {sim.num_particles}")
 
     def upto(stage):
+        # mirrors the PRODUCTION path: channel-major grids end to end
+        from fluidsim_tpu.core.gridspec import cell_center_velocity_cm
+
         def fn(pos0, vel0, dt, p_prev):
             pos, vel, flat = tp.sort_by_cell_h(pos0, vel0, B, lay)
             w27 = tp.masked_weights(pos, B, params.kernel)
             if stage == "sort":
                 return jnp.sum(w27) + jnp.sum(flat)
             weights, mom, occ, wv_rows = tp.p2g_pallas(
-                pos, vel, flat, solid, B, lay, params.kernel, w27=w27)
-            velg = tr.normalize_velocity(weights, mom)
+                pos, vel, flat, solid, B, lay, params.kernel, w27=w27,
+                channel_major=True)
+            velg = tr.normalize_velocity_cm(weights, mom)
             fluid = (occ > 0) & (~solid)
             if stage == "p2g":
                 return jnp.sum(velg) + jnp.sum(fluid)
             velb = velg
             velg, err, n_outer, cg_iters, div_rms, pressure = project(
-                params, velg, fluid, solid, dt, p0=p_prev)
+                params, velg, fluid, solid, dt, p0=p_prev, cm=True)
             if stage == "project":
                 return jnp.sum(velg) + err
-            vc_new = cell_center_velocity(velg)
-            vc_old = cell_center_velocity(velb)
+            vc_new = cell_center_velocity_cm(velg)
+            vc_old = cell_center_velocity_cm(velb)
             delta = tp.g2p_pallas(pos, flat, vc_new - vc_old, B, wall, lay,
-                                  params.kernel, wv_rows=wv_rows)
+                                  params.kernel, wv_rows=wv_rows,
+                                  channel_major=True)
             vel2 = vel + delta
             if stage == "g2p":
                 return jnp.sum(vel2)
