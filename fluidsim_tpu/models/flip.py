@@ -337,9 +337,8 @@ def flip_step(params: FlipParams, solid, state: FlipState):
         pos, vel, flat, aff_flat = tp.sort_by_cell_h(
             pos, vel, B, lay, extra=state.aff.reshape(-1, 9))
         aff = aff_flat.reshape(-1, 3, 3)
-        w27 = tp.masked_weights(pos, B, params.kernel)
         weights, mom, occ, wv_rows = tp.p2g_pallas(
-            pos, vel, flat, solid, B, lay, params.kernel, w27=w27, aff=aff,
+            pos, vel, flat, solid, B, lay, params.kernel, aff=aff,
             channel_major=True)
         velg = transfer.normalize_velocity_cm(weights, mom)
     elif params.mode == "apic":
@@ -363,9 +362,8 @@ def flip_step(params: FlipParams, solid, state: FlipState):
         from fluidsim_tpu.ops import transfer_pallas as tp
         lay = tp.HaloLayout(2 * B + 1)
         pos, vel, flat = tp.sort_by_cell_h(pos, vel, B, lay)
-        w27 = tp.masked_weights(pos, B, params.kernel)
         weights, mom, occ, wv_rows = tp.p2g_pallas(
-            pos, vel, flat, solid, B, lay, params.kernel, w27=w27,
+            pos, vel, flat, solid, B, lay, params.kernel,
             channel_major=True)
         velg = transfer.normalize_velocity_cm(weights, mom)
     elif params.fast_transfer:

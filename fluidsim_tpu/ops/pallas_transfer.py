@@ -407,6 +407,35 @@ def pack_wv_rows(flat_s, w27, vel, t: int, aff=None, w: int = 512):
                              idmod=w)
 
 
+def pack_cols(flat_s, w27t, vel, t: int, aff=None, w: int = 512):
+    """(27, P) transposed weights + (P, 3) veff [+ (P, 3, 3) affine C] ->
+    (nc, P_padl) CHANNEL-MAJOR particle columns (nc = 32 FLIP / 48 APIC),
+    window-local id in the last row.
+
+    Row map matches ``pack_wv_rows``' lane map (w 0..26, ones 27, veff
+    28..30, C 31..39) so ``_wv_mats_cm`` is just the transposed expansion.
+
+    Why columns: XLA stores (P, small) particle arrays with P minor, so
+    assembling the (P_pad, 128) ROW buffer forces GB-scale relayout
+    transposes — measured ~12 ms/frame at 129^3/2M, dwarfing the scatter
+    kernel itself (~11 ms).  Columns keep every piece in its natural
+    layout (the assembly is one fused concat pass) and the kernels DMA
+    (nc, T) windows: 4x less traffic than 128-lane rows."""
+    p = w27t.shape[1]
+    nc = 32 if aff is None else 48
+    p_padl = _ceil_to(p, 128) + t + 128
+    pieces = [w27t]
+    if vel is not None:
+        pieces += [jnp.ones((1, p), w27t.dtype), vel.T]
+    if aff is not None:
+        pieces.append(aff.reshape(p, 9).T)
+    body = jnp.concatenate(pieces, axis=0)
+    body = jnp.pad(body, ((0, nc - 1 - body.shape[0]), (0, p_padl - p)))
+    ids = jnp.pad((flat_s % w).astype(jnp.float32), (0, p_padl - p),
+                  constant_values=-1.0)
+    return jnp.concatenate([body, ids[None]], axis=0), p_padl
+
+
 def _off(o, k):
     """k-th component of transfer._OFFSETS[o] from iota arithmetic
     (the offsets enumerate (-1,0,1)^3 in row-major order)."""
@@ -431,6 +460,38 @@ def _wv_mats():
                        _off(o, k), 0)
         tm = tm + ck
     return r, tm.astype(jnp.bfloat16)
+
+
+def _wv_mats_cm(nc: int):
+    """Transposed ``_wv_mats`` for channel-major column buffers: (CP, nc)
+    matrices mapping input ROW (the ``pack_cols`` row map) to output
+    channel 4o+c.  The id row (nc - 1) never carries a coefficient."""
+    ch = jax.lax.broadcasted_iota(jnp.int32, (_CP, nc), 0)
+    inr = jax.lax.broadcasted_iota(jnp.int32, (_CP, nc), 1)
+    live = (ch < 108) & (inr < nc - 1)
+    o, c = ch // 4, ch % 4
+    r = ((inr == o) & (o < 27) & live).astype(jnp.bfloat16)
+    tm = jnp.where(live & (inr == 27 + c), 1, 0)
+    for k in range(3):
+        tm = tm + jnp.where(live & (c >= 1) & (inr == 31 + 3 * (c - 1) + k),
+                            _off(o, k), 0)
+    return r, tm.astype(jnp.bfloat16)
+
+
+def _wv_expand_cm(buf, r, tm):
+    """(nc, TT) columns -> exact channel-major (wrep, u): (CP, TT)."""
+    parts = _split3(buf)
+    wrep = None
+    vtile = None
+    dims = (((1,), (0,)), ((), ()))
+    for part in parts:
+        dw = jax.lax.dot_general(r, part, dims,
+                                 preferred_element_type=jnp.float32)
+        dv = jax.lax.dot_general(tm, part, dims,
+                                 preferred_element_type=jnp.float32)
+        wrep = dw if wrep is None else wrep + dw
+        vtile = dv if vtile is None else vtile + dv
+    return wrep, wrep * vtile
 
 
 def _wv_expand(buf, r, tm):
@@ -803,16 +864,21 @@ def gather_wv_cm(table_cm, wv_rows, flat_s, w: int = 512, t: int = 2048,
 
 def _scatter_wv_fused_kernel(blk_ref, ps_ref, pe_ref, wv_hbm, init_ref,
                              out_hbm, wvbuf2, zbuf, acc3, outwin, sems,
-                             *, w, t, wc, n, winrow, expand):
+                             *, w, t, wc, n, winrow, expand, cols):
     del init_ref  # aliased with out_hbm (zero init)
     j = pl.program_id(0)
     mc = pl.num_programs(0)
     b = blk_ref[j]
 
     def start_wv(j2):
-        a2 = pl.multiple_of((ps_ref[j2] // 8) * 8, 8)
-        pltpu.make_async_copy(wv_hbm.at[pl.ds(a2, t + 8)],
-                              wvbuf2.at[j2 % 2], sems.at[j2 % 2]).start()
+        if cols:
+            a2 = pl.multiple_of((ps_ref[j2] // 128) * 128, 128)
+            pltpu.make_async_copy(wv_hbm.at[:, pl.ds(a2, t + 128)],
+                                  wvbuf2.at[j2 % 2], sems.at[j2 % 2]).start()
+        else:
+            a2 = pl.multiple_of((ps_ref[j2] // 8) * 8, 8)
+            pltpu.make_async_copy(wv_hbm.at[pl.ds(a2, t + 8)],
+                                  wvbuf2.at[j2 % 2], sems.at[j2 % 2]).start()
 
     @pl.when(j == 0)
     def _():
@@ -834,8 +900,12 @@ def _scatter_wv_fused_kernel(blk_ref, ps_ref, pe_ref, wv_hbm, init_ref,
     def _():
         pstart = ps_ref[j]
         pend = pe_ref[j]
-        a = pl.multiple_of((pstart // 8) * 8, 8)
-        tt = t + 8
+        if cols:
+            a = pl.multiple_of((pstart // 128) * 128, 128)
+            tt = t + 128
+        else:
+            a = pl.multiple_of((pstart // 8) * 8, 8)
+            tt = t + 8
         slot = j % 2
 
         r = b // winrow
@@ -850,32 +920,56 @@ def _scatter_wv_fused_kernel(blk_ref, ps_ref, pe_ref, wv_hbm, init_ref,
         @pl.when(first_of_run)
         def _():
             cp_w.start()
-        pltpu.make_async_copy(wv_hbm.at[pl.ds(a, tt)], wvbuf2.at[slot],
-                              sems.at[slot]).wait()
+        src = (wv_hbm.at[:, pl.ds(a, tt)] if cols
+               else wv_hbm.at[pl.ds(a, tt)])
+        pltpu.make_async_copy(src, wvbuf2.at[slot], sems.at[slot]).wait()
 
         buf = wvbuf2[slot]
-        local = (buf[:, _CP - 1:_CP]).astype(jnp.int32)  # window-local
-        gidx = a + jax.lax.broadcasted_iota(jnp.int32, (tt, 1), 0)
-        valid = (gidx >= pstart) & (gidx < pend)
-
-        if expand == "fg":
-            u = _fg_expand(buf)                                   # (TT, CP)
+        if cols:
+            # channel-major columns: particles on LANES throughout — the
+            # expansion/one-hot math is the rows path transposed, feeding
+            # zbuf's (CP, w) layout directly.
+            local = (buf[cols - 1:cols, :]).astype(jnp.int32)     # (1, TT)
+            gidx = a + jax.lax.broadcasted_iota(jnp.int32, (1, tt), 1)
+            valid = (gidx >= pstart) & (gidx < pend)
+            r_m, tm = _wv_mats_cm(cols)
+            _, u = _wv_expand_cm(buf, r_m, tm)                    # (CP, TT)
+            um_split = _split3(jnp.where(valid, u, 0.0))
+            dims = (((1,), (1,)), ((), ()))
+            for k in range(w // wc):
+                iota = (jax.lax.broadcasted_iota(jnp.int32, (wc, tt), 0)
+                        + k * wc)
+                oh = (local == iota).astype(jnp.bfloat16)         # (Wc, TT)
+                contrib = None
+                for part in um_split:                             # (CP, Wc)
+                    d = jax.lax.dot_general(part, oh, dims,
+                                            preferred_element_type=jnp.float32)
+                    contrib = d if contrib is None else contrib + d
+                zbuf[:, pl.ds(k * wc, wc)] = contrib
         else:
-            r_m, tm = _wv_mats()
-            _, u = _wv_expand(buf, r_m, tm)                       # (TT, CP)
-        um = jnp.where(valid, u, 0.0)
-        um_split = _split3(um)
+            local = (buf[:, _CP - 1:_CP]).astype(jnp.int32)  # window-local
+            gidx = a + jax.lax.broadcasted_iota(jnp.int32, (tt, 1), 0)
+            valid = (gidx >= pstart) & (gidx < pend)
 
-        dims = (((0,), (0,)), ((), ()))
-        for k in range(w // wc):
-            iota = jax.lax.broadcasted_iota(jnp.int32, (tt, wc), 1) + k * wc
-            oh = (local == iota).astype(jnp.bfloat16)             # (TT, Wc)
-            contrib = None
-            for part in um_split:                                 # (CP, Wc)
-                d = jax.lax.dot_general(part, oh, dims,
-                                        preferred_element_type=jnp.float32)
-                contrib = d if contrib is None else contrib + d
-            zbuf[:, pl.ds(k * wc, wc)] = contrib
+            if expand == "fg":
+                u = _fg_expand(buf)                               # (TT, CP)
+            else:
+                r_m, tm = _wv_mats()
+                _, u = _wv_expand(buf, r_m, tm)                   # (TT, CP)
+            um = jnp.where(valid, u, 0.0)
+            um_split = _split3(um)
+
+            dims = (((0,), (0,)), ((), ()))
+            for k in range(w // wc):
+                iota = (jax.lax.broadcasted_iota(jnp.int32, (tt, wc), 1)
+                        + k * wc)
+                oh = (local == iota).astype(jnp.bfloat16)         # (TT, Wc)
+                contrib = None
+                for part in um_split:                             # (CP, Wc)
+                    d = jax.lax.dot_general(part, oh, dims,
+                                            preferred_element_type=jnp.float32)
+                    contrib = d if contrib is None else contrib + d
+                zbuf[:, pl.ds(k * wc, wc)] = contrib
 
         # shift-reduce in VMEM: channel 4o+g of base lane j -> target row
         # ox(o)+1 of the 3-row block, lanes [256+s, 256+s+W) (all static).
@@ -915,11 +1009,12 @@ def _scatter_wv_fused_kernel(blk_ref, ps_ref, pe_ref, wv_hbm, init_ref,
 
 @functools.partial(jax.jit, static_argnames=("xr", "lwr", "n", "w", "t",
                                              "wc", "interpret",
-                                             "dynamic_grid", "expand"))
+                                             "dynamic_grid", "expand",
+                                             "cols"))
 def scatter_wv_fused(wv_rows, flat_s, xr: int, lwr: int, n: int,
                      w: int = 512, t: int = 2048, wc: int = 256,
                      interpret: bool = False, dynamic_grid: bool = True,
-                     expand: str = "wv"):
+                     expand: str = "wv", cols: int = 0):
     """Fused ``scatter_wv_cm`` + 27-offset shift-reduce: returns the
     4-channel haloed grid sums directly.
 
@@ -933,19 +1028,25 @@ def scatter_wv_fused(wv_rows, flat_s, xr: int, lwr: int, n: int,
     force stencil ``u[4o+c] = sum_k M[c,k] gradW_k(o)`` from
     ``mpm_pallas.pack_force_rows`` rows (``_fg_expand``); channels 4o+3 and
     output row 3 are then exactly zero.
+
+    ``cols=nc`` (static) switches the particle input to a ``pack_cols``
+    CHANNEL-MAJOR (nc, P_padl) buffer: 4x less DMA per window and no XLA
+    relayout on the producer side (see ``pack_cols``); wv expansion only.
     """
     ncells = xr * lwr
     p = flat_s.shape[0]
     assert n + 1 <= 256 and lwr % w == 0   # window-local ids: no ncells cap
+    assert not (cols and expand != "wv")
     winrow = lwr // w
     blk, ps, pe, nlive = build_chunks(flat_s, p, ncells, w, t)
     mc = blk.shape[0]
-    tt = t + 8
+    tt = t + 128 if cols else t + 8
+    wvbuf_shape = (2, cols, tt) if cols else (2, tt, _CP)
 
     init = jnp.zeros((4, xr, lwr + 2 * 256), jnp.float32)
     return pl.pallas_call(
         functools.partial(_scatter_wv_fused_kernel, w=w, t=t, wc=wc, n=n,
-                          winrow=winrow, expand=expand),
+                          winrow=winrow, expand=expand, cols=cols),
         grid=(nlive if dynamic_grid and not interpret else mc,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -954,7 +1055,7 @@ def scatter_wv_fused(wv_rows, flat_s, xr: int, lwr: int, n: int,
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((4, xr, lwr + 2 * 256), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((2, tt, _CP), jnp.float32),
+        scratch_shapes=[pltpu.VMEM(wvbuf_shape, jnp.float32),
                         pltpu.VMEM((_CP, w), jnp.float32),
                         pltpu.VMEM((4, 3, w + 2 * 256), jnp.float32),
                         pltpu.VMEM((4, 16, w + 2 * 256), jnp.float32),
@@ -979,7 +1080,7 @@ def scatter_wv_fused(wv_rows, flat_s, xr: int, lwr: int, n: int,
 
 def _gather_wv_fused_kernel(blk_ref, ps_ref, pe_ref, fm_hbm, wv_hbm, init_ref,
                             out_hbm, fmbuf2, wvbuf2, tablebuf, outbuf, sems,
-                            *, w, t, wc, nout, n, winrow, contract):
+                            *, w, t, wc, nout, n, winrow, contract, cols):
     del init_ref  # aliased with out_hbm (zero init)
     j = pl.program_id(0)
     mc = pl.num_programs(0)
@@ -997,8 +1098,10 @@ def _gather_wv_fused_kernel(blk_ref, ps_ref, pe_ref, fm_hbm, wv_hbm, init_ref,
 
     def start_wv(j2):
         a2 = pl.multiple_of((ps_ref[j2] // 128) * 128, 128)
-        pltpu.make_async_copy(wv_hbm.at[pl.ds(a2, tt)],
-                              wvbuf2.at[j2 % 2], sems.at[2 + j2 % 2]).start()
+        src = (wv_hbm.at[:, pl.ds(a2, tt)] if cols
+               else wv_hbm.at[pl.ds(a2, tt)])
+        pltpu.make_async_copy(src, wvbuf2.at[j2 % 2],
+                              sems.at[2 + j2 % 2]).start()
 
     @pl.when(j == 0)
     def _():
@@ -1028,7 +1131,9 @@ def _gather_wv_fused_kernel(blk_ref, ps_ref, pe_ref, fm_hbm, wv_hbm, init_ref,
                 (((b // winrow) - 1) // 8) * 8, 8), 16),
                 pl.ds(pl.multiple_of((b % winrow) * w, w), w + 2 * 256)],
             fmbuf2.at[slot], sems.at[slot]).wait()
-        pltpu.make_async_copy(wv_hbm.at[pl.ds(a, tt)], wvbuf2.at[slot],
+        src = (wv_hbm.at[:, pl.ds(a, tt)] if cols
+               else wv_hbm.at[pl.ds(a, tt)])
+        pltpu.make_async_copy(src, wvbuf2.at[slot],
                               sems.at[2 + slot]).wait()
         cp_o.wait()
 
@@ -1059,9 +1164,44 @@ def _gather_wv_fused_kernel(blk_ref, ps_ref, pe_ref, fm_hbm, wv_hbm, init_ref,
                                                      256 + s:256 + s + w]
 
         buf = wvbuf2[slot]
-        local = (buf[:, _CP - 1:_CP]).astype(jnp.int32)  # window-local
         gidx = a + jax.lax.broadcasted_iota(jnp.int32, (1, tt), 1)
         valid = (gidx >= pstart) & (gidx < pend)                  # (1, TT)
+
+        if cols:
+            # channel-major columns: the rows flow transposed end to end
+            # (acc/m/out4 all (CP/nout, TT)); wv contract only.
+            local = (buf[cols - 1:cols, :]).astype(jnp.int32)     # (1, TT)
+            acc = None
+            for k in range(w // wc):
+                iota = (jax.lax.broadcasted_iota(jnp.int32, (wc, tt), 0)
+                        + k * wc)
+                oh = (local == iota).astype(jnp.bfloat16)         # (Wc, TT)
+                part = None
+                for tpart in _split3(tablebuf[:, pl.ds(k * wc, wc)]):
+                    d = jax.lax.dot_general(
+                        tpart, oh, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    part = d if part is None else part + d
+                acc = part if acc is None else acc + part         # (CP, TT)
+
+            r_m, tm = _wv_mats_cm(cols)
+            wrep, _ = _wv_expand_cm(buf, r_m, tm)                 # (CP, TT)
+            m = acc * wrep
+
+            st = _contract_mat(nout)
+            out4 = None
+            for mpart in _split3(m):
+                d = jax.lax.dot_general(st, mpart, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                out4 = d if out4 is None else out4 + d            # (nout, TT)
+            outbuf[...] = jnp.where(valid, out4, outbuf[...])
+            cp_back = pltpu.make_async_copy(
+                outbuf, out_hbm.at[:, pl.ds(a, tt)], sems.at[4])
+            cp_back.start()
+            cp_back.wait()
+            return
+
+        local = (buf[:, _CP - 1:_CP]).astype(jnp.int32)  # window-local
 
         acc = None
         for k in range(w // wc):
@@ -1119,11 +1259,11 @@ def _gather_wv_fused_kernel(blk_ref, ps_ref, pe_ref, fm_hbm, wv_hbm, init_ref,
 
 @functools.partial(jax.jit, static_argnames=("n", "w", "t", "wc", "interpret",
                                              "nout", "dynamic_grid",
-                                             "contract"))
+                                             "contract", "cols"))
 def gather_wv_fused(fm_hp, wv_rows, flat_s, n: int, w: int = 512,
                     t: int = 2048, wc: int = 256, interpret: bool = False,
                     nout: int = 8, dynamic_grid: bool = True,
-                    contract: str = "wv"):
+                    contract: str = "wv", cols: int = 0):
     """``gather_wv_cm`` over an implicit table: same contract, but takes the
     4-channel haloed field grid directly (lane-padded by an extra 256 each
     side: ``fm_hp[g, x, q] == fm_h[g, x, q - 256]``) and builds each window's
@@ -1134,26 +1274,37 @@ def gather_wv_fused(fm_hp, wv_rows, flat_s, n: int, w: int = 512,
     ``contract='gw'`` (pass nout=16) contracts the gathered channels with
     the THREE per-particle gradW weight vectors from the packed lanes
     (``mpm_pallas.pack_mpm_rows``) instead of w27: rows 4k+c =
-    sum_o gradW_k(o) field_c(o); rows 12-15 are zero."""
+    sum_o gradW_k(o) field_c(o); rows 12-15 are zero.
+
+    ``cols=nc`` (static): particle input is a ``pack_cols`` channel-major
+    (nc, P_padl) buffer (wv contract only) — 4x less wv DMA per window."""
     xr, lwrp = fm_hp.shape[1], fm_hp.shape[2]
     lwr = lwrp - 2 * 256
     ncells = xr * lwr
     p = flat_s.shape[0]
     assert n + 1 <= 256 and lwr % w == 0   # window-local ids: no ncells cap
+    assert not (cols and contract != "wv")
     winrow = lwr // w
-    p_pad = wv_rows.shape[0]
-    assert p_pad >= _ceil_to(p, 8) + t + 136, (
-        "wv_rows too short for 128-aligned gather windows — pack with "
-        "pack_wv_rows(..., t)")
+    p_pad = wv_rows.shape[1] if cols else wv_rows.shape[0]
+    if cols:
+        assert p_pad >= _ceil_to(p, 128) + t + 128, (
+            "columns too short for 128-aligned gather windows — pack with "
+            "pack_cols(..., t)")
+    else:
+        assert p_pad >= _ceil_to(p, 8) + t + 136, (
+            "wv_rows too short for 128-aligned gather windows — pack with "
+            "pack_wv_rows(..., t)")
     blk, ps, pe, nlive = build_chunks(flat_s, p, ncells, w, t)
     mc = blk.shape[0]
     tt = t + 128
     p_padl = _ceil_to(p_pad, 128)
+    wvbuf_shape = (2, cols, tt) if cols else (2, tt, _CP)
 
     init = jnp.zeros((nout, p_padl), jnp.float32)
     return pl.pallas_call(
         functools.partial(_gather_wv_fused_kernel, w=w, t=t, wc=wc,
-                          nout=nout, n=n, winrow=winrow, contract=contract),
+                          nout=nout, n=n, winrow=winrow, contract=contract,
+                          cols=cols),
         grid=(nlive if dynamic_grid and not interpret else mc,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1164,7 +1315,7 @@ def gather_wv_fused(fm_hp, wv_rows, flat_s, n: int, w: int = 512,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((nout, p_padl), jnp.float32),
         scratch_shapes=[pltpu.VMEM((2, 4, 16, w + 2 * 256), jnp.float32),
-                        pltpu.VMEM((2, tt, _CP), jnp.float32),
+                        pltpu.VMEM(wvbuf_shape, jnp.float32),
                         pltpu.VMEM((_CP, w), jnp.float32),
                         pltpu.VMEM((nout, tt), jnp.float32),
                         pltpu.SemaphoreType.DMA((5,))],

@@ -104,6 +104,25 @@ def masked_weights(pos_s, bound: int, kernel: str = "flip"):
     return jnp.where(valid[:, None], w27, 0.0)
 
 
+def masked_weights_cm(pos_s, bound: int, kernel: str = "flip"):
+    """(27, P) TRANSPOSED stencil weights — the channel-major twin of
+    ``masked_weights``, built from (P,) per-axis pieces so no lane-padded
+    (P, 27) intermediate or relayout transpose ever exists (the rows it
+    feeds, ``pallas_transfer.pack_cols``, are channel-major too).
+
+    Same f32 ops in the same order as ``_stencil_w`` (pos - (base + off),
+    then the x*y*z product), so values are bitwise identical."""
+    from fluidsim_tpu.ops.transfer_fast import _KERNELS
+    kfn = _KERNELS[kernel]
+    base = cround(pos_s)
+    valid = jnp.all(jnp.abs(base) <= bound, axis=-1)[None]       # (1, P)
+    wax = [[kfn(pos_s[:, a] - (base[:, a] + (q - 1))) for q in range(3)]
+           for a in range(3)]
+    rows = [(wax[0][o // 9] * wax[1][(o // 3) % 3] * wax[2][o % 3])[None]
+            for o in range(27)]
+    return jnp.where(valid, jnp.concatenate(rows, axis=0), 0.0)
+
+
 def p2g_pallas(pos_s, vel_s, flat_h, solid, bound: int,
                layout: HaloLayout | None = None, kernel: str = "flip",
                w27=None, aff=None, interpret: bool = False,
@@ -122,21 +141,27 @@ def p2g_pallas(pos_s, vel_s, flat_h, solid, bound: int,
     lay = layout or HaloLayout(n)
     p = pos_s.shape[0]
 
-    if w27 is None:
-        w27 = masked_weights(pos_s, bound, kernel)
     if aff is not None:
         e = cround(pos_s) - pos_s                       # (P, 3) base - pos
         from fluidsim_tpu.ops.svd3 import mv3
         vel_s = vel_s + mv3(aff, e)
-    wv, _ = pt.pack_wv_rows(flat_h, w27, vel_s, 2048, aff=aff)
     if fused_scatter:
-        # one kernel: per-window accumulate + in-VMEM shift-reduce; the
-        # (128, ncells) intermediate never exists (see pallas_transfer)
+        # channel-major particle columns + one kernel (per-window
+        # accumulate + in-VMEM shift-reduce): neither the (128, ncells)
+        # intermediate nor the row buffer's XLA relayout exists (see
+        # pallas_transfer.pack_cols); the columns feed the g2p gathers too.
+        w27t = (masked_weights_cm(pos_s, bound, kernel) if w27 is None
+                else w27.T)
+        wv, _ = pt.pack_cols(flat_h, w27t, vel_s, 2048, aff=aff)
         d4 = pt.scatter_wv_fused(wv, flat_h, lay.xr, lay.lwr, n,
-                                 interpret=interpret)   # (4, XR, LWR+512)
+                                 interpret=interpret,
+                                 cols=wv.shape[0])      # (4, XR, LWR+512)
         accn = d4[:, ps._XH:ps._XH + n,
                   256 + ps._LH:256 + ps._LH + n * n].reshape(4, n, n, n)
     else:
+        if w27 is None:
+            w27 = masked_weights(pos_s, bound, kernel)
+        wv, _ = pt.pack_wv_rows(flat_h, w27, vel_s, 2048, aff=aff)
         d_cm = pt.scatter_wv_cm(wv, flat_h, lay.ncells,
                                 interpret=interpret)             # (128, NC)
         acc = ps.reduce_haloed(d_cm.reshape(128, lay.xr, lay.lwr), n,
@@ -171,8 +196,10 @@ def g2p_pallas(pos_s, flat_h, fields, bound: int, wall: int,
     kernel's own channel-major table), weight-normalised over within-wall
     cells.
 
-    ``wv_rows``: packed (P_pad, 32) rows from ``p2g_pallas`` — reused so the
-    gather+contraction kernel reads 32 lanes/particle instead of 128.
+    ``wv_rows``: the packed particle buffer from ``p2g_pallas`` — reused so
+    the gather+contraction kernel skips its own pack.  Channel-major
+    ``pack_cols`` columns (nc <= 64 rows) and legacy (P_pad, 128) row
+    buffers (e.g. the shared MPM rows) are told apart by shape.
     """
     n = 2 * bound + 1
     lay = layout or HaloLayout(n)
@@ -192,16 +219,24 @@ def g2p_pallas(pos_s, flat_h, fields, bound: int, wall: int,
     chans.append(wf.reshape(n, n * n))                           # mask last
     fm = jnp.stack(chans, axis=0)                                # (4, n, n^2)
 
+    if wv_rows is not None and not fused_table and wv_rows.shape[0] <= 64:
+        wv_rows = None            # cols buffer, but gather_wv_cm wants rows
     if wv_rows is None:
-        if w27 is None:
-            w27 = masked_weights(pos_s, bound, kernel)
-        wv_rows, _ = pt.pack_wv_rows(flat_h, w27, None, 2048)
+        if fused_table:
+            w27t = (masked_weights_cm(pos_s, bound, kernel) if w27 is None
+                    else w27.T)
+            wv_rows, _ = pt.pack_cols(flat_h, w27t, None, 2048)
+        else:
+            if w27 is None:
+                w27 = masked_weights(pos_s, bound, kernel)
+            wv_rows, _ = pt.pack_wv_rows(flat_h, w27, None, 2048)
     if fused_table:
         fm_hp = jnp.pad(fm, ((0, 0), (ps._XH, lay.xr - n - ps._XH),
                              (ps._LH + 256,
                               lay.lwr + 512 - (ps._LH + 256) - n * n)))
+        cols = wv_rows.shape[0] if wv_rows.shape[0] <= 64 else 0
         out = pt.gather_wv_fused(fm_hp, wv_rows, flat_h, n,
-                                 interpret=interpret)
+                                 interpret=interpret, cols=cols)
     else:
         fm_h = jnp.pad(fm, ((0, 0), (ps._XH, lay.xr - n - ps._XH),
                             (ps._LH, lay.lwr - n * n - ps._LH)))
@@ -250,16 +285,24 @@ def g2p_apic_pallas(pos_s, flat_h, vc, bound: int, wall: int,
     chans.append(wf.reshape(n, n * n))
     fm = jnp.stack(chans, axis=0)
 
+    if wv_rows is not None and not fused_table and wv_rows.shape[0] <= 64:
+        wv_rows = None            # cols buffer, but gather_wv_cm wants rows
     if wv_rows is None:
-        if w27 is None:
-            w27 = masked_weights(pos_s, bound, kernel)
-        wv_rows, _ = pt.pack_wv_rows(flat_h, w27, None, 2048)
+        if fused_table:
+            w27t = (masked_weights_cm(pos_s, bound, kernel) if w27 is None
+                    else w27.T)
+            wv_rows, _ = pt.pack_cols(flat_h, w27t, None, 2048)
+        else:
+            if w27 is None:
+                w27 = masked_weights(pos_s, bound, kernel)
+            wv_rows, _ = pt.pack_wv_rows(flat_h, w27, None, 2048)
     if fused_table:
         fm_hp = jnp.pad(fm, ((0, 0), (ps._XH, lay.xr - n - ps._XH),
                              (ps._LH + 256,
                               lay.lwr + 512 - (ps._LH + 256) - n * n)))
+        cols = wv_rows.shape[0] if wv_rows.shape[0] <= 64 else 0
         mo = pt.gather_wv_fused(fm_hp, wv_rows, flat_h, n,
-                                interpret=interpret, nout=24)
+                                interpret=interpret, nout=24, cols=cols)
     else:
         fm_h = jnp.pad(fm, ((0, 0), (ps._XH, lay.xr - n - ps._XH),
                             (ps._LH, lay.lwr - n * n - ps._LH)))

@@ -169,10 +169,10 @@ def _p2g_pallas_local(pos_s, vel_s, flat_h, nl, n, bound, lay, interpret):
     from fluidsim_tpu.ops import pallas_transfer as pt
     from fluidsim_tpu.ops import transfer_pallas as tp
     rows_x = nl + 2 * W
-    w27 = tp.masked_weights(pos_s, bound, "flip")
-    wv, _ = pt.pack_wv_rows(flat_h, w27, vel_s, 2048)
+    w27t = tp.masked_weights_cm(pos_s, bound, "flip")
+    wv, _ = pt.pack_cols(flat_h, w27t, vel_s, 2048)
     d4 = pt.scatter_wv_fused(wv, flat_h, lay.xr, lay.lwr, n,
-                             interpret=interpret)
+                             interpret=interpret, cols=wv.shape[0])
     acc = d4[:, ps._XH:ps._XH + rows_x,
              256 + ps._LH:256 + ps._LH + n * n].reshape(4, rows_x, n, n)
     return jnp.moveaxis(acc, 0, -1), wv
@@ -195,7 +195,9 @@ def _g2p_pallas_local(pos_s, flat_h, wv_rows, fields_ext, within_wall_ext,
     fm_hp = jnp.pad(fm, ((0, 0), (ps._XH, lay.xr - rows_x - ps._XH),
                          (ps._LH + 256,
                           lay.lwr + 512 - (ps._LH + 256) - n * n)))
-    out = pt.gather_wv_fused(fm_hp, wv_rows, flat_h, n, interpret=interpret)
+    cols = wv_rows.shape[0] if wv_rows.shape[0] <= 64 else 0
+    out = pt.gather_wv_fused(fm_hp, wv_rows, flat_h, n, interpret=interpret,
+                             cols=cols)
     num = out[:c, :p].T
     den = out[3, :p]
     safe = jnp.where(den != 0, den, 1.0)
