@@ -73,63 +73,88 @@ def sort_mpm_h(pos, vel, FE, FP, volume, bound: int, layout: tp.HaloLayout):
             jnp.take(volume, perm, axis=0), flat_s)
 
 
-def _mpm_vals(pos, vel, bound: int):
-    """(C, 121) packed-lane values for a particle block: w27 (masked), 1,
-    velocity, 9 zero lanes (APIC block / later the force M), gradW 3o+k."""
-    from fluidsim_tpu.core.splines import grad_w_mpm
-    from fluidsim_tpu.ops.transfer import _OFFSETS
+def _mpm_vals_cm(pos, vel, bound: int):
+    """(121, C) CHANNEL-MAJOR packed values for a particle block: w27
+    (masked), 1, velocity, 9 zero rows (APIC block / later the force M),
+    gradW 3o+k — ``pack_mpm_rows``' lane map as rows, built from (C,)
+    per-axis pieces (same f32 op order as ``grad_w_mpm`` over
+    ``delta = pos - (base + off)``, so values are bitwise identical;
+    no lane-padded intermediates or relayout transposes)."""
+    from fluidsim_tpu.core.splines import spline2, dspline2
 
     c = pos.shape[0]
     base = cround(pos)
-    offs = jnp.asarray(_OFFSETS, pos.dtype)
-    delta = pos[:, None, :] - (base[:, None, :] + offs[None])
-    w, gradw = grad_w_mpm(delta)                     # (C, 27), (C, 27, 3)
+    wd = []
+    gd = []
+    for a in range(3):
+        wq = []
+        gq = []
+        for q in range(3):
+            s = (pos[:, a] - (base[:, a] + (q - 1))) - 0.5
+            wq.append(spline2(s))
+            gq.append(-dspline2(s))
+        wd.append(wq)
+        gd.append(gq)
     vmask = jnp.all(jnp.abs(base) <= bound, axis=-1).astype(pos.dtype)
-    w = w * vmask[:, None]
+    rows_w = []
+    rows_g = []
+    for o in range(27):
+        ox, oy, oz = o // 9, (o // 3) % 3, o % 3
+        rows_w.append((wd[0][ox] * wd[1][oy] * wd[2][oz] * vmask)[None])
+        rows_g += [(gd[0][ox] * wd[1][oy] * wd[2][oz])[None],
+                   (wd[0][ox] * gd[1][oy] * wd[2][oz])[None],
+                   (wd[0][ox] * wd[1][oy] * gd[2][oz])[None]]
     return jnp.concatenate(
-        [w, jnp.ones((c, 1), pos.dtype), vel,
-         jnp.zeros((c, pt._GW0 - pt._M0), pos.dtype),
-         gradw.reshape(c, 81)], axis=1)
+        rows_w + [jnp.ones((1, c), pos.dtype), vel.T,
+                  jnp.zeros((pt._GW0 - pt._M0, c), pos.dtype)] + rows_g,
+        axis=0)
 
 
 def pack_mpm_rows(flat_h, pos_s, vel_s, bound: int, t: int = 2048,
                   w: int = 512, chunk: int = 1 << 19):
-    """Packed (P_pad, 128) rows for the whole MPM frame: lanes 0-26 the
-    (validity-masked) w27, lane 27 the constant 1, lanes 28-30 the velocity,
-    lanes 31-39 zero at pack time (the wv expansion's APIC block; the force
-    scatter later reuses them for M = -V sigma), lanes 40-120 gradW
-    row-major 3o+k (``pallas_transfer._GW0``), lane 127 the window-local
-    id.  One buffer serves the p2g scatter (wv expansion), the w27 gathers
-    (FLIP delta, density) and the gradW gathers (gradV, Hessian columns).
+    """CHANNEL-MAJOR (128, P_padl) columns for the whole MPM frame: rows
+    0-26 the (validity-masked) w27, row 27 the constant 1, rows 28-30 the
+    velocity, rows 31-39 zero at pack time (the wv expansion's APIC block;
+    the force scatter later reuses them for M = -V sigma), rows 40-120
+    gradW row-major 3o+k (``pallas_transfer._GW0``), row 127 the
+    window-local id.  One buffer serves the p2g scatter (wv expansion),
+    the w27 gathers (FLIP delta, density) and the gradW gathers (gradV,
+    Hessian columns).
 
-    Past ``chunk`` particles the stencil evaluation runs as a lax.scan over
-    particle blocks written into the row buffer in place: at 255^3 / 4M
-    particles XLA's layout choices for the whole-P (P, 27, 3) stencil
-    temps OOM'd the chip (4.7x T(8,128) padding, 2 x 5.6 GB remat'd
-    copies), and a (P, 1)-column reformulation just moved the blowup to
-    128x-padded column temps — bounding the block size bounds the temps
-    no matter which layout the compiler picks."""
+    Columns, not (P_pad, 128) rows: XLA keeps (P, small) particle arrays
+    P-minor, so the old row assembly — and the PER-CG-ITERATION
+    ``rows.at[:, M0:M0+9].set`` of the force scatter — each forced a
+    relayout transpose of the whole buffer (the FLIP finding, see
+    ``pallas_transfer.pack_cols``); as columns both are natural-layout
+    writes.
+
+    Past ``chunk`` particles the stencil evaluation runs as a lax.scan
+    over particle blocks written into the buffer in place (bounding the
+    block size bounds XLA's temps at the 255^3 / 4M scale)."""
     p = pos_s.shape[0]
+    p_padl = pt._ceil_to(p, 128) + t + 128
+    ids = jnp.pad((flat_h % w).astype(jnp.float32), (0, p_padl - p),
+                  constant_values=-1.0)
     if p <= chunk:
-        vals = _mpm_vals(pos_s, vel_s, bound)
-        rows, _ = pt.pad_rows_with_ids(flat_h, vals, t + 128, idmod=w)
-        return rows
-    rows, _ = pt.pad_rows_with_ids(flat_h, None, t + 128, idmod=w)
+        vals = _mpm_vals_cm(pos_s, vel_s, bound)           # (121, P)
+        body = jnp.pad(vals, ((0, 127 - 121), (0, p_padl - p)))
+        return jnp.concatenate([body, ids[None]], axis=0)
+    cbody = jnp.zeros((127, p_padl), jnp.float32)
     nch = -(-p // chunk)
     pp = nch * chunk
     pos_p = jnp.pad(pos_s, ((0, pp - p), (0, 0)))
     vel_p = jnp.pad(vel_s, ((0, pp - p), (0, 0)))
 
-    def body(r, i):
-        ps = jax.lax.dynamic_slice(pos_p, (i * chunk, 0), (chunk, 3))
-        vs = jax.lax.dynamic_slice(vel_p, (i * chunk, 0), (chunk, 3))
+    def bodyfn(r, i):
+        pb = jax.lax.dynamic_slice(pos_p, (i * chunk, 0), (chunk, 3))
+        vb = jax.lax.dynamic_slice(vel_p, (i * chunk, 0), (chunk, 3))
         live = (i * chunk + jnp.arange(chunk)) < p   # zero the pad block
-        vals = _mpm_vals(ps, vs, bound) * live[:, None].astype(ps.dtype)
-        vals = jnp.pad(vals, ((0, 0), (0, 6)))       # 121 -> 127 lanes
-        return jax.lax.dynamic_update_slice(r, vals, (i * chunk, 0)), None
+        vals = _mpm_vals_cm(pb, vb, bound) * live[None].astype(pb.dtype)
+        vals = jnp.pad(vals, ((0, 127 - 121), (0, 0)))
+        return jax.lax.dynamic_update_slice(r, vals, (0, i * chunk)), None
 
-    rows, _ = jax.lax.scan(body, rows, jnp.arange(nch, dtype=jnp.int32))
-    return rows
+    cbody, _ = jax.lax.scan(bodyfn, cbody, jnp.arange(nch, dtype=jnp.int32))
+    return jnp.concatenate([cbody, ids[None]], axis=0)
 
 
 def _slice_grid(d4, n: int, lay: tp.HaloLayout):
@@ -162,7 +187,7 @@ def p2g_mpm(rows, flat_h, solid, bound: int, lay: tp.HaloLayout,
     ``mpm_fast.p2g_mpm``)."""
     n = 2 * bound + 1
     d4 = pt.scatter_wv_fused(rows, flat_h, lay.xr, lay.lwr, n,
-                             interpret=interpret)
+                             interpret=interpret, cols=tp.cols_of(rows))
     accn = _slice_grid(d4, n, lay)
     ns = ~solid
     mass = jnp.where(ns, accn[0], 0.0)
@@ -178,7 +203,8 @@ def density(mass, rows, flat_h, solid, bound: int, lay: tp.HaloLayout,
     n = 2 * bound + 1
     p = flat_h.shape[0]
     fm = _fm_hp(mass[..., None], ~solid, n, lay)
-    out = pt.gather_wv_fused(fm, rows, flat_h, n, interpret=interpret)
+    out = pt.gather_wv_fused(fm, rows, flat_h, n, interpret=interpret,
+                             cols=tp.cols_of(rows))
     return out[0, :p]
 
 
@@ -190,7 +216,7 @@ def gradv_gather(velg, rows, flat_h, solid, bound: int, lay: tp.HaloLayout,
     p = flat_h.shape[0]
     fm = _fm_hp(velg, ~solid, n, lay)
     out = pt.gather_wv_fused(fm, rows, flat_h, n, nout=16, contract="gw",
-                             interpret=interpret)
+                             interpret=interpret, cols=tp.cols_of(rows))
     return jnp.stack([out[4 * k:4 * k + 3, :p].T for k in range(3)], axis=-1)
 
 
@@ -223,12 +249,15 @@ def make_force_fns(pos_s, flat_h, rows, FE, volume, mu, lam,
     scale = jnp.where(valid, -volume, 0.0)          # zero dead particles
 
     def scatter_sigma(sigma):
-        m9 = scale[:, None] * sigma.reshape(p, 9)
-        # M rides in the shared rows' (inert-by-now) APIC lanes: see the
-        # _M0 note in pallas_transfer
-        rows_f = rows.at[:p, pt._M0:pt._M0 + 9].set(m9)
+        m9t = scale[None, :] * sigma.reshape(p, 9).T
+        # M rides in the shared columns' (inert-by-now) APIC rows: see the
+        # _M0 note in pallas_transfer.  A natural-layout row-block write —
+        # the old (P, 128) lane write forced a relayout of the whole
+        # buffer on EVERY CG iteration.
+        rows_f = rows.at[pt._M0:pt._M0 + 9, :p].set(m9t)
         d4 = pt.scatter_wv_fused(rows_f, flat_h, lay.xr, lay.lwr, n,
-                                 interpret=interpret, expand="fg")
+                                 interpret=interpret, expand="fg",
+                                 cols=tp.cols_of(rows))
         f = jnp.moveaxis(_slice_grid(d4, n, lay)[:3], 0, -1)
         return jnp.where(not_solid[..., None], f, 0.0)
 
@@ -238,7 +267,7 @@ def make_force_fns(pos_s, flat_h, rows, FE, volume, mu, lam,
     def dforce(u):
         fm = _fm_hp(u, active, n, lay)
         out = pt.gather_wv_fused(fm, rows, flat_h, n, nout=16, contract="gw",
-                                 interpret=interpret)
+                                 interpret=interpret, cols=tp.cols_of(rows))
         g = jnp.stack([out[4 * k:4 * k + 3, :p].T for k in range(3)],
                       axis=-1)                      # (P, 3, 3)
         return scatter_sigma(mm3(dp(mm3(g, FE)), fe_t))

@@ -578,6 +578,51 @@ def _fg_expand(buf):
     return u
 
 
+def _gw_mats_cm(nc: int, gw0: int = _GW0):
+    """Transposed ``_gw_mats`` for channel-major columns: (CP, nc)."""
+    ch = jax.lax.broadcasted_iota(jnp.int32, (_CP, nc), 0)
+    inr = jax.lax.broadcasted_iota(jnp.int32, (_CP, nc), 1)
+    live = (ch < 108) & (inr < nc - 1)
+    o = ch // 4
+    return [((inr == gw0 + 3 * o + k) & live).astype(jnp.bfloat16)
+            for k in range(3)]
+
+
+def _fg_mats_cm(nc: int, gw0: int = _GW0, m0: int = _M0):
+    """Transposed ``_fg_mats`` for channel-major columns: (CP, nc) pairs."""
+    ch = jax.lax.broadcasted_iota(jnp.int32, (_CP, nc), 0)
+    inr = jax.lax.broadcasted_iota(jnp.int32, (_CP, nc), 1)
+    live = (ch < 108) & (ch % 4 < 3) & (inr < nc - 1)
+    o, c = ch // 4, ch % 4
+    rm = [((inr == m0 + 3 * c + k) & live).astype(jnp.bfloat16)
+          for k in range(3)]
+    rg = [((inr == gw0 + 3 * o + k) & live).astype(jnp.bfloat16)
+          for k in range(3)]
+    return rm, rg
+
+
+def _fg_expand_cm(buf):
+    """(nc, TT) columns -> channel-major force stencil u (CP, TT):
+    ``u[4o+c] = sum_k M[c,k] gradW_k(o)`` (``_fg_expand`` transposed)."""
+    rm, rg = _fg_mats_cm(buf.shape[0])
+    parts = _split3(buf)
+    dims = (((1,), (0,)), ((), ()))
+    u = None
+    for k in range(3):
+        a = None
+        b = None
+        for part in parts:
+            da = jax.lax.dot_general(rm[k], part, dims,
+                                     preferred_element_type=jnp.float32)
+            db = jax.lax.dot_general(rg[k], part, dims,
+                                     preferred_element_type=jnp.float32)
+            a = da if a is None else a + da
+            b = db if b is None else b + db
+        t = a * b
+        u = t if u is None else u + t
+    return u
+
+
 def _contract_mat(nout: int):
     """Transposed contraction matrix (nout, 128), entries in {-1,0,1}.
 
@@ -932,8 +977,11 @@ def _scatter_wv_fused_kernel(blk_ref, ps_ref, pe_ref, wv_hbm, init_ref,
             local = (buf[cols - 1:cols, :]).astype(jnp.int32)     # (1, TT)
             gidx = a + jax.lax.broadcasted_iota(jnp.int32, (1, tt), 1)
             valid = (gidx >= pstart) & (gidx < pend)
-            r_m, tm = _wv_mats_cm(cols)
-            _, u = _wv_expand_cm(buf, r_m, tm)                    # (CP, TT)
+            if expand == "fg":
+                u = _fg_expand_cm(buf)                            # (CP, TT)
+            else:
+                r_m, tm = _wv_mats_cm(cols)
+                _, u = _wv_expand_cm(buf, r_m, tm)                # (CP, TT)
             um_split = _split3(jnp.where(valid, u, 0.0))
             dims = (((1,), (1,)), ((), ()))
             for k in range(w // wc):
@@ -1036,7 +1084,6 @@ def scatter_wv_fused(wv_rows, flat_s, xr: int, lwr: int, n: int,
     ncells = xr * lwr
     p = flat_s.shape[0]
     assert n + 1 <= 256 and lwr % w == 0   # window-local ids: no ncells cap
-    assert not (cols and expand != "wv")
     winrow = lwr // w
     blk, ps, pe, nlive = build_chunks(flat_s, p, ncells, w, t)
     mc = blk.shape[0]
@@ -1169,7 +1216,7 @@ def _gather_wv_fused_kernel(blk_ref, ps_ref, pe_ref, fm_hbm, wv_hbm, init_ref,
 
         if cols:
             # channel-major columns: the rows flow transposed end to end
-            # (acc/m/out4 all (CP/nout, TT)); wv contract only.
+            # (acc/m/out4 all (CP/nout, TT)).
             local = (buf[cols - 1:cols, :]).astype(jnp.int32)     # (1, TT)
             acc = None
             for k in range(w // wc):
@@ -1184,16 +1231,40 @@ def _gather_wv_fused_kernel(blk_ref, ps_ref, pe_ref, fm_hbm, wv_hbm, init_ref,
                     part = d if part is None else part + d
                 acc = part if acc is None else acc + part         # (CP, TT)
 
-            r_m, tm = _wv_mats_cm(cols)
-            wrep, _ = _wv_expand_cm(buf, r_m, tm)                 # (CP, TT)
-            m = acc * wrep
+            dims = (((1,), (0,)), ((), ()))
+            if contract == "gw":
+                st = _contract_mat(8)
+                parts = _split3(buf)
+                outs = []
+                for rk in _gw_mats_cm(cols):
+                    wk = None
+                    for part in parts:
+                        d = jax.lax.dot_general(
+                            rk, part, dims,
+                            preferred_element_type=jnp.float32)
+                        wk = d if wk is None else wk + d          # (CP, TT)
+                    m = acc * wk
+                    o8 = None
+                    for mpart in _split3(m):
+                        d = jax.lax.dot_general(
+                            st, mpart, dims,
+                            preferred_element_type=jnp.float32)
+                        o8 = d if o8 is None else o8 + d          # (8, TT)
+                    outs.append(o8[:4])
+                out4 = jnp.concatenate(outs + [jnp.zeros_like(outs[0])],
+                                       axis=0)
+            else:
+                r_m, tm = _wv_mats_cm(cols)
+                wrep, _ = _wv_expand_cm(buf, r_m, tm)             # (CP, TT)
+                m = acc * wrep
 
-            st = _contract_mat(nout)
-            out4 = None
-            for mpart in _split3(m):
-                d = jax.lax.dot_general(st, mpart, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-                out4 = d if out4 is None else out4 + d            # (nout, TT)
+                st = _contract_mat(nout)
+                out4 = None
+                for mpart in _split3(m):
+                    d = jax.lax.dot_general(
+                        st, mpart, dims,
+                        preferred_element_type=jnp.float32)
+                    out4 = d if out4 is None else out4 + d        # (nout, TT)
             outbuf[...] = jnp.where(valid, out4, outbuf[...])
             cp_back = pltpu.make_async_copy(
                 outbuf, out_hbm.at[:, pl.ds(a, tt)], sems.at[4])
@@ -1283,7 +1354,6 @@ def gather_wv_fused(fm_hp, wv_rows, flat_s, n: int, w: int = 512,
     ncells = xr * lwr
     p = flat_s.shape[0]
     assert n + 1 <= 256 and lwr % w == 0   # window-local ids: no ncells cap
-    assert not (cols and contract != "wv")
     winrow = lwr // w
     p_pad = wv_rows.shape[1] if cols else wv_rows.shape[0]
     if cols:

@@ -104,6 +104,13 @@ def masked_weights(pos_s, bound: int, kernel: str = "flip"):
     return jnp.where(valid[:, None], w27, 0.0)
 
 
+def cols_of(buf) -> int:
+    """Static channel count of a packed particle buffer: ``pack_cols`` /
+    ``pack_mpm_cols`` columns are (nc, P_padl) with P_padl >= 2304, legacy
+    rows are (P_pad, 128) — the lane extent tells them apart."""
+    return buf.shape[0] if buf.shape[1] != 128 else 0
+
+
 def masked_weights_cm(pos_s, bound: int, kernel: str = "flip"):
     """(27, P) TRANSPOSED stencil weights — the channel-major twin of
     ``masked_weights``, built from (P,) per-axis pieces so no lane-padded
@@ -219,7 +226,7 @@ def g2p_pallas(pos_s, flat_h, fields, bound: int, wall: int,
     chans.append(wf.reshape(n, n * n))                           # mask last
     fm = jnp.stack(chans, axis=0)                                # (4, n, n^2)
 
-    if wv_rows is not None and not fused_table and wv_rows.shape[0] <= 64:
+    if wv_rows is not None and not fused_table and cols_of(wv_rows):
         wv_rows = None            # cols buffer, but gather_wv_cm wants rows
     if wv_rows is None:
         if fused_table:
@@ -234,7 +241,7 @@ def g2p_pallas(pos_s, flat_h, fields, bound: int, wall: int,
         fm_hp = jnp.pad(fm, ((0, 0), (ps._XH, lay.xr - n - ps._XH),
                              (ps._LH + 256,
                               lay.lwr + 512 - (ps._LH + 256) - n * n)))
-        cols = wv_rows.shape[0] if wv_rows.shape[0] <= 64 else 0
+        cols = cols_of(wv_rows)
         out = pt.gather_wv_fused(fm_hp, wv_rows, flat_h, n,
                                  interpret=interpret, cols=cols)
     else:
@@ -285,7 +292,7 @@ def g2p_apic_pallas(pos_s, flat_h, vc, bound: int, wall: int,
     chans.append(wf.reshape(n, n * n))
     fm = jnp.stack(chans, axis=0)
 
-    if wv_rows is not None and not fused_table and wv_rows.shape[0] <= 64:
+    if wv_rows is not None and not fused_table and cols_of(wv_rows):
         wv_rows = None            # cols buffer, but gather_wv_cm wants rows
     if wv_rows is None:
         if fused_table:
@@ -300,7 +307,7 @@ def g2p_apic_pallas(pos_s, flat_h, vc, bound: int, wall: int,
         fm_hp = jnp.pad(fm, ((0, 0), (ps._XH, lay.xr - n - ps._XH),
                              (ps._LH + 256,
                               lay.lwr + 512 - (ps._LH + 256) - n * n)))
-        cols = wv_rows.shape[0] if wv_rows.shape[0] <= 64 else 0
+        cols = cols_of(wv_rows)
         mo = pt.gather_wv_fused(fm_hp, wv_rows, flat_h, n,
                                 interpret=interpret, nout=24, cols=cols)
     else:

@@ -183,6 +183,7 @@ def _g2p_pallas_local(pos_s, flat_h, wv_rows, fields_ext, within_wall_ext,
     """``_g2p_fused_local`` on the Pallas fused-table gather."""
     from fluidsim_tpu.ops import pallas_shift as ps
     from fluidsim_tpu.ops import pallas_transfer as pt
+    from fluidsim_tpu.ops import transfer_pallas as tp
     rows_x = fields_ext.shape[0]
     p = pos_s.shape[0]
     c = fields_ext.shape[-1]
@@ -195,7 +196,7 @@ def _g2p_pallas_local(pos_s, flat_h, wv_rows, fields_ext, within_wall_ext,
     fm_hp = jnp.pad(fm, ((0, 0), (ps._XH, lay.xr - rows_x - ps._XH),
                          (ps._LH + 256,
                           lay.lwr + 512 - (ps._LH + 256) - n * n)))
-    cols = wv_rows.shape[0] if wv_rows.shape[0] <= 64 else 0
+    cols = tp.cols_of(wv_rows)
     out = pt.gather_wv_fused(fm_hp, wv_rows, flat_h, n, interpret=interpret,
                              cols=cols)
     num = out[:c, :p].T

@@ -83,6 +83,7 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
         from fluidsim_tpu.ops import mpm_pallas as mp
         from fluidsim_tpu.ops import pallas_shift as ps
         from fluidsim_tpu.ops import pallas_transfer as pt
+        from fluidsim_tpu.ops import transfer_pallas as tp
         from fluidsim_tpu.parallel.flip_sharded import (_slab_layout,
                                                         _g2p_pallas_local)
         lay = _slab_layout(nl, n)
@@ -104,8 +105,9 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
         volume_in = jnp.take(state.volume, perm, axis=0)
 
         prows = mp.pack_mpm_rows(flat_h, pos, vel, B)
+        pcols = tp.cols_of(prows)
         d4 = pt.scatter_wv_fused(prows, flat_h, lay.xr, lay.lwr, n,
-                                 interpret=itp)
+                                 interpret=itp, cols=pcols)
         accn = d4[:, ps._XH:ps._XH + rows,
                   256 + ps._LH:256 + ps._LH + n * n].reshape(4, rows, n, n)
         mass = jnp.where(~solid_loc, halo_reduce(accn[0], W, AX), 0.0)
@@ -183,10 +185,11 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
         not_solid_ext = ~solid_ext
 
         def scatter_sigma(sigma):
-            m9 = scale[:, None] * sigma.reshape(p, 9)
-            prows_f = prows.at[:p, pt._M0:pt._M0 + 9].set(m9)
+            m9t = scale[None, :] * sigma.reshape(p, 9).T
+            prows_f = prows.at[pt._M0:pt._M0 + 9, :p].set(m9t)
             df4 = pt.scatter_wv_fused(prows_f, flat_h, lay.xr, lay.lwr, n,
-                                      interpret=itp, expand="fg")
+                                      interpret=itp, expand="fg",
+                                      cols=pcols)
             f = jnp.moveaxis(
                 df4[:3, ps._XH:ps._XH + rows,
                     256 + ps._LH:256 + ps._LH + n * n].reshape(3, rows, n, n),
@@ -203,7 +206,8 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
             w_ext = exchange_halo(wv_loc, W, AX)
             fm = mp._fm_hp(w_ext, active_ext, n, lay)
             out16 = pt.gather_wv_fused(fm, prows, flat_h, n, nout=16,
-                                       contract="gw", interpret=itp)
+                                       contract="gw", interpret=itp,
+                                       cols=pcols)
             gmat = jnp.stack([out16[4 * k:4 * k + 3, :p].T
                               for k in range(3)], axis=-1)
             return reduce3(scatter_sigma(mm3(dp(mm3(gmat, fe_in)), fe_t)))

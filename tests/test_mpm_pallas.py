@@ -46,13 +46,13 @@ def sorted_state(state):
     np.testing.assert_array_equal(np.asarray(pos), np.asarray(pos2))
     np.testing.assert_array_equal(np.asarray(FE), np.asarray(FE2))
     rows = mp.pack_mpm_rows(flat_h, pos, vel, B)
-    # the column-stacked pack reproduces the (P, 27, 3) stencil arrays
+    # the channel-major pack reproduces the (P, 27, 3) stencil arrays
     w27 = tp.masked_weights(pos, B, "mpm")
     _, gradw = mf.stencil_mpm(pos)
-    np.testing.assert_allclose(np.asarray(rows[:pos.shape[0], :27]),
+    np.testing.assert_allclose(np.asarray(rows[:27, :pos.shape[0]].T),
                                np.asarray(w27), atol=1e-6)
     np.testing.assert_allclose(
-        np.asarray(rows[:pos.shape[0], 40:121]),
+        np.asarray(rows[40:121, :pos.shape[0]].T),
         np.asarray(gradw.reshape(-1, 81)), atol=1e-6)
     return dict(lay=lay, pos=pos, vel=vel, FE=FE, FP=FP, vol=vol,
                 flat_h=flat_h, flat_s=flat_s, gradw=gradw, rows=rows,
