@@ -1,0 +1,74 @@
+"""Micro-bench: alternatives for the per-frame particle sort at 2M.
+
+Compares (on the real TPU):
+  a) 7-operand lax.sort (production FLIP path)
+  b) 2-operand key+iota sort + 6 row-gathers (MPM-style)
+  c) 2-operand key+iota sort alone (lower bound for b)
+  d) segment-sum histogram + cumsum (counting-sort bookkeeping only)
+
+Usage: python -m scripts.sweep_sort2 [--p 2000000]
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, iters=10, warmup=3):
+    for _ in range(warmup):
+        r = fn(*args)
+        _ = float(jnp.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[0])
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.time()
+        r = fn(*args)
+        _ = float(jnp.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[0])
+        best = min(best, time.time() - t0)
+    return best * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--p", type=int, default=1987675)
+    args = ap.parse_args()
+    p = args.p
+    key = jax.random.PRNGKey(0)
+    flat = jax.random.randint(key, (p,), 0, 2_400_000, dtype=jnp.int32)
+    cols = jax.random.normal(jax.random.PRNGKey(1), (6, p), dtype=jnp.float32)
+
+    @jax.jit
+    def sort7(flat, cols):
+        ops = [flat] + [cols[i] for i in range(6)]
+        out = jax.lax.sort(ops, num_keys=1)
+        return out[0], jnp.stack(out[1:], axis=0)
+
+    @jax.jit
+    def sort2_gather(flat, cols):
+        iota = jax.lax.iota(jnp.int32, flat.shape[0])
+        flat_s, perm = jax.lax.sort([flat, iota], num_keys=1)
+        return flat_s, cols[:, perm]
+
+    @jax.jit
+    def sort2(flat):
+        iota = jax.lax.iota(jnp.int32, flat.shape[0])
+        return jax.lax.sort([flat, iota], num_keys=1)
+
+    @jax.jit
+    def hist(flat):
+        wid = flat >> 9
+        counts = jax.ops.segment_sum(jnp.ones_like(wid), wid,
+                                     num_segments=4700)
+        return jnp.cumsum(counts)
+
+    print(f"P = {p}")
+    print(f"sort7            {timeit(sort7, flat, cols):7.2f} ms")
+    print(f"sort2 + gather   {timeit(sort2_gather, flat, cols):7.2f} ms")
+    print(f"sort2 alone      {timeit(sort2, flat):7.2f} ms")
+    print(f"hist+cumsum      {timeit(hist, flat):7.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
