@@ -24,6 +24,11 @@ import time
 HERE = os.path.dirname(os.path.abspath(__file__))
 BASELINE_PATH = os.path.join(HERE, "BASELINE_CPU.json")
 
+sys.path.insert(0, HERE)
+from fluidsim_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 
 def measure_tpu(bound: int, density: float, warmup: int, frames: int,
                 sync_every_frame: bool = False):
@@ -72,7 +77,7 @@ def measure_cpu_baseline(bound: int, density: float, frames: int = 3):
     src = os.path.join(HERE, "native", "ref_cpu.cc")
     exe = os.path.join(HERE, "native", "ref_cpu")
     subprocess.check_call(["g++", "-O3", "-march=native", "-std=c++17",
-                           "-o", exe, src])
+                           "-fopenmp", "-o", exe, src])
     out = subprocess.check_output(
         [exe, str(bound), str(density), str(frames)], text=True)
     rec = json.loads(out.strip().splitlines()[-1])
@@ -174,12 +179,16 @@ def main():
         res = measure_tpu(args.bound, args.density, args.warmup, args.frames,
                           sync_every_frame=args.sync_every_frame)
 
+    # vs_baseline uses the MOST CONSERVATIVE denominator available: the
+    # Amdahl bound — the steps/s an infinitely-threaded reference could
+    # reach on this CPU (particle loops free, serial grid/CG unchanged).
     vs_baseline = 0.0
     if os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as f:
             base = json.load(f)
-        if base.get("steps_per_sec"):
-            vs_baseline = res["steps_per_sec"] / base["steps_per_sec"]
+        denom = base.get("amdahl_bound_steps_per_sec") or base.get("steps_per_sec")
+        if denom:
+            vs_baseline = res["steps_per_sec"] / denom
 
     print(json.dumps({
         "metric": "flip_steps_per_sec_128cube_2Mparticles",

@@ -257,6 +257,9 @@ def _view(args) -> int:
 
 
 def main(argv=None) -> int:
+    from fluidsim_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(prog="fluidsim", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
 

@@ -57,34 +57,41 @@ def pcg(apply_a: Callable, b, x0=None, precond: Callable | None = None,
     def _dot(a, c):
         return reduce_fn(_local_sum(a * c))
 
+    def _dot2(a1, c1, a2, c2):
+        # Two dot products in ONE reduction round: under shard_map the
+        # reduce_fn is a psum — stacking the local sums halves the number
+        # of collective latency rounds per CG iteration (3 -> 2 total).
+        s = reduce_fn(jnp.stack([_local_sum(a1 * c1), _local_sum(a2 * c2)]))
+        return s[0], s[1]
+
     bnorm2 = _dot(b, b)
     tol2 = jnp.maximum(rtol * rtol * bnorm2, atol * atol)
 
     r0 = b - apply_a(x0)
     z0 = precond(r0)
     p0 = z0
-    rz0 = _dot(r0, z0)
+    rz0, rr0 = _dot2(r0, z0, r0, r0)
 
     def cond(state):
-        _, r, _, _, k = state
-        return (_dot(r, r) > tol2) & (k < maxiter)
+        _, _, _, _, rr, k = state
+        return (rr > tol2) & (k < maxiter)
 
     def body(state):
-        x, r, p, rz, k = state
+        x, r, p, rz, _, k = state
         ap = apply_a(p)
         denom = _dot(p, ap)
         alpha = jnp.where(denom != 0, rz / jnp.where(denom != 0, denom, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * ap
         z = precond(r)
-        rz_new = _dot(r, z)
+        rz_new, rr_new = _dot2(r, z, r, r)
         beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
         p = z + beta * p
-        return x, r, p, rz_new, k + 1
+        return x, r, p, rz_new, rr_new, k + 1
 
-    x, r, _, _, k = jax.lax.while_loop(
-        cond, body, (x0, r0, p0, rz0, jnp.zeros((), jnp.int32)))
-    return PCGResult(x=x, iters=k, residual=jnp.sqrt(_dot(r, r)))
+    x, _, _, _, rr, k = jax.lax.while_loop(
+        cond, body, (x0, r0, p0, rz0, rr0, jnp.zeros((), jnp.int32)))
+    return PCGResult(x=x, iters=k, residual=jnp.sqrt(rr))
 
 
 def chebyshev_preconditioner(apply_a, precond_d, degree: int = 3,

@@ -10,10 +10,22 @@
 // The pressure solve is matrix-free Jacobi-PCG (rtol 1e-5) rather than
 // Eigen's assembled IncompleteCholesky solve; on dense boxes this is at
 // least as fast (no per-iteration sparse assembly), so the baseline is not
-// handicapped.  Single-threaded, like the reference's grid sweeps.
+// handicapped.
+//
+// Threading: the reference parallelizes exactly its particle loops over TBB
+// (fluid.cc:845-1126) while all grid sweeps and the linear solve run serial.
+// This port mirrors that split with OpenMP (compile with -fopenmp): the P2G
+// scatter uses atomic adds (the analog of the reference's per-voxel mutex
+// cube, fluid.cc:828-836), and the FLIP gather / advect loops are
+// embarrassingly parallel.  The port also times the particle phase
+// separately and reports an Amdahl bound — the steps/s an infinitely-
+// threaded reference could reach with the serial grid/solve fraction
+// unchanged — so the benchmark denominator is honest even on a single-core
+// driver machine.
 //
 // Usage: ref_cpu <bound> <density> <frames>
-// Prints one JSON line: {"steps_per_sec": ..., ...}
+// Prints one JSON line: {"steps_per_sec": ..., "amdahl_bound_steps_per_sec":
+// ..., ...}
 
 #include <cmath>
 #include <cstdint>
@@ -23,6 +35,22 @@
 #include <random>
 #include <vector>
 #include <chrono>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+// Wall-clock accumulated inside the particle-parallel loops (the part the
+// reference runs over TBB); everything else is the serial fraction.
+static double g_particle_secs = 0.0;
+struct PhaseTimer {
+  std::chrono::steady_clock::time_point t0;
+  PhaseTimer() : t0(std::chrono::steady_clock::now()) {}
+  ~PhaseTimer() {
+    g_particle_secs +=
+        std::chrono::duration<double>(std::chrono::steady_clock::now() - t0)
+            .count();
+  }
+};
 
 static inline double spline(double x) {  // fluid.cc:22-37
   double a = std::fabs(x);
@@ -83,24 +111,50 @@ struct Sim {
     std::fill(w.begin(), w.end(), 0.f);
     std::fill(wsum.begin(), wsum.end(), 0.f);
     std::fill(occ.begin(), occ.end(), 0.f);
-    for (size_t i = 0; i < px.size(); ++i) {
-      int cx = (int)std::lround(px[i]), cy = (int)std::lround(py[i]),
-          cz = (int)std::lround(pz[i]);
-      for (int a = cx - 1; a <= cx + 1; ++a)
-        for (int b = cy - 1; b <= cy + 1; ++b)
-          for (int c = cz - 1; c <= cz + 1; ++c) {
-            if (std::abs(a) > B || std::abs(b) > B || std::abs(c) > B) continue;
-            if (isSolid(a, b, c)) continue;
-            double cw = spline(px[i] - a) * spline(py[i] - b) * spline(pz[i] - c);
-            size_t k = idx(a, b, c);
-            if (cw > 0) occ[k] += (float)cw;
-            if (std::abs(a) <= B - 2 && std::abs(b) <= B - 2 && std::abs(c) <= B - 2) {
-              wsum[k] += (float)cw;
-              u[k] += (float)(cw * vx[i]);
-              v[k] += (float)(cw * vy[i]);
-              w[k] += (float)(cw * vz[i]);
+    {
+      PhaseTimer pt;  // particle-parallel phase (reference: fluid.cc:1126)
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+      for (long i = 0; i < (long)px.size(); ++i) {
+        int cx = (int)std::lround(px[i]), cy = (int)std::lround(py[i]),
+            cz = (int)std::lround(pz[i]);
+        for (int a = cx - 1; a <= cx + 1; ++a)
+          for (int b = cy - 1; b <= cy + 1; ++b)
+            for (int c = cz - 1; c <= cz + 1; ++c) {
+              if (std::abs(a) > B || std::abs(b) > B || std::abs(c) > B) continue;
+              if (isSolid(a, b, c)) continue;
+              double cw = spline(px[i] - a) * spline(py[i] - b) * spline(pz[i] - c);
+              size_t k = idx(a, b, c);
+              // atomic adds = the per-voxel mutex cube (fluid.cc:828-836)
+              if (cw > 0) {
+#ifdef _OPENMP
+#pragma omp atomic
+#endif
+                occ[k] += (float)cw;
+              }
+              if (std::abs(a) <= B - 2 && std::abs(b) <= B - 2 && std::abs(c) <= B - 2) {
+                float fw = (float)cw, fu = (float)(cw * vx[i]),
+                      fv = (float)(cw * vy[i]), fwv = (float)(cw * vz[i]);
+#ifdef _OPENMP
+#pragma omp atomic
+#endif
+                wsum[k] += fw;
+#ifdef _OPENMP
+#pragma omp atomic
+#endif
+                u[k] += fu;
+#ifdef _OPENMP
+#pragma omp atomic
+#endif
+                v[k] += fv;
+#ifdef _OPENMP
+#pragma omp atomic
+#endif
+                w[k] += fwv;
+              }
             }
-          }
+      }
     }
     size_t n3 = (size_t)N * N * N;
     for (size_t k = 0; k < n3; ++k)
@@ -241,38 +295,50 @@ struct Sim {
       out[0] = 0.5 * (uu[k] + up); out[1] = 0.5 * (vv[k] + vp); out[2] = 0.5 * (ww[k] + wp);
     };
     double maxspeed = 0;
-    for (size_t i = 0; i < px.size(); ++i) {
-      int cx = (int)std::lround(px[i]), cy = (int)std::lround(py[i]),
-          cz = (int)std::lround(pz[i]);
-      double weight = 0, del[3] = {0, 0, 0};
-      for (int a = cx - 1; a <= cx + 1; ++a)
-        for (int b = cy - 1; b <= cy + 1; ++b)
-          for (int c = cz - 1; c <= cz + 1; ++c) {
-            if (std::abs(a) > wall || std::abs(b) > wall || std::abs(c) > wall) continue;
-            double cn[3], co[3];
-            center(u, v, w, a, b, c, cn);
-            center(ub, vb, wb, a, b, c, co);
-            double cw = spline(px[i] - a) * spline(py[i] - b) * spline(pz[i] - c);
-            weight += cw;
-            for (int dd = 0; dd < 3; ++dd) del[dd] += (cn[dd] - co[dd]) * cw;
-          }
-      if (weight != 0)
-        for (int dd = 0; dd < 3; ++dd) del[dd] /= weight;
-      vx[i] += (float)del[0]; vy[i] += (float)del[1]; vz[i] += (float)del[2];
-      double sp = std::sqrt((double)vx[i] * vx[i] + (double)vy[i] * vy[i] + (double)vz[i] * vz[i]);
-      if (sp > maxspeed) maxspeed = sp;
+    {
+      PhaseTimer pt;  // particle-parallel phase (reference: fluid.cc:978)
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) reduction(max : maxspeed)
+#endif
+      for (long i = 0; i < (long)px.size(); ++i) {
+        int cx = (int)std::lround(px[i]), cy = (int)std::lround(py[i]),
+            cz = (int)std::lround(pz[i]);
+        double weight = 0, del[3] = {0, 0, 0};
+        for (int a = cx - 1; a <= cx + 1; ++a)
+          for (int b = cy - 1; b <= cy + 1; ++b)
+            for (int c = cz - 1; c <= cz + 1; ++c) {
+              if (std::abs(a) > wall || std::abs(b) > wall || std::abs(c) > wall) continue;
+              double cn[3], co[3];
+              center(u, v, w, a, b, c, cn);
+              center(ub, vb, wb, a, b, c, co);
+              double cw = spline(px[i] - a) * spline(py[i] - b) * spline(pz[i] - c);
+              weight += cw;
+              for (int dd = 0; dd < 3; ++dd) del[dd] += (cn[dd] - co[dd]) * cw;
+            }
+        if (weight != 0)
+          for (int dd = 0; dd < 3; ++dd) del[dd] /= weight;
+        vx[i] += (float)del[0]; vy[i] += (float)del[1]; vz[i] += (float)del[2];
+        double sp = std::sqrt((double)vx[i] * vx[i] + (double)vy[i] * vy[i] + (double)vz[i] * vz[i]);
+        if (sp > maxspeed) maxspeed = sp;
+      }
     }
     double dt = maxspeed != 0 ? std::min(maxdt, dx / maxspeed) : maxdt;
-    for (size_t i = 0; i < px.size(); ++i) {
-      double nx = px[i] + dt * vx[i], ny = py[i] + dt * vy[i], nz = pz[i] + dt * vz[i];
-      int rx = (int)std::lround(nx), ry = (int)std::lround(ny), rz = (int)std::lround(nz);
-      if (isSolid(rx, ry, rz)) {
-        if (isSolid(rx, (int)py[i], (int)pz[i])) vx[i] = 0;
-        if (isSolid((int)px[i], ry, (int)pz[i])) vy[i] = 0;
-        if (isSolid((int)px[i], (int)py[i], rz)) vz[i] = 0;
-        px[i] += (float)(dt * vx[i]); py[i] += (float)(dt * vy[i]); pz[i] += (float)(dt * vz[i]);
-      } else {
-        px[i] = (float)nx; py[i] = (float)ny; pz[i] = (float)nz;
+    {
+      PhaseTimer pt;  // particle-parallel phase (reference: fluid.cc:1000)
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+      for (long i = 0; i < (long)px.size(); ++i) {
+        double nx = px[i] + dt * vx[i], ny = py[i] + dt * vy[i], nz = pz[i] + dt * vz[i];
+        int rx = (int)std::lround(nx), ry = (int)std::lround(ny), rz = (int)std::lround(nz);
+        if (isSolid(rx, ry, rz)) {
+          if (isSolid(rx, (int)py[i], (int)pz[i])) vx[i] = 0;
+          if (isSolid((int)px[i], ry, (int)pz[i])) vy[i] = 0;
+          if (isSolid((int)px[i], (int)py[i], rz)) vz[i] = 0;
+          px[i] += (float)(dt * vx[i]); py[i] += (float)(dt * vy[i]); pz[i] += (float)(dt * vz[i]);
+        } else {
+          px[i] = (float)nx; py[i] = (float)ny; pz[i] = (float)nz;
+        }
       }
     }
     return dt;
@@ -316,6 +382,7 @@ int main(int argc, char** argv) {
     dt = sim.flip_advect(ub, vb, wb, dt);
   }
 
+  g_particle_secs = 0.0;
   auto t0 = std::chrono::steady_clock::now();
   for (int f = 0; f < frames; ++f) {
     sim.p2g();
@@ -331,12 +398,28 @@ int main(int argc, char** argv) {
     }
   }
   if (!trace_ke) {
-    double secs = std::chrono::duration<double>(
-        std::chrono::steady_clock::now() - t0).count() / frames;
+    double total = std::chrono::duration<double>(
+        std::chrono::steady_clock::now() - t0).count();
+    double secs = total / frames;
+    // Amdahl bound: the reference threads ONLY its particle loops (TBB,
+    // fluid.cc:845-1126); grid sweeps + CG are serial.  With the particle
+    // fraction reduced to zero, a frame still costs the serial fraction —
+    // the fastest any thread count could make the reference on this CPU.
+    double frac_particle = total > 0 ? g_particle_secs / total : 0.0;
+    double serial_secs = secs * (1.0 - frac_particle);
+    int nthreads = 1;
+#ifdef _OPENMP
+    nthreads = omp_get_max_threads();
+#endif
     printf("{\"steps_per_sec\": %.6f, \"ms_per_frame\": %.1f, \"particles\": %zu, "
-           "\"grid\": %d, \"frames\": %d, \"method\": \"single-thread C++ port of "
-           "reference FLIP pipeline, matrix-free Jacobi-PCG rtol 1e-5\"}\n",
-           1.0 / secs, secs * 1000.0, sim.px.size(), sim.N, frames);
+           "\"grid\": %d, \"frames\": %d, \"threads\": %d, "
+           "\"particle_fraction\": %.4f, "
+           "\"amdahl_bound_steps_per_sec\": %.6f, "
+           "\"method\": \"C++ port of reference FLIP pipeline, matrix-free "
+           "Jacobi-PCG rtol 1e-5; particle loops OpenMP-parallel (TBB analog), "
+           "grid sweeps and CG serial as in the reference\"}\n",
+           1.0 / secs, secs * 1000.0, sim.px.size(), sim.N, frames, nthreads,
+           frac_particle, serial_secs > 0 ? 1.0 / serial_secs : 0.0);
   }
   return 0;
 }
