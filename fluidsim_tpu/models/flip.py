@@ -499,11 +499,12 @@ class FlipSim:
         # and APIC).  Needs a real TPU backend (Mosaic) and haloed flat ids
         # exact in f32.  None = auto; an explicit True/False is respected.
         if params.pallas_transfer is None:
-            # n <= 255: the haloed layout's lane halo (256) must cover the
-            # widest stencil lane shift |oy*n + oz| = n + 1
+            # The lane halo grows with the grid (pallas_shift.lane_halo:
+            # 256 lanes up to 255^3, 512 for 257..511^3); the practical
+            # single-chip bound is HBM, reached near 512^3.
             auto = (params.fast_transfer and params.transfer_chunks == 0
                     and jax.default_backend() != "cpu"
-                    and scene.spec.n <= 255)
+                    and scene.spec.n <= 511)
             params = dataclasses.replace(params, pallas_transfer=auto)
         if (params.mode == "apic" and not params.pallas_transfer
                 and table_bytes > 8 * 1024 ** 3):

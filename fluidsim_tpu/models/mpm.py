@@ -73,7 +73,7 @@ class MpmParams:
     pallas_transfer: bool | None = None  # fully-Pallas transfer pipeline
     # (ops.mpm_pallas): required on TPU past ~31^3, where XLA's scatter
     # emitter takes minutes-to-hours to compile the fused scatters.  None =
-    # auto (MpmSim enables it on non-CPU backends for bound > 15, n <= 255);
+    # auto (MpmSim enables it on non-CPU backends for bound > 15, n <= 511);
     # an explicit True/False is respected.  Overrides fast_transfer.
     pallas_interpret: bool = False  # run the Pallas kernels in interpret
     # mode (CPU equivalence tests only)
@@ -347,7 +347,7 @@ class MpmSim:
             # fast/naive paths uncompilable on TPU (minutes-to-hours AOT);
             # at 31^3 the naive path is already sub-ms, so keep it there.
             auto = (jax.default_backend() != "cpu"
-                    and params.bound > 15 and scene.spec.n <= 255)
+                    and params.bound > 15 and scene.spec.n <= 511)
             params = dataclasses.replace(params, pallas_transfer=auto)
         self.scene = scene
         self.params = params

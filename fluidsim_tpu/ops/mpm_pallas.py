@@ -64,7 +64,7 @@ def sort_mpm_h(pos, vel, FE, FP, volume, bound: int, layout: tp.HaloLayout):
     base = cround(pos).astype(jnp.int32)
     bc = jnp.clip(base + bound, 0, n - 1)
     flat = ((bc[:, 0] + ps._XH) * layout.lwr
-            + ps._LH + bc[:, 1] * n + bc[:, 2])
+            + layout.lh + bc[:, 1] * n + bc[:, 2])
     p = pos.shape[0]
     flat_s, perm = jax.lax.sort(
         [flat, jnp.arange(p, dtype=jnp.int32)], num_keys=1)
@@ -158,9 +158,9 @@ def pack_mpm_rows(flat_h, pos_s, vel_s, bound: int, t: int = 2048,
 
 
 def _slice_grid(d4, n: int, lay: tp.HaloLayout):
-    """(4, XR, LWR+512) fused-scatter output -> (4, n, n, n) live cells."""
+    """(4, XR, LWR+2lh) fused-scatter output -> (4, n, n, n) live cells."""
     return d4[:, ps._XH:ps._XH + n,
-              256 + ps._LH:256 + ps._LH + n * n].reshape(4, n, n, n)
+              2 * lay.lh:2 * lay.lh + n * n].reshape(4, n, n, n)
 
 
 def _fm_hp(fields, mask, n: int, lay: tp.HaloLayout):
@@ -176,8 +176,7 @@ def _fm_hp(fields, mask, n: int, lay: tp.HaloLayout):
     chans.append(mask.astype(fields.dtype).reshape(x, n * n))
     fm = jnp.stack(chans, axis=0)
     return jnp.pad(fm, ((0, 0), (ps._XH, lay.xr - x - ps._XH),
-                        (ps._LH + 256,
-                         lay.lwr + 512 - (ps._LH + 256) - n * n)))
+                        (2 * lay.lh, lay.lwr - n * n)))
 
 
 def p2g_mpm(rows, flat_h, solid, bound: int, lay: tp.HaloLayout,

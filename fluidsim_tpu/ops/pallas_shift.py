@@ -46,6 +46,18 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def lane_halo(n: int, lhmin: int = 256) -> int:
+    """Lane halo for grid extent ``n``: the smallest multiple of 256 that
+    covers the widest in-row stencil shift ``|oy*n + oz| = n + 1``.
+
+    Multiples of 256 keep ``lwr = 2*lh + roundup(n^2, 512)`` divisible by
+    the kernels' 512-lane window width.  256 for n <= 255 (the historical
+    constant — layouts unchanged), 512 for 257^3-class grids, and so on up
+    to the HBM limit.  ``lhmin`` lets tests force the wide-halo code path
+    at small n."""
+    return max(lhmin, _ceil_to(n + 1, 256))
+
+
 def _xshift(buf, ch: int, ox: int, bx: int):
     """Rows shifted by ``ox`` out of channel ``ch`` of a (C, bx+16, L)
     window whose live rows start at 8 — built from 8-aligned ref slices +
@@ -74,6 +86,7 @@ def _reduce_kernel(d_hbm, out_hbm, inbuf2, acc, sems, *, n, bx, lblk, lw):
                      pl.ds(j * lblk, lw)],
             inbuf2.at[slot], sems.at[slot])
 
+    lh = (lw - lblk) // 2
     dma(0, 0).start()
     acc[...] = jnp.zeros((4, bx, lblk), jnp.float32)
     for o in range(27):
@@ -86,7 +99,7 @@ def _reduce_kernel(d_hbm, out_hbm, inbuf2, acc, sems, *, n, bx, lblk, lw):
         for g in range(4):
             v = _xshift(inbuf2.at[slot], g, ox, bx)          # (bx, LW)
             v = pltpu.roll(v, s % lw, 1)                     # [l] = v[l - s]
-            acc[g] = acc[g] + v[:, _LH:_LH + lblk]
+            acc[g] = acc[g] + v[:, lh:lh + lblk]
 
     cp_out = pltpu.make_async_copy(
         acc, out_hbm.at[:, pl.ds(i * bx, bx), pl.ds(j * lblk, lblk)],
@@ -105,6 +118,7 @@ def _expand_kernel(fm_hbm, out_hbm, inbuf, outbuf, sems, *, n, bx, lblk, lw):
     cp_in.start()
     cp_in.wait()
 
+    lh = (lw - lblk) // 2
     for o in range(27):
         ox, oy, oz = (int(v) for v in _OFFSETS[o])
         s = oy * n + oz
@@ -112,7 +126,7 @@ def _expand_kernel(fm_hbm, out_hbm, inbuf, outbuf, sems, *, n, bx, lblk, lw):
             # out[x, l] = in[x + ox, l + s]: invert the reduce-direction shifts
             v = _xshift(inbuf, g, -ox, bx)                   # (bx, LW)
             v = pltpu.roll(v, (-s) % lw, 1)                  # [l] = v[l + s]
-            outbuf[o * 4 + g] = v[:, _LH:_LH + lblk]
+            outbuf[o * 4 + g] = v[:, lh:lh + lblk]
 
     cp_out = pltpu.make_async_copy(
         outbuf, out_hbm.at[:, pl.ds(i * bx, bx), pl.ds(j * lblk, lblk)],
@@ -125,10 +139,11 @@ def _pack(x_chan_major, n: int, bx: int):
     """(C, N, N*N) -> (C, XH + ceil(N,bx) + XH, LH + ceil128(N^2) + LH)
     with zero halos."""
     c = x_chan_major.shape[0]
+    lh = lane_halo(n)
     l = _ceil_to(n * n, 128)
     nxb = _ceil_to(n, bx)
     return jnp.pad(x_chan_major,
-                   ((0, 0), (_XH, nxb - n + _XH), (_LH, l - n * n + _LH)))
+                   ((0, 0), (_XH, nxb - n + _XH), (lh, l - n * n + lh)))
 
 
 @functools.partial(jax.jit, static_argnames=("n", "bx", "lblk", "interpret"))
@@ -143,7 +158,7 @@ def p2g_shift_reduce(d, n: int, bx: int = 16, lblk: int = 512,
     """
     l = _ceil_to(n * n, 128)
     nxb = _ceil_to(n, bx)
-    lw = lblk + 2 * _LH
+    lw = lblk + 2 * lane_halo(n)
     dp = _pack(d.T.reshape(108, n, n * n), n, bx)
 
     out = pl.pallas_call(
@@ -172,7 +187,7 @@ def g2p_table_expand(fm, n: int, bx: int = 16, lblk: int = 512,
     """
     l = _ceil_to(n * n, 128)
     nxb = _ceil_to(n, bx)
-    lw = lblk + 2 * _LH
+    lw = lblk + 2 * lane_halo(n)
     fmp = _pack(jnp.moveaxis(fm.reshape(n, n * n, 4), -1, 0), n, bx)
 
     out = pl.pallas_call(
@@ -235,17 +250,18 @@ def from_channel_major(y, n3: int, r: int = 2048, interpret: bool = False):
 # scatter and these stencils.  These entry points take/emit that layout.
 
 def reduce_haloed(d_h, n: int, bx: int = 16, lblk: int = 512,
-                  interpret: bool = False):
+                  interpret: bool = False, lh: int | None = None):
     """27-offset shift-reduce on a pre-haloed channel-major grid.
 
     d_h: (128, XH + ceil(n,bx) + XH, LH + ceil(n^2,lblk) + LH) — channels
     108..127 ignored.  Returns (4, ceil(n,bx), ceil(n^2,lblk)).
     """
+    lh = lane_halo(n) if lh is None else lh
     _, xr, lwr = d_h.shape
-    l = lwr - 2 * _LH
+    l = lwr - 2 * lh
     nxb = xr - 2 * _XH
     assert nxb % bx == 0 and l % lblk == 0
-    lw = lblk + 2 * _LH
+    lw = lblk + 2 * lh
     return pl.pallas_call(
         functools.partial(_reduce_kernel, n=n, bx=bx, lblk=lblk, lw=lw),
         grid=(nxb // bx, l // lblk),
@@ -280,24 +296,25 @@ def _expand_kernel_haloed(fm_hbm, init_ref, out_hbm, inbuf, outbuf, sems,
     cp_in.start()
     cp_in.wait()
 
+    lh = (lw - lblk) // 2
     for o in range(27):
         ox, oy, oz = (int(v) for v in _OFFSETS[o])
         s = oy * n + oz
         for g in range(4):
             v = _xshift(inbuf, g, -ox, bx)                   # (bx, LW)
             v = pltpu.roll(v, (-s) % lw, 1)                  # [l] = v[l + s]
-            outbuf[o * 4 + g] = v[:, _LH:_LH + lblk]         # 108..127 stay 0
+            outbuf[o * 4 + g] = v[:, lh:lh + lblk]           # 108..127 stay 0
 
     cp_out = pltpu.make_async_copy(
         outbuf,
-        out_hbm.at[:, pl.ds(_XH + i * bx, bx), pl.ds(_LH + j * lblk, lblk)],
+        out_hbm.at[:, pl.ds(_XH + i * bx, bx), pl.ds(lh + j * lblk, lblk)],
         sems.at[1])
     cp_out.start()
     cp_out.wait()
 
 
 def expand_haloed(fm_h, n: int, bx: int = 16, lblk: int = 512,
-                  interpret: bool = False):
+                  interpret: bool = False, lh: int | None = None):
     """27-shift neighbourhood-table build, haloed in AND out.
 
     fm_h: (4, XR, LWR) haloed masked fields + mask channel.  Returns
@@ -305,11 +322,12 @@ def expand_haloed(fm_h, n: int, bx: int = 16, lblk: int = 512,
     one-hot gather indexes with haloed flat ids.  Halo windows and spare
     channels are zero (see the kernel docstring for why they must be).
     """
+    lh = lane_halo(n) if lh is None else lh
     _, xr, lwr = fm_h.shape
-    l = lwr - 2 * _LH
+    l = lwr - 2 * lh
     nxb = xr - 2 * _XH
     assert nxb % bx == 0 and l % lblk == 0
-    lw = lblk + 2 * _LH
+    lw = lblk + 2 * lh
     init = jnp.zeros((128, xr, lwr), fm_h.dtype)
     return pl.pallas_call(
         functools.partial(_expand_kernel_haloed, n=n, bx=bx, lblk=lblk, lw=lw),

@@ -85,8 +85,9 @@ def _kernel(scale_ref, p_hbm, a_hbm, out_hbm, p_buf, a_buf, out_buf, sems,
     cp.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("n", "bx"))
-def apply_laplacian_padded(p_pad, adiag_pad, scale, n: int, bx: int = 32):
+@functools.partial(jax.jit, static_argnames=("n", "bx", "interpret"))
+def apply_laplacian_padded(p_pad, adiag_pad, scale, n: int, bx: int = 32,
+                           interpret: bool = False):
     """``A @ p`` on (Npx, L) padded state arrays (layout from ``pad_x``)."""
     npx, l = p_pad.shape
     assert npx % bx == 0 and l % 128 == 0
@@ -103,6 +104,7 @@ def apply_laplacian_padded(p_pad, adiag_pad, scale, n: int, bx: int = 32):
                         pltpu.VMEM((bx + _W, l), p_pad.dtype),
                         pltpu.VMEM((bx, l), p_pad.dtype),
                         pltpu.SemaphoreType.DMA((3,))],
+        interpret=interpret,
     )(jnp.asarray([scale], p_pad.dtype), p_pad, adiag_pad)
 
 
@@ -128,28 +130,35 @@ def pick_bx(n: int, cap: int = 32, budget_bytes: int = 9_000_000):
 # ---- lane-blocked variant (grids whose full y/z plane exceeds VMEM) --------
 #
 # Past ~200^3 a full (bx+16, L)-row window no longer fits scoped VMEM, so
-# the grid gains a second (lane) dimension: rows carry a 256-lane zero halo
-# on each side (256 >= the widest in-row neighbour shift, y = +-n, so
-# n <= 256) and every neighbour becomes a STATIC lane slice of the block's
-# (bx+16, lblk+512) window instead of a full-row roll.  Halo lanes read
+# the grid gains a second (lane) dimension: rows carry a zero lane halo of
+# ``lane_halo(n)`` on each side (>= the widest in-row neighbour shift,
+# y = +-n; 256 lanes up to 255^3, 512 for 257^3-class grids, ...) and every
+# neighbour becomes a STATIC lane slice of the block's
+# (bx+16, lblk+2*lh) window instead of a full-row roll.  Halo lanes read
 # zeros exactly where the true neighbour is a solid wall (same argument as
 # the roll wrap-around); interior block edges read the real neighbour
 # values from the adjacent block's lanes via the window overlap.  Edge lane
 # blocks re-zero their halo lanes on output so every CG vector keeps
 # exactly-zero halos without a separate init pass.
 
-_LHS = 256  # lane halo (>= max in-row shift n; 128-aligned)
+_LHS = 256  # minimum lane halo (>= max in-row shift n; 128-aligned)
+
+
+def lane_halo_s(n: int) -> int:
+    """Stencil lane halo: smallest multiple of 256 covering the widest
+    in-row shift (y = +-n) — matches ``pallas_shift.lane_halo``."""
+    return max(_LHS, -(-(n + 1) // 256) * 256)
 
 
 def _kernel_lh(scale_ref, p_hbm, a_hbm, out_hbm, p_buf, a_buf, out_buf, sems,
-               *, bx, n, npx, lblk, nlb):
+               *, bx, n, npx, lblk, nlb, lh):
     i = pl.program_id(0)
     jj = pl.program_id(1)
     scale = scale_ref[0]
     start = i * bx
     wstart = pl.multiple_of(jnp.clip(start - 8, 0, npx - (bx + _W)), 8)
     d0 = pl.multiple_of(start - wstart, 8)
-    lw = lblk + 2 * _LHS
+    lw = lblk + 2 * lh
 
     cp_p = pltpu.make_async_copy(
         p_hbm.at[pl.ds(wstart, bx + _W), pl.ds(jj * lblk, lw)], p_buf,
@@ -168,43 +177,43 @@ def _kernel_lh(scale_ref, p_hbm, a_hbm, out_hbm, p_buf, a_buf, out_buf, sems,
                          p_buf[pl.ds(off, rows)], 0.0)       # (rows, LW)
 
     q = q_at(d0, bx)
-    mid = q[:, _LHS:_LHS + lblk]
+    mid = q[:, lh:lh + lblk]
     prev8 = q_at(pl.multiple_of(jnp.maximum(d0 - 8, 0), 8), 8)
     next8 = q_at(pl.multiple_of(jnp.minimum(d0 + bx, bx + _W - 8), 8), 8)
-    x_minus = jnp.concatenate([prev8[7:8, _LHS:_LHS + lblk], mid[:-1]], 0)
-    x_plus = jnp.concatenate([mid[1:], next8[0:1, _LHS:_LHS + lblk]], 0)
-    y_minus = q[:, _LHS - n:_LHS - n + lblk]     # out[l] = q[l - n]
-    y_plus = q[:, _LHS + n:_LHS + n + lblk]
-    z_minus = q[:, _LHS - 1:_LHS - 1 + lblk]
-    z_plus = q[:, _LHS + 1:_LHS + 1 + lblk]
+    x_minus = jnp.concatenate([prev8[7:8, lh:lh + lblk], mid[:-1]], 0)
+    x_plus = jnp.concatenate([mid[1:], next8[0:1, lh:lh + lblk]], 0)
+    y_minus = q[:, lh - n:lh - n + lblk]     # out[l] = q[l - n]
+    y_plus = q[:, lh + n:lh + n + lblk]
+    z_minus = q[:, lh - 1:lh - 1 + lblk]
+    z_plus = q[:, lh + 1:lh + 1 + lblk]
 
-    a_mid = a_buf[pl.ds(pl.multiple_of(d0, 8), bx), _LHS:_LHS + lblk]
+    a_mid = a_buf[pl.ds(pl.multiple_of(d0, 8), bx), lh:lh + lblk]
     acc = (a_mid * mid
            - scale * (x_minus + x_plus + y_minus + y_plus + z_minus + z_plus))
-    out_buf[:, _LHS:_LHS + lblk] = jnp.where(a_mid > 0, acc, 0.0)
+    out_buf[:, lh:lh + lblk] = jnp.where(a_mid > 0, acc, 0.0)
     cp = pltpu.make_async_copy(
-        out_buf.at[:, pl.ds(_LHS, lblk)],
-        out_hbm.at[pl.ds(start, bx), pl.ds(_LHS + jj * lblk, lblk)],
+        out_buf.at[:, pl.ds(lh, lblk)],
+        out_hbm.at[pl.ds(start, bx), pl.ds(lh + jj * lblk, lblk)],
         sems.at[2])
     cp.start()
 
     # edge lane blocks also (re-)zero their row range's halo lanes so CG
     # vectors produced by this apply keep exactly-zero halos
-    out_buf[:, :_LHS] = jnp.zeros_like(out_buf[:, :_LHS])
+    out_buf[:, :lh] = jnp.zeros_like(out_buf[:, :lh])
 
     @pl.when(jj == 0)
     def _():
         cp_l = pltpu.make_async_copy(
-            out_buf.at[:, pl.ds(0, _LHS)],
-            out_hbm.at[pl.ds(start, bx), pl.ds(0, _LHS)], sems.at[1])
+            out_buf.at[:, pl.ds(0, lh)],
+            out_hbm.at[pl.ds(start, bx), pl.ds(0, lh)], sems.at[1])
         cp_l.start()
         cp_l.wait()
 
     @pl.when(jj == nlb - 1)
     def _():
         cp_r = pltpu.make_async_copy(
-            out_buf.at[:, pl.ds(0, _LHS)],
-            out_hbm.at[pl.ds(start, bx), pl.ds(_LHS + nlb * lblk, _LHS)],
+            out_buf.at[:, pl.ds(0, lh)],
+            out_hbm.at[pl.ds(start, bx), pl.ds(lh + nlb * lblk, lh)],
             sems.at[1])
         cp_r.start()
         cp_r.wait()
@@ -212,56 +221,59 @@ def _kernel_lh(scale_ref, p_hbm, a_hbm, out_hbm, p_buf, a_buf, out_buf, sems,
     cp.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("n", "bx", "lblk"))
+@functools.partial(jax.jit, static_argnames=("n", "bx", "lblk",
+                                             "interpret"))
 def apply_laplacian_padded_lh(p_pad, adiag_pad, scale, n: int, bx: int = 32,
-                              lblk: int = 8192):
+                              lblk: int = 8192, interpret: bool = False):
     """``A @ p`` on (Npx, 256 + Lp + 256) lane-haloed state arrays
     (layout from ``pad_x_lh``)."""
+    lh = lane_halo_s(n)
     npx, lwr = p_pad.shape
-    lp = lwr - 2 * _LHS
-    assert npx % bx == 0 and lp % lblk == 0 and n <= _LHS
+    lp = lwr - 2 * lh
+    assert npx % bx == 0 and lp % lblk == 0 and n < lh
 
     return pl.pallas_call(
         functools.partial(_kernel_lh, bx=bx, n=n, npx=npx, lblk=lblk,
-                          nlb=lp // lblk),
+                          nlb=lp // lblk, lh=lh),
         grid=(npx // bx, lp // lblk),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((npx, lwr), p_pad.dtype),
-        scratch_shapes=[pltpu.VMEM((bx + _W, lblk + 2 * _LHS), p_pad.dtype),
-                        pltpu.VMEM((bx + _W, lblk + 2 * _LHS), p_pad.dtype),
-                        pltpu.VMEM((bx, lblk + 2 * _LHS), p_pad.dtype),
+        scratch_shapes=[pltpu.VMEM((bx + _W, lblk + 2 * lh), p_pad.dtype),
+                        pltpu.VMEM((bx + _W, lblk + 2 * lh), p_pad.dtype),
+                        pltpu.VMEM((bx, lblk + 2 * lh), p_pad.dtype),
                         pltpu.SemaphoreType.DMA((3,))],
+        interpret=interpret,
     )(jnp.asarray([scale], p_pad.dtype), p_pad, adiag_pad)
 
 
 def pad_x_lh(a, bx: int = 32, lblk: int = 8192):
-    """(N,N,N) -> (Npx, 256 + Lp + 256), Lp = roundup(N^2, lblk); zero lane
-    halos, 8 leading zero rows, >= bx+8-row zero tail."""
+    """(N,N,N) -> (Npx, lh + Lp + lh), Lp = roundup(N^2, lblk),
+    lh = lane_halo_s(N); zero lane halos, 8 leading zero rows, >= bx+8-row
+    zero tail."""
     n = a.shape[0]
+    lh = lane_halo_s(n)
     lp = -(-(n * n) // lblk) * lblk
     npx = -(-(8 + n + bx + 8) // bx) * bx
     flat = a.reshape(n, n * n)
-    flat = jnp.pad(flat, ((0, 0), (_LHS, lp - n * n + _LHS)))
+    flat = jnp.pad(flat, ((0, 0), (lh, lp - n * n + lh)))
     return jnp.pad(flat, ((8, npx - n - 8), (0, 0)))
 
 
 def unpad_x_lh(a_pad, n: int, bx: int = 32, lblk: int = 8192):
-    return a_pad[8:8 + n, _LHS:_LHS + n * n].reshape(n, n, n)
+    lh = lane_halo_s(n)
+    return a_pad[8:8 + n, lh:lh + n * n].reshape(n, n, n)
 
 
 def pick_layout(n: int, cap: int = 32):
     """(mode, bx, lblk) for the packed solve: the full-row kernel where its
-    scratch fits scoped VMEM, the lane-blocked kernel beyond."""
+    scratch fits scoped VMEM, the lane-blocked kernel beyond (lane halo
+    grows with n — ``lane_halo_s`` — so any n the HBM fits is legal)."""
     try:
         return ("row", pick_bx(n, cap=cap), 0)
     except ValueError:
-        if n > _LHS:
-            raise ValueError(
-                f"lane-blocked stencil needs n <= {_LHS} (got {n}); larger "
-                "grids take the sharded path") from None
         return ("lane", min(cap, 32), 8192)
 
 

@@ -43,6 +43,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from fluidsim_tpu.ops.pallas_shift import lane_halo
+
 _ID_LIMIT = 1 << 24  # exact-integer range of f32
 _CP = 128            # channel lanes (<= 127 payload channels + id lane)
 
@@ -909,7 +911,7 @@ def gather_wv_cm(table_cm, wv_rows, flat_s, w: int = 512, t: int = 2048,
 
 def _scatter_wv_fused_kernel(blk_ref, ps_ref, pe_ref, wv_hbm, init_ref,
                              out_hbm, wvbuf2, zbuf, acc3, outwin, sems,
-                             *, w, t, wc, n, winrow, expand, cols):
+                             *, w, t, wc, n, winrow, expand, cols, lh):
     del init_ref  # aliased with out_hbm (zero init)
     j = pl.program_id(0)
     mc = pl.num_programs(0)
@@ -955,11 +957,11 @@ def _scatter_wv_fused_kernel(blk_ref, ps_ref, pe_ref, wv_hbm, init_ref,
 
         r = b // winrow
         a_r = pl.multiple_of(((r - 1) // 8) * 8, 8)
-        lane0 = pl.multiple_of((b % winrow) * w, w)   # = padded lane - 256
+        lane0 = pl.multiple_of((b % winrow) * w, w)   # = padded lane - lh
         # RMW band read: NOT prefetched across grid steps — the previous
         # run's write-back into an overlapping band must land first.
         cp_w = pltpu.make_async_copy(
-            out_hbm.at[:, pl.ds(a_r, 16), pl.ds(lane0, w + 2 * 256)],
+            out_hbm.at[:, pl.ds(a_r, 16), pl.ds(lane0, w + 2 * lh)],
             outwin, sems.at[2])
 
         @pl.when(first_of_run)
@@ -1020,14 +1022,14 @@ def _scatter_wv_fused_kernel(blk_ref, ps_ref, pe_ref, wv_hbm, init_ref,
                 zbuf[:, pl.ds(k * wc, wc)] = contrib
 
         # shift-reduce in VMEM: channel 4o+g of base lane j -> target row
-        # ox(o)+1 of the 3-row block, lanes [256+s, 256+s+W) (all static).
+        # ox(o)+1 of the 3-row block, lanes [lh+s, lh+s+W) (all static).
         acc3[...] = jnp.zeros_like(acc3[...])
         for o in range(27):
             ox = _off(o, 0)
             s = _off(o, 1) * n + _off(o, 2)
             for g in range(4):
-                acc3[g, ox + 1, pl.ds(256 + s, w)] = (
-                    acc3[g, ox + 1, pl.ds(256 + s, w)] + zbuf[o * 4 + g, :])
+                acc3[g, ox + 1, pl.ds(lh + s, w)] = (
+                    acc3[g, ox + 1, pl.ds(lh + s, w)] + zbuf[o * 4 + g, :])
 
         # one-hot row scatter of the 3 live rows into the 16-row band
         dr = r - 1 - a_r                                          # in [0, 8)
@@ -1039,17 +1041,17 @@ def _scatter_wv_fused_kernel(blk_ref, ps_ref, pe_ref, wv_hbm, init_ref,
             cp_w.wait()
         for g in range(4):
             addg = None
-            for part in _split3(acc3[g]):                         # (3, W+512)
+            for part in _split3(acc3[g]):                         # (3, W+2lh)
                 d3 = jax.lax.dot_general(sel, part, (((0,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
-                addg = d3 if addg is None else addg + d3          # (16, W+512)
+                addg = d3 if addg is None else addg + d3          # (16, W+2lh)
             outwin[g] = outwin[g] + addg
 
         @pl.when(last_of_run)
         def _():
             cp_back = pltpu.make_async_copy(
                 outwin,
-                out_hbm.at[:, pl.ds(a_r, 16), pl.ds(lane0, w + 2 * 256)],
+                out_hbm.at[:, pl.ds(a_r, 16), pl.ds(lane0, w + 2 * lh)],
                 sems.at[2])
             cp_back.start()
             cp_back.wait()
@@ -1058,17 +1060,19 @@ def _scatter_wv_fused_kernel(blk_ref, ps_ref, pe_ref, wv_hbm, init_ref,
 @functools.partial(jax.jit, static_argnames=("xr", "lwr", "n", "w", "t",
                                              "wc", "interpret",
                                              "dynamic_grid", "expand",
-                                             "cols"))
+                                             "cols", "lh"))
 def scatter_wv_fused(wv_rows, flat_s, xr: int, lwr: int, n: int,
                      w: int = 512, t: int = 2048, wc: int = 256,
                      interpret: bool = False, dynamic_grid: bool = True,
-                     expand: str = "wv", cols: int = 0):
+                     expand: str = "wv", cols: int = 0,
+                     lh: int | None = None):
     """Fused ``scatter_wv_cm`` + 27-offset shift-reduce: returns the
     4-channel haloed grid sums directly.
 
     wv_rows: (P_pad, 128) packed rows (``pack_wv_rows``, window-local ids).
-    Returns (4, xr, lwr + 512) float32 — live lanes shifted +256
-    (``out[g, x, 256 + i] = sum_{o, flat==x*lwr+i-off} w27*[1,v]``); halo
+    Returns (4, xr, lwr + 2*lh) float32, lh = ``lane_halo(n)`` — live lanes
+    shifted +lh
+    (``out[g, x, lh + i] = sum_{o, flat==x*lwr+i-off} w27*[1,v]``); halo
     rows/lanes hold the out-of-box spill the callers slice away.  Matches
     ``reduce_haloed(scatter_wv_cm(...))`` up to f32 summation order.
 
@@ -1083,17 +1087,18 @@ def scatter_wv_fused(wv_rows, flat_s, xr: int, lwr: int, n: int,
     """
     ncells = xr * lwr
     p = flat_s.shape[0]
-    assert n + 1 <= 256 and lwr % w == 0   # window-local ids: no ncells cap
+    lh = lane_halo(n) if lh is None else lh
+    assert n + 1 <= lh and lwr % w == 0    # window-local ids: no ncells cap
     winrow = lwr // w
     blk, ps, pe, nlive = build_chunks(flat_s, p, ncells, w, t)
     mc = blk.shape[0]
     tt = t + 128 if cols else t + 8
     wvbuf_shape = (2, cols, tt) if cols else (2, tt, _CP)
 
-    init = jnp.zeros((4, xr, lwr + 2 * 256), jnp.float32)
+    init = jnp.zeros((4, xr, lwr + 2 * lh), jnp.float32)
     return pl.pallas_call(
         functools.partial(_scatter_wv_fused_kernel, w=w, t=t, wc=wc, n=n,
-                          winrow=winrow, expand=expand, cols=cols),
+                          winrow=winrow, expand=expand, cols=cols, lh=lh),
         grid=(nlive if dynamic_grid and not interpret else mc,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1101,11 +1106,11 @@ def scatter_wv_fused(wv_rows, flat_s, xr: int, lwr: int, n: int,
                   pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((4, xr, lwr + 2 * 256), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((4, xr, lwr + 2 * lh), jnp.float32),
         scratch_shapes=[pltpu.VMEM(wvbuf_shape, jnp.float32),
                         pltpu.VMEM((_CP, w), jnp.float32),
-                        pltpu.VMEM((4, 3, w + 2 * 256), jnp.float32),
-                        pltpu.VMEM((4, 16, w + 2 * 256), jnp.float32),
+                        pltpu.VMEM((4, 3, w + 2 * lh), jnp.float32),
+                        pltpu.VMEM((4, 16, w + 2 * lh), jnp.float32),
                         pltpu.SemaphoreType.DMA((3,))],
         input_output_aliases={4: 0},
         interpret=interpret,
@@ -1127,7 +1132,7 @@ def scatter_wv_fused(wv_rows, flat_s, xr: int, lwr: int, n: int,
 
 def _gather_wv_fused_kernel(blk_ref, ps_ref, pe_ref, fm_hbm, wv_hbm, init_ref,
                             out_hbm, fmbuf2, wvbuf2, tablebuf, outbuf, sems,
-                            *, w, t, wc, nout, n, winrow, contract, cols):
+                            *, w, t, wc, nout, n, winrow, contract, cols, lh):
     del init_ref  # aliased with out_hbm (zero init)
     j = pl.program_id(0)
     mc = pl.num_programs(0)
@@ -1140,7 +1145,7 @@ def _gather_wv_fused_kernel(blk_ref, ps_ref, pe_ref, fm_hbm, wv_hbm, init_ref,
         a2 = pl.multiple_of(((r2 - 1) // 8) * 8, 8)
         lane0 = pl.multiple_of((b2 % winrow) * w, w)
         pltpu.make_async_copy(
-            fm_hbm.at[:, pl.ds(a2, 16), pl.ds(lane0, w + 2 * 256)],
+            fm_hbm.at[:, pl.ds(a2, 16), pl.ds(lane0, w + 2 * lh)],
             fmbuf2.at[j2 % 2], sems.at[j2 % 2]).start()
 
     def start_wv(j2):
@@ -1176,7 +1181,7 @@ def _gather_wv_fused_kernel(blk_ref, ps_ref, pe_ref, fm_hbm, wv_hbm, init_ref,
         pltpu.make_async_copy(
             fm_hbm.at[:, pl.ds(pl.multiple_of(
                 (((b // winrow) - 1) // 8) * 8, 8), 16),
-                pl.ds(pl.multiple_of((b % winrow) * w, w), w + 2 * 256)],
+                pl.ds(pl.multiple_of((b % winrow) * w, w), w + 2 * lh)],
             fmbuf2.at[slot], sems.at[slot]).wait()
         src = (wv_hbm.at[:, pl.ds(a, tt)] if cols
                else wv_hbm.at[pl.ds(a, tt)])
@@ -1202,13 +1207,13 @@ def _gather_wv_fused_kernel(blk_ref, ps_ref, pe_ref, fm_hbm, wv_hbm, init_ref,
                                              (((1,), (0,)), ((), ())),
                                              preferred_element_type=jnp.float32)
                     acc3 = d3 if acc3 is None else acc3 + d3
-                rows.append(acc3)                           # (3, W + 512)
+                rows.append(acc3)                           # (3, W + 2lh)
             for o in range(27):
                 ox = _off(o, 0)
                 s = _off(o, 1) * n + _off(o, 2)
                 for g in range(4):
                     tablebuf[o * 4 + g, :] = rows[g][ox + 1,
-                                                     256 + s:256 + s + w]
+                                                     lh + s:lh + s + w]
 
         buf = wvbuf2[slot]
         gidx = a + jax.lax.broadcasted_iota(jnp.int32, (1, tt), 1)
@@ -1330,17 +1335,18 @@ def _gather_wv_fused_kernel(blk_ref, ps_ref, pe_ref, fm_hbm, wv_hbm, init_ref,
 
 @functools.partial(jax.jit, static_argnames=("n", "w", "t", "wc", "interpret",
                                              "nout", "dynamic_grid",
-                                             "contract", "cols"))
+                                             "contract", "cols", "lh"))
 def gather_wv_fused(fm_hp, wv_rows, flat_s, n: int, w: int = 512,
                     t: int = 2048, wc: int = 256, interpret: bool = False,
                     nout: int = 8, dynamic_grid: bool = True,
-                    contract: str = "wv", cols: int = 0):
+                    contract: str = "wv", cols: int = 0,
+                    lh: int | None = None):
     """``gather_wv_cm`` over an implicit table: same contract, but takes the
-    4-channel haloed field grid directly (lane-padded by an extra 256 each
-    side: ``fm_hp[g, x, q] == fm_h[g, x, q - 256]``) and builds each window's
-    108 table channels in-VMEM.  Requires |oy*n + oz| <= 256 (n <= 255 —
-    the packed-id design limit anyway) and the windows-per-row layout
-    (LWR % w == 0).
+    4-channel haloed field grid directly (lane-padded by an extra
+    lh = ``lane_halo(n)`` each side: ``fm_hp[g, x, q] == fm_h[g, x, q - lh]``)
+    and builds each window's 108 table channels in-VMEM.  Requires
+    |oy*n + oz| <= lh (any n the halo covers — lane_halo grows in 256-lane
+    steps) and the windows-per-row layout (LWR % w == 0).
 
     ``contract='gw'`` (pass nout=16) contracts the gathered channels with
     the THREE per-particle gradW weight vectors from the packed lanes
@@ -1349,11 +1355,12 @@ def gather_wv_fused(fm_hp, wv_rows, flat_s, n: int, w: int = 512,
 
     ``cols=nc`` (static): particle input is a ``pack_cols`` channel-major
     (nc, P_padl) buffer (wv contract only) — 4x less wv DMA per window."""
+    lh = lane_halo(n) if lh is None else lh
     xr, lwrp = fm_hp.shape[1], fm_hp.shape[2]
-    lwr = lwrp - 2 * 256
+    lwr = lwrp - 2 * lh
     ncells = xr * lwr
     p = flat_s.shape[0]
-    assert n + 1 <= 256 and lwr % w == 0   # window-local ids: no ncells cap
+    assert n + 1 <= lh and lwr % w == 0    # window-local ids: no ncells cap
     winrow = lwr // w
     p_pad = wv_rows.shape[1] if cols else wv_rows.shape[0]
     if cols:
@@ -1374,7 +1381,7 @@ def gather_wv_fused(fm_hp, wv_rows, flat_s, n: int, w: int = 512,
     return pl.pallas_call(
         functools.partial(_gather_wv_fused_kernel, w=w, t=t, wc=wc,
                           nout=nout, n=n, winrow=winrow, contract=contract,
-                          cols=cols),
+                          cols=cols, lh=lh),
         grid=(nlive if dynamic_grid and not interpret else mc,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1384,7 +1391,7 @@ def gather_wv_fused(fm_hp, wv_rows, flat_s, n: int, w: int = 512,
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((nout, p_padl), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((2, 4, 16, w + 2 * 256), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, 4, 16, w + 2 * lh), jnp.float32),
                         pltpu.VMEM(wvbuf_shape, jnp.float32),
                         pltpu.VMEM((_CP, w), jnp.float32),
                         pltpu.VMEM((nout, tt), jnp.float32),

@@ -17,8 +17,9 @@ measured XLA path spends ~100 ms/frame at 129^3 on the dense shifts plus
 kernels totalling ~55 ms.
 
 The packed rows carry *window-local* ids (``flat % W``, always f32-exact),
-so grid size is bounded only by the halo layout (|oy*n + oz| <= 256, i.e.
-n <= 255) and HBM; past that the chunked/sharded paths take over
+and the lane halo grows with the grid (``pallas_shift.lane_halo``: 256
+lanes for n <= 255, 512 for 257^3-class grids, ...), so grid size is
+bounded only by HBM; past that the chunked/sharded paths take over
 (``FlipSim`` auto-dispatches).
 
 Semantics are identical to ``transfer_fast`` (tested against it).
@@ -47,6 +48,11 @@ class HaloLayout:
     nx: int | None = None        # x-row extent; None = n (full cube).
     # A slab value (e.g. a shard's nl + 2*halo rows) gives the sharded
     # paths the same kernel layout over their local x-slab.
+    lhmin: int = 256             # floor for the lane halo (tests force 512)
+
+    @property
+    def lh(self) -> int:         # lane halo: >= n + 1, multiple of 256
+        return ps.lane_halo(self.n, self.lhmin)
 
     @property
     def xrows(self) -> int:
@@ -66,7 +72,7 @@ class HaloLayout:
 
     @property
     def lwr(self) -> int:
-        return ps._LH + self.l + ps._LH
+        return self.lh + self.l + self.lh
 
     @property
     def ncells(self) -> int:
@@ -81,7 +87,7 @@ def sort_by_cell_h(pos, vel, bound: int, layout: HaloLayout, extra=None):
     base = cround(pos).astype(jnp.int32)
     bc = jnp.clip(base + bound, 0, n - 1)
     flat = ((bc[:, 0] + ps._XH) * layout.lwr
-            + ps._LH + bc[:, 1] * n + bc[:, 2])
+            + layout.lh + bc[:, 1] * n + bc[:, 2])
     ops = [flat, pos[:, 0], pos[:, 1], pos[:, 2],
            vel[:, 0], vel[:, 1], vel[:, 2]]
     k = 0
@@ -162,9 +168,10 @@ def p2g_pallas(pos_s, vel_s, flat_h, solid, bound: int,
         wv, _ = pt.pack_cols(flat_h, w27t, vel_s, 2048, aff=aff)
         d4 = pt.scatter_wv_fused(wv, flat_h, lay.xr, lay.lwr, n,
                                  interpret=interpret,
-                                 cols=wv.shape[0])      # (4, XR, LWR+512)
+                                 cols=wv.shape[0],
+                                 lh=lay.lh)             # (4, XR, LWR+2lh)
         accn = d4[:, ps._XH:ps._XH + n,
-                  256 + ps._LH:256 + ps._LH + n * n].reshape(4, n, n, n)
+                  2 * lay.lh:2 * lay.lh + n * n].reshape(4, n, n, n)
     else:
         if w27 is None:
             w27 = masked_weights(pos_s, bound, kernel)
@@ -173,7 +180,7 @@ def p2g_pallas(pos_s, vel_s, flat_h, solid, bound: int,
                                 interpret=interpret)             # (128, NC)
         acc = ps.reduce_haloed(d_cm.reshape(128, lay.xr, lay.lwr), n,
                                bx=lay.bx, lblk=lay.lblk,
-                               interpret=interpret)              # (4,nxb,l)
+                               interpret=interpret, lh=lay.lh)   # (4,nxb,l)
         accn = acc[:, :n, :n * n].reshape(4, n, n, n)
 
     coords = np.abs(np.arange(-bound, bound + 1))
@@ -239,16 +246,17 @@ def g2p_pallas(pos_s, flat_h, fields, bound: int, wall: int,
             wv_rows, _ = pt.pack_wv_rows(flat_h, w27, None, 2048)
     if fused_table:
         fm_hp = jnp.pad(fm, ((0, 0), (ps._XH, lay.xr - n - ps._XH),
-                             (ps._LH + 256,
-                              lay.lwr + 512 - (ps._LH + 256) - n * n)))
+                             (2 * lay.lh, lay.lwr - n * n)))
         cols = cols_of(wv_rows)
         out = pt.gather_wv_fused(fm_hp, wv_rows, flat_h, n,
-                                 interpret=interpret, cols=cols)
+                                 interpret=interpret, cols=cols,
+                                 lh=lay.lh)
     else:
         fm_h = jnp.pad(fm, ((0, 0), (ps._XH, lay.xr - n - ps._XH),
-                            (ps._LH, lay.lwr - n * n - ps._LH)))
+                            (lay.lh, lay.lwr - n * n - lay.lh)))
         table = ps.expand_haloed(fm_h, n, bx=lay.bx, lblk=lay.lblk,
-                                 interpret=interpret)            # (128,XR,LWR)
+                                 interpret=interpret,
+                                 lh=lay.lh)                      # (128,XR,LWR)
         out = pt.gather_wv_cm(table.reshape(128, lay.ncells), wv_rows,
                               flat_h, interpret=interpret)
     # rows 0..2: sum_o w*mask*field; row 3: sum_o w*mask (the masked
@@ -305,16 +313,16 @@ def g2p_apic_pallas(pos_s, flat_h, vc, bound: int, wall: int,
             wv_rows, _ = pt.pack_wv_rows(flat_h, w27, None, 2048)
     if fused_table:
         fm_hp = jnp.pad(fm, ((0, 0), (ps._XH, lay.xr - n - ps._XH),
-                             (ps._LH + 256,
-                              lay.lwr + 512 - (ps._LH + 256) - n * n)))
+                             (2 * lay.lh, lay.lwr - n * n)))
         cols = cols_of(wv_rows)
         mo = pt.gather_wv_fused(fm_hp, wv_rows, flat_h, n,
-                                interpret=interpret, nout=24, cols=cols)
+                                interpret=interpret, nout=24, cols=cols,
+                                lh=lay.lh)
     else:
         fm_h = jnp.pad(fm, ((0, 0), (ps._XH, lay.xr - n - ps._XH),
-                            (ps._LH, lay.lwr - n * n - ps._LH)))
+                            (lay.lh, lay.lwr - n * n - lay.lh)))
         table = ps.expand_haloed(fm_h, n, bx=lay.bx, lblk=lay.lblk,
-                                 interpret=interpret)
+                                 interpret=interpret, lh=lay.lh)
         mo = pt.gather_wv_cm(table.reshape(128, lay.ncells), wv_rows,
                              flat_h, interpret=interpret, nout=24)
 

@@ -152,7 +152,7 @@ def _sort_local_h(pos, vel, alive, x0, nl, n, bound, lay):
     lx = jnp.clip(base[:, 0] + bound - x0 + W, 0, nl + 2 * W - 1)
     gy = jnp.clip(base[:, 1] + bound, 0, n - 1)
     gz = jnp.clip(base[:, 2] + bound, 0, n - 1)
-    flat = (lx + ps._XH) * lay.lwr + ps._LH + gy * n + gz
+    flat = (lx + ps._XH) * lay.lwr + lay.lh + gy * n + gz
     p = pos.shape[0]
     flat_s, perm = jax.lax.sort(
         [flat, jnp.arange(p, dtype=jnp.int32)], num_keys=1)
@@ -174,7 +174,7 @@ def _p2g_pallas_local(pos_s, vel_s, flat_h, nl, n, bound, lay, interpret):
     d4 = pt.scatter_wv_fused(wv, flat_h, lay.xr, lay.lwr, n,
                              interpret=interpret, cols=wv.shape[0])
     acc = d4[:, ps._XH:ps._XH + rows_x,
-             256 + ps._LH:256 + ps._LH + n * n].reshape(4, rows_x, n, n)
+             2 * lay.lh:2 * lay.lh + n * n].reshape(4, rows_x, n, n)
     return jnp.moveaxis(acc, 0, -1), wv
 
 
@@ -194,8 +194,7 @@ def _g2p_pallas_local(pos_s, flat_h, wv_rows, fields_ext, within_wall_ext,
                                                                   n * n))
     fm = jnp.stack(chans, axis=0)
     fm_hp = jnp.pad(fm, ((0, 0), (ps._XH, lay.xr - rows_x - ps._XH),
-                         (ps._LH + 256,
-                          lay.lwr + 512 - (ps._LH + 256) - n * n)))
+                         (2 * lay.lh, lay.lwr - n * n)))
     cols = tp.cols_of(wv_rows)
     out = pt.gather_wv_fused(fm_hp, wv_rows, flat_h, n, interpret=interpret,
                              cols=cols)
@@ -483,11 +482,11 @@ class ShardedFlipSim:
         if params.pallas_transfer is None:
             # per-shard XLA scatters hit the TPU scatter-emitter compile
             # wall at production slab sizes; route through the Pallas slab
-            # kernels on real backends (n <= 255 lane-halo limit, as
+            # kernels on real backends (lane halo grows with n, as
             # single-chip)
             auto = (params.fast_transfer
                     and jax.default_backend() != "cpu"
-                    and scene.spec.n <= 255)
+                    and scene.spec.n <= 511)
             params = dataclasses.replace(params, pallas_transfer=auto)
         self.scene, self.params, self.mesh = scene, params, mesh
         ndev = mesh.devices.size

@@ -94,7 +94,7 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
         lxb = jnp.clip(base[:, 0] + B - x0 + W, 0, rows - 1)
         gyb = jnp.clip(base[:, 1] + B, 0, n - 1)
         gzb = jnp.clip(base[:, 2] + B, 0, n - 1)
-        flat = (lxb + ps._XH) * lay.lwr + ps._LH + gyb * n + gzb
+        flat = (lxb + ps._XH) * lay.lwr + lay.lh + gyb * n + gzb
         flat_h, perm = jax.lax.sort(
             [flat, jnp.arange(p, dtype=jnp.int32)], num_keys=1)
         pos = jnp.take(pos, perm, axis=0)
@@ -109,7 +109,7 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
         d4 = pt.scatter_wv_fused(prows, flat_h, lay.xr, lay.lwr, n,
                                  interpret=itp, cols=pcols)
         accn = d4[:, ps._XH:ps._XH + rows,
-                  256 + ps._LH:256 + ps._LH + n * n].reshape(4, rows, n, n)
+                  2 * lay.lh:2 * lay.lh + n * n].reshape(4, rows, n, n)
         mass = jnp.where(~solid_loc, halo_reduce(accn[0], W, AX), 0.0)
         mom = jnp.stack([halo_reduce(accn[1 + d], W, AX) for d in range(3)],
                         axis=-1)
@@ -192,7 +192,7 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
                                       cols=pcols)
             f = jnp.moveaxis(
                 df4[:3, ps._XH:ps._XH + rows,
-                    256 + ps._LH:256 + ps._LH + n * n].reshape(3, rows, n, n),
+                    2 * lay.lh:2 * lay.lh + n * n].reshape(3, rows, n, n),
                 0, -1)
             return jnp.where(not_solid_ext[..., None], f, 0.0)
 
@@ -386,7 +386,7 @@ class ShardedMpmSim:
             # per-shard XLA scatters hit the TPU scatter-emitter compile
             # wall at production slab sizes; route through the Pallas slab
             # kernels on real backends
-            auto = (jax.default_backend() != "cpu" and scene.spec.n <= 255)
+            auto = (jax.default_backend() != "cpu" and scene.spec.n <= 511)
             params = dataclasses.replace(params, pallas_transfer=auto)
         self.scene, self.params, self.mesh = scene, params, mesh
         ndev = mesh.devices.size

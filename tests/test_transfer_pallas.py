@@ -261,3 +261,60 @@ def test_fused_table_matches_materialized(state):
                                 fused_table=False)
     np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
     np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
+
+
+def test_wide_lane_halo_matches_xla(state):
+    """The lh=512 wide-halo path (used by 257^3-class grids) forced at
+    small n via ``lhmin``: exercises the generalized kernel offsets that
+    ``lane_halo(n)`` enables past n=255."""
+    scene, solid, st = state
+    B = BOUND
+    lay = tp.HaloLayout(2 * B + 1, lhmin=512)
+    assert lay.lh == 512
+    pos, vel, flat = tp.sort_by_cell_h(st.pos, st.vel, B, lay)
+    wP, momP, occP, wv = tp.p2g_pallas(pos, vel, flat, solid, B, lay,
+                                       "flip", interpret=True)
+
+    pos2, vel2, flat2 = tf.sort_by_cell(st.pos, st.vel, B)
+    wX, momX, occX = tf.p2g_fused(pos2, vel2, flat2, solid, B, "flip")
+    for name, a, b in (("weights", wP, wX), ("momentum", momP, momX),
+                       ("occupancy", occP, occX)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5, err_msg=name)
+
+    velg = tr.normalize_velocity(wP, momP)
+    vc = cell_center_velocity(velg)
+    dP = tp.g2p_pallas(pos, flat, vc, B, scene.spec.wall, lay, "flip",
+                       wv_rows=wv, interpret=True)
+    dX = tf.g2p_fused(pos2, flat2, vc, B, scene.spec.wall, "flip")
+    np.testing.assert_allclose(np.asarray(dP), np.asarray(dX),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_wide_lane_halo_stencil_matches_row_kernel(state):
+    """Lane-blocked stencil at forced lh (pad_x_lh layout) == the XLA
+    matrix-free apply, on a small grid."""
+    from fluidsim_tpu.ops import pallas_stencil as pst
+    from fluidsim_tpu.ops import pressure as pr
+
+    scene, solid, st = state
+    n = 2 * BOUND + 1
+    rng = np.random.default_rng(0)
+    fluid = jnp.asarray(rng.random((n, n, n)) > 0.5) & (~solid)
+    p = jnp.asarray(rng.normal(size=(n, n, n)).astype(np.float32))
+    p = jnp.where(fluid, p, 0.0)
+    dt, rho, dx = 0.1, 1.0, 1.0
+    adiag = pr.laplacian_diag(fluid, solid, dt, rho, dx)
+    scale = dt / (rho * dx * dx)
+
+    want = pr.apply_laplacian(p, adiag, fluid, dt, rho, dx)
+
+    # lane-blocked layout with a tiny lblk so the small grid spans blocks
+    got = pst.unpad_x_lh(
+        pst.apply_laplacian_padded_lh(
+            pst.pad_x_lh(p, bx=8, lblk=128), pst.pad_x_lh(adiag, bx=8,
+                                                          lblk=128),
+            scale, n, bx=8, lblk=128, interpret=True),
+        n, bx=8, lblk=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
