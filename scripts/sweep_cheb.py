@@ -28,14 +28,15 @@ def main():
                           (2, 30.0)):
         sim = FlipSim(scene, params=dataclasses.replace(
             base, cheb_degree=degree, cheb_ratio=ratio))
-        for _ in range(args.warmup):
-            m = sim.step()
-            _ = float(m["kinetic_energy"])
+        # scan path (steps(k) = ONE dispatch for k frames): amortizes the
+        # ~10 ms/frame tunnel dispatch like production runs do, so the
+        # printed ms/frame is device time, not host latency
+        _ = float(sim.steps(args.warmup)["kinetic_energy"][-1])
         t0 = time.time()
-        for _ in range(args.frames):
-            m = sim.step()
-        _ = float(m["kinetic_energy"])
+        m = sim.steps(args.frames)
+        _ = float(m["kinetic_energy"][-1])
         dt = (time.time() - t0) / args.frames
+        m = {k: v[-1] for k, v in m.items()}
         print(f"degree {degree} ratio {ratio:5.1f}  {dt*1e3:7.1f} ms/frame "
               f"({1.0/dt:5.2f} steps/s)  cg_iters {float(m['cg_iters']):.0f}",
               flush=True)
