@@ -25,8 +25,14 @@ framework's outputs stay consumable by the reference's tools
 Tree type is the standard ``Tree4<T, 5, 4, 3>``: root -> 32^3 internal ->
 16^3 internal -> 8^3 leaf (``openvdb/openvdb.h:49-82``).
 
-Only features the reference apps produce are implemented: float/Vec3-less
-dense grids, fully-voxelized boxes, NONE/ZIP/ACTIVE_MASK compression.
+Supported value types: ``float`` (``Tree_float_5_4_3``) and ``Vec3f``
+(``Tree_vec3s_5_4_3``, ``openvdb/openvdb.h:62,79`` +
+``openvdb/Types.h:343``), each optionally with half-float leaf storage
+(``Grid::setSaveFloatAsHalf`` -> ``_HalfFloat`` grid-type suffix,
+``io/GridDescriptor.cc:50,86`` + ``is_saved_as_half_float`` metadata,
+``Grid.cc:49,398-413``); NONE/ZIP/ACTIVE_MASK compression (no BLOSC — the
+library is absent from this image, and the reference's own build disables
+it the same way when unavailable, ``io/Compression.h:77-81``).
 """
 
 from __future__ import annotations
@@ -67,14 +73,24 @@ INT2_SPAN = INT1_SPAN << INT2_LOG2      # 4096
 
 @dataclasses.dataclass
 class VdbGrid:
-    """A dense float grid with OpenVDB placement info."""
+    """A dense float or Vec3f grid with OpenVDB placement info."""
 
-    values: np.ndarray                 # (nx, ny, nz) float32
+    values: np.ndarray                 # (nx, ny, nz) f32 or (nx, ny, nz, 3)
     origin: tuple = (0, 0, 0)          # index-space coordinate of values[0,0,0]
-    active: np.ndarray | None = None   # bool same shape; default: all active
+    active: np.ndarray | None = None   # bool (nx, ny, nz); default: all active
     name: str = ""
-    background: float = 0.0
+    background: float | tuple = 0.0    # scalar, or 3-tuple for Vec3 grids
     voxel_size: float = 1.0
+    save_half: bool = False            # half-float leaf storage on write
+
+    @property
+    def channels(self) -> int:
+        return 1 if self.values.ndim == 3 else self.values.shape[-1]
+
+    @property
+    def bg_row(self) -> np.ndarray:
+        return np.broadcast_to(np.asarray(self.background, np.float32),
+                               (self.channels,))
 
 
 def _write_string(buf: bytearray, s: str):
@@ -112,12 +128,15 @@ def _grid_metadata(grid: VdbGrid, compression: int) -> bytearray:
                  COMPRESS_ACTIVE_MASK: "active values",
                  COMPRESS_ZIP | COMPRESS_ACTIVE_MASK: "zip + active values"}[compression]
     entries = bytearray()
-    count = 4 + (1 if grid.name else 0)
+    count = 4 + (1 if grid.name else 0) + (1 if grid.save_half else 0)
     entries += struct.pack("<I", count)
     _meta_entry(entries, "file_bbox_max", "vec3i", struct.pack("<3i", *mx))
     _meta_entry(entries, "file_bbox_min", "vec3i", struct.pack("<3i", *mn))
     _meta_entry(entries, "file_compression", "string", comp_name.encode())
     _meta_entry(entries, "file_voxel_count", "int64", struct.pack("<q", nactive))
+    if grid.save_half:
+        # GridBase::setSaveFloatAsHalf metadata (Grid.cc:49,413); "is" < "na"
+        _meta_entry(entries, "is_saved_as_half_float", "bool", b"\x01")
     if grid.name:
         _meta_entry(entries, "name", "string", grid.name.encode())
     return entries
@@ -145,9 +164,11 @@ def _unpack_mask(data: bytes, n: int) -> np.ndarray:
     return np.unpackbits(np.frombuffer(data, np.uint8), bitorder="little")[:n].astype(bool)
 
 
-def _write_data(buf: bytearray, arr: np.ndarray, compression: int):
-    """``io::writeData`` + ``zipToStream`` framing (``Compression.cc``)."""
-    raw = np.ascontiguousarray(arr, dtype="<f4").tobytes()
+def _write_data(buf: bytearray, arr: np.ndarray, compression: int,
+                half: bool = False):
+    """``io::writeData`` + ``zipToStream`` framing (``Compression.cc``).
+    ``half``: store as IEEE half (``io::HalfWriter``, ``Compression.h``)."""
+    raw = np.ascontiguousarray(arr, dtype="<f2" if half else "<f4").tobytes()
     if compression & COMPRESS_ZIP:
         z = zlib.compress(raw, 1)
         if len(z) < len(raw):
@@ -158,55 +179,68 @@ def _write_data(buf: bytearray, arr: np.ndarray, compression: int):
         buf += raw
 
 
+def _rows(values: np.ndarray) -> np.ndarray:
+    """Flat (count, C) float32 view of a value array (C=1 for scalars)."""
+    v = np.asarray(values, np.float32)
+    return v.reshape(-1, 1) if v.ndim == 1 else v.reshape(v.shape[0], -1)
+
+
 def _write_compressed_values(buf: bytearray, values: np.ndarray,
                              value_mask: np.ndarray, child_mask: np.ndarray,
-                             background: float, compression: int):
-    """``io::writeCompressedValues`` (``Compression.h:462-640``) for float32.
+                             background, compression: int,
+                             half: bool = False):
+    """``io::writeCompressedValues`` (``Compression.h:462-640``) for float32
+    and Vec3f ("values" = rows of C components; comparisons are row-wise,
+    matching the reference's ValueType operator==).
 
     values/value_mask/child_mask are flat, node-offset order.
     """
+    rows = _rows(values)
     if not (compression & COMPRESS_ACTIVE_MASK):
         buf.append(NO_MASK_AND_ALL_VALS)
-        _write_data(buf, values, compression)
+        _write_data(buf, rows, compression, half)
         return
 
     inactive = (~value_mask) & (~child_mask)
-    ivals = values[inactive]
-    uniq = np.unique(ivals.astype(np.float32))
-    bg = np.float32(background)
-    neg_bg = np.float32(-background)
+    ivals = rows[inactive]
+    uniq = np.unique(ivals, axis=0)
+    bg = np.broadcast_to(np.asarray(background, np.float32), rows.shape[1:])
+    neg_bg = -bg
 
-    if len(uniq) == 0 or (len(uniq) == 1 and uniq[0] == bg):
+    def eq(a, b):
+        return bool(np.array_equal(a, b))
+
+    if len(uniq) == 0 or (len(uniq) == 1 and eq(uniq[0], bg)):
         meta = NO_MASK_OR_INACTIVE_VALS
         extra = b""
         selection = None
-    elif len(uniq) == 1 and uniq[0] == neg_bg:
+    elif len(uniq) == 1 and eq(uniq[0], neg_bg):
         meta = NO_MASK_AND_MINUS_BG
         extra = b""
         selection = None
     elif len(uniq) == 1:
         meta = NO_MASK_AND_ONE_INACTIVE_VAL
-        extra = struct.pack("<f", float(uniq[0]))
+        extra = uniq[0].astype("<f4").tobytes()
         selection = None
     elif len(uniq) == 2:
         # Selection mask marks entries equal to inactiveVal[1]; the writer
         # (Compression.h:540-583) swaps so that inactiveVal[1] is the
         # background whenever one of the two values is the background.
-        v0, v1 = [np.float32(u) for u in uniq]
-        if bg not in (v0, v1):
+        v0, v1 = uniq[0], uniq[1]
+        if not (eq(v0, bg) or eq(v1, bg)):
             meta = MASK_AND_TWO_INACTIVE_VALS
-            extra = struct.pack("<ff", float(v0), float(v1))
+            extra = v0.astype("<f4").tobytes() + v1.astype("<f4").tobytes()
             sel_val = v1
         else:
-            nonbg = v0 if v1 == bg else v1
-            if nonbg == neg_bg:
+            nonbg = v0 if eq(v1, bg) else v1
+            if eq(nonbg, neg_bg):
                 meta = MASK_AND_NO_INACTIVE_VALS   # [-bg, +bg]
                 extra = b""
             else:
                 meta = MASK_AND_ONE_INACTIVE_VAL   # [nonbg, +bg]
-                extra = struct.pack("<f", float(nonbg))
+                extra = nonbg.astype("<f4").tobytes()
             sel_val = bg
-        selection = inactive & (values.astype(np.float32) == sel_val)
+        selection = inactive & (rows == sel_val).all(axis=-1)
     else:
         meta = NO_MASK_AND_ALL_VALS
         extra = b""
@@ -215,13 +249,13 @@ def _write_compressed_values(buf: bytearray, values: np.ndarray,
     buf.append(meta)
     buf += extra
     if meta == NO_MASK_AND_ALL_VALS:
-        _write_data(buf, values, compression)
+        _write_data(buf, rows, compression, half)
         return
     if selection is not None and meta in (MASK_AND_NO_INACTIVE_VALS,
                                           MASK_AND_ONE_INACTIVE_VAL,
                                           MASK_AND_TWO_INACTIVE_VALS):
         buf += _pack_mask(selection)
-    _write_data(buf, values[value_mask], compression)
+    _write_data(buf, rows[value_mask], compression, half)
 
 
 def _block_view(arr: np.ndarray, log2: int):
@@ -237,20 +271,23 @@ class _TreeBuilder:
 
     def __init__(self, grid: VdbGrid):
         vals = np.asarray(grid.values, np.float32)
-        act = grid.active if grid.active is not None else np.ones(vals.shape, bool)
+        c = grid.channels
+        act = grid.active if grid.active is not None else np.ones(vals.shape[:3], bool)
         o = np.asarray(grid.origin, np.int64)
-        hi = o + vals.shape
+        hi = o + vals.shape[:3]
         lo_a = (o // LEAF_DIM) * LEAF_DIM
         hi_a = ((hi + LEAF_DIM - 1) // LEAF_DIM) * LEAF_DIM
         shape = tuple(hi_a - lo_a)
-        self.vals = np.full(shape, np.float32(grid.background), np.float32)
+        vshape = shape + vals.shape[3:]
+        self.vals = np.empty(vshape, np.float32)
+        self.vals[...] = grid.bg_row if c > 1 else np.float32(grid.background)
         self.act = np.zeros(shape, bool)
         s = tuple(slice(int(o[d] - lo_a[d]), int(o[d] - lo_a[d] + vals.shape[d]))
                   for d in range(3))
         self.vals[s] = vals
         self.act[s] = act
         self.lo = lo_a          # aligned origin of the padded box
-        self.background = float(grid.background)
+        self.background = grid.bg_row if c > 1 else float(grid.background)
 
         # leaves: (nlx,nly,nlz) blocks of 8^3
         self.leaf_vals = _block_view(self.vals, LEAF_LOG2)
@@ -280,11 +317,13 @@ def grid_to_bytes(grid: VdbGrid, compression: int) -> tuple:
     """Serialize one grid: returns (topology+buffers bytes are merged by the
     caller) -> (meta, transform, topology, buffers)."""
     tb = _TreeBuilder(grid)
-    bg = np.float32(grid.background)
+    c = grid.channels
+    bg = grid.bg_row
+    half = grid.save_half
 
     topo = bytearray()
     topo += struct.pack("<i", 1)                       # TreeBase bufferCount
-    topo += struct.pack("<f", bg)                      # root background
+    topo += bg.astype("<f4").tobytes()                 # root background (f32)
 
     root = tb.root_children()
     topo += struct.pack("<II", 0, len(root))           # numTiles, numChildren
@@ -302,8 +341,8 @@ def grid_to_bytes(grid: VdbGrid, compression: int) -> tuple:
         topo += _pack_mask(child2_mask)                        # child mask
         topo += _pack_mask(np.zeros_like(child2_mask))         # value mask
         _write_compressed_values(
-            topo, np.full(child2_mask.size, bg, np.float32),
-            np.zeros_like(child2_mask), child2_mask, grid.background, compression)
+            topo, np.broadcast_to(bg, (child2_mask.size, c)),
+            np.zeros_like(child2_mask), child2_mask, bg, compression, half)
 
         # ---- children in offset order ----
         order = np.argsort(off2, kind="stable")
@@ -321,18 +360,18 @@ def grid_to_bytes(grid: VdbGrid, compression: int) -> tuple:
             topo += _pack_mask(child1_mask)
             topo += _pack_mask(np.zeros_like(child1_mask))
             _write_compressed_values(
-                topo, np.full(child1_mask.size, bg, np.float32),
-                np.zeros_like(child1_mask), child1_mask, grid.background,
-                compression)
+                topo, np.broadcast_to(bg, (child1_mask.size, c)),
+                np.zeros_like(child1_mask), child1_mask, bg,
+                compression, half)
             for li in np.argsort(off1, kind="stable"):
                 i, j, k = lvs[li]
                 lmask = tb.leaf_act[i, j, k].reshape(-1)
                 topo += _pack_mask(lmask)              # leaf topology: value mask
-                lvals = tb.leaf_vals[i, j, k].reshape(-1)
+                lvals = tb.leaf_vals[i, j, k].reshape(-1, c)
                 buffers += _pack_mask(lmask)           # leaf buffers: mask again
                 _write_compressed_values(buffers, lvals, lmask,
                                          np.zeros_like(lmask),
-                                         grid.background, compression)
+                                         bg, compression, half)
     return topo, buffers
 
 
@@ -357,8 +396,11 @@ def write_vdb(path: str, grids: Sequence[VdbGrid],
         names[base] = n + 1
         unique = base if (base and n == 0) else f"{base}[{n}]"
 
+        gtype = "Tree_float_5_4_3" if g.channels == 1 else "Tree_vec3s_5_4_3"
+        if g.save_half:
+            gtype += "_HalfFloat"  # GridDescriptor::stringAsUniqueName suffix
         _write_string(buf, unique)
-        _write_string(buf, "Tree_float_5_4_3")
+        _write_string(buf, gtype)
         _write_string(buf, "")                         # instance parent
         offset_pos = len(buf)
         buf += struct.pack("<3q", 0, 0, 0)             # patched below
@@ -382,7 +424,9 @@ def write_vdb(path: str, grids: Sequence[VdbGrid],
 # plus uncompressed/zip/active-mask files from the reference tools.
 # --------------------------------------------------------------------------
 
-def _read_data(mv, off, count, compression):
+def _read_data(mv, off, count, compression, c=1, half=False):
+    dt = "<f2" if half else "<f4"
+    isz = (2 if half else 4) * c
     if compression & COMPRESS_ZIP:
         (nz,) = struct.unpack_from("<q", mv, off)
         off += 8
@@ -392,30 +436,35 @@ def _read_data(mv, off, count, compression):
         else:
             raw = zlib.decompress(bytes(mv[off:off + nz]))
             off += nz
-        return np.frombuffer(raw, "<f4", count=count), off
-    vals = np.frombuffer(mv, "<f4", count=count, offset=off)
-    return vals, off + 4 * count
+        vals = np.frombuffer(raw, dt, count=count * c)
+    else:
+        vals = np.frombuffer(mv, dt, count=count * c, offset=off)
+        off += isz * count
+    return vals.astype(np.float32).reshape(count, c), off
 
 
-def _read_compressed_values(mv, off, count, value_mask, background, compression):
+def _read_compressed_values(mv, off, count, value_mask, background,
+                            compression, c=1, half=False):
     """Mirror of the reference read path (``Compression.h`` read loop):
     inactive value = selectionMask ? inactiveVal1 : inactiveVal0, with
     inactiveVal0 defaulting to -background for metadata != 0 and
     inactiveVal1 defaulting to +background."""
+    bg = np.broadcast_to(np.asarray(background, np.float32), (c,))
     meta = mv[off]; off += 1
     if meta == NO_MASK_AND_ALL_VALS:
-        vals, off = _read_data(mv, off, count, compression)
+        vals, off = _read_data(mv, off, count, compression, c, half)
         return vals.copy(), off
-    inactive_val1 = np.float32(background)
-    inactive_val0 = np.float32(background if meta == NO_MASK_OR_INACTIVE_VALS
-                               else -background)
+    inactive_val1 = bg
+    inactive_val0 = bg if meta == NO_MASK_OR_INACTIVE_VALS else -bg
     if meta in (NO_MASK_AND_ONE_INACTIVE_VAL, MASK_AND_ONE_INACTIVE_VAL,
                 MASK_AND_TWO_INACTIVE_VALS):
-        (v0,) = struct.unpack_from("<f", mv, off); off += 4
-        inactive_val0 = np.float32(v0)
+        inactive_val0 = np.asarray(
+            struct.unpack_from(f"<{c}f", mv, off), np.float32)
+        off += 4 * c
         if meta == MASK_AND_TWO_INACTIVE_VALS:
-            (v1,) = struct.unpack_from("<f", mv, off); off += 4
-            inactive_val1 = np.float32(v1)
+            inactive_val1 = np.asarray(
+                struct.unpack_from(f"<{c}f", mv, off), np.float32)
+            off += 4 * c
     sel = None
     if meta in (MASK_AND_NO_INACTIVE_VALS, MASK_AND_ONE_INACTIVE_VAL,
                 MASK_AND_TWO_INACTIVE_VALS):
@@ -423,8 +472,9 @@ def _read_compressed_values(mv, off, count, value_mask, background, compression)
         sel = _unpack_mask(bytes(mv[off:off + nbytes]), count)
         off += nbytes
     n_active = int(value_mask.sum())
-    vals, off = _read_data(mv, off, n_active, compression)
-    values = np.full(count, inactive_val0, np.float32)
+    vals, off = _read_data(mv, off, n_active, compression, c, half)
+    values = np.empty((count, c), np.float32)
+    values[...] = inactive_val0
     if sel is not None:
         values[sel] = inactive_val1
     values[value_mask] = vals
@@ -453,7 +503,11 @@ def read_vdb(path: str) -> List[VdbGrid]:
     for _ in range(ngrids):
         name, off = _read_string(mv, off)
         gtype, off = _read_string(mv, off)
-        assert gtype == "Tree_float_5_4_3", f"unsupported grid type {gtype}"
+        half = gtype.endswith("_HalfFloat")
+        base_type = gtype[:-len("_HalfFloat")] if half else gtype
+        assert base_type in ("Tree_float_5_4_3", "Tree_vec3s_5_4_3"), (
+            f"unsupported grid type {gtype}")
+        c = 1 if base_type == "Tree_float_5_4_3" else 3
         parent, off = _read_string(mv, off)
         grid_pos, block_pos, end_pos = struct.unpack_from("<3q", mv, off)
         off += 24
@@ -470,7 +524,8 @@ def read_vdb(path: str) -> List[VdbGrid]:
         scale = struct.unpack_from("<3d", mv, off)
         off += 5 * 24
         off += 4                                      # bufferCount
-        (background,) = struct.unpack_from("<f", mv, off); off += 4
+        bgv = struct.unpack_from(f"<{c}f", mv, off); off += 4 * c
+        background = bgv[0] if c == 1 else np.asarray(bgv, np.float32)
         ntiles, nchildren = struct.unpack_from("<II", mv, off); off += 8
         assert ntiles == 0, "root tiles not supported"
 
@@ -484,7 +539,7 @@ def read_vdb(path: str) -> List[VdbGrid]:
             cm2 = _unpack_mask(bytes(mv[off:off + int2n // 8]), int2n); off += int2n // 8
             vm2 = _unpack_mask(bytes(mv[off:off + int2n // 8]), int2n); off += int2n // 8
             _, off = _read_compressed_values(mv, off, int2n, vm2, background,
-                                             compression)
+                                             compression, c, half)
             for o2 in np.flatnonzero(cm2):
                 x = (o2 >> (2 * INT2_LOG2)) & 31
                 y = (o2 >> INT2_LOG2) & 31
@@ -495,7 +550,7 @@ def read_vdb(path: str) -> List[VdbGrid]:
                 vm1 = _unpack_mask(bytes(mv[off:off + int1n // 8]), int1n)
                 off += int1n // 8
                 _, off = _read_compressed_values(mv, off, int1n, vm1, background,
-                                                 compression)
+                                                 compression, c, half)
                 for o1 in np.flatnonzero(cm1):
                     lx = (o1 >> (2 * INT1_LOG2)) & 15
                     ly = (o1 >> INT1_LOG2) & 15
@@ -512,30 +567,34 @@ def read_vdb(path: str) -> List[VdbGrid]:
             lm = _unpack_mask(bytes(mv[off:off + leafn // 8]), leafn)
             off += leafn // 8
             vals, off = _read_compressed_values(mv, off, leafn, lm, background,
-                                                compression)
+                                                compression, c, half)
             leaf_vals[lorg] = (vals, lm)
 
+        vdim = (LEAF_DIM, LEAF_DIM, LEAF_DIM) + ((c,) if c > 1 else ())
         if leaf_order:
             orgs = np.asarray(leaf_order)
             lo = orgs.min(axis=0)
             hi = orgs.max(axis=0) + LEAF_DIM
             shape = tuple(hi - lo)
-            dense = np.full(shape, np.float32(background), np.float32)
+            dense = np.empty(shape + ((c,) if c > 1 else ()), np.float32)
+            dense[...] = background
             active = np.zeros(shape, bool)
             for lorg in leaf_order:
                 vals, lm = leaf_vals[lorg]
                 s = tuple(slice(int(lorg[d] - lo[d]), int(lorg[d] - lo[d] + LEAF_DIM))
                           for d in range(3))
-                dense[s] = vals.reshape(LEAF_DIM, LEAF_DIM, LEAF_DIM)
+                dense[s] = vals.reshape(vdim)
                 active[s] = lm.reshape(LEAF_DIM, LEAF_DIM, LEAF_DIM)
         else:
-            dense = np.zeros((0, 0, 0), np.float32)
+            dense = np.zeros((0, 0, 0) + ((c,) if c > 1 else ()), np.float32)
             active = np.zeros((0, 0, 0), bool)
             lo = np.zeros(3, np.int64)
 
+        bg_out = (background if c == 1
+                  else tuple(float(x) for x in np.asarray(background)))
         out.append(VdbGrid(values=dense, origin=tuple(int(x) for x in lo),
-                           active=active, name=name, background=background,
-                           voxel_size=float(scale[0])))
+                           active=active, name=name, background=bg_out,
+                           voxel_size=float(scale[0]), save_half=half))
         if end_pos > 0:
             off = end_pos
     return out
