@@ -113,25 +113,34 @@ def main():
         from fluidsim_tpu.scenes import get_scene
         details = {}
         # config 1: coarse 64^3-class FLIP; config 3: 128^3-class;
-        # scaling point: 192^3-class (Pallas kernels + packed bx=8 solve);
-        # config 4: APIC at 128^3-class (256^3 exceeds the fused-transfer
-        # single-chip envelope; see docs/architecture.md)
+        # scaling points: 192^3 (packed bx=8 solve) / 255^3 / 257^3 (the
+        # 256^3-class BASELINE config 5 scale — wide 512-lane halo Pallas
+        # kernels + lane-blocked CG, single chip); config 4: APIC at
+        # 128^3- and 192^3-class
         for tag, bound, density in (("flip_65cube", 32, 10.0),
                                     ("flip_129cube_2M", 64, 25.0),
                                     ("flip_193cube_4M", 96, 15.0),
-                                    ("flip_255cube_10M", 127, 16.0)):
+                                    ("flip_255cube_10M", 127, 16.0),
+                                    ("flip_257cube_10M", 128, 16.0)):
             details[tag] = measure_tpu(bound, density, args.warmup, args.frames)
-        sim = FlipSim(get_scene("water_cube_drop", bound=64, density=25.0),
-                      params=FlipParams(bound=64, wall=62, mode="apic"))
-        for _ in range(args.warmup):
-            _ = float(sim.step()["kinetic_energy"])
-        t0 = time.time()
-        for _ in range(args.frames):
-            m = sim.step()
-        _ = float(m["kinetic_energy"])      # window-end sync (see measure_tpu)
-        details["apic_129cube_2M"] = {
-            "steps_per_sec": args.frames / (time.time() - t0),
-            "particles": sim.num_particles}
+        for tag, bound, density in (("apic_129cube_2M", 64, 25.0),
+                                    ("apic_193cube_4M", 96, 15.0)):
+            scene = get_scene("water_cube_drop", bound=bound, density=density)
+            sim = FlipSim(scene, params=FlipParams(bound=bound,
+                                                   wall=bound - 2,
+                                                   mode="apic"))
+            for _ in range(args.warmup):
+                _ = float(sim.step()["kinetic_energy"])
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                for _ in range(args.frames):
+                    m = sim.step()
+                _ = float(m["kinetic_energy"])   # window-end sync (measure_tpu)
+                best = min(best, (time.time() - t0) / args.frames)
+            details[tag] = {
+                "steps_per_sec": 1.0 / best,
+                "particles": sim.num_particles}
         # config 2: MPM cone at reference scale, measured via the scan-
         # chunked production path (steps(50) = one dispatch for 50 frames;
         # per-step measurement of this tiny 31^3 workload is tunnel-noisy)

@@ -197,13 +197,23 @@ def _levelset_cube(g, fog_half_width=None, warn=True):
 
 
 def _view(args) -> int:
-    """Offline viewer — the capability answer to ``vdb_view``
-    (``openvdb/viewer/Viewer.h:59-66``; GLFW is a non-starter headless):
-    orbit the camera around one grid, or play an animation over many
-    frame files with a fixed camera, writing an animated GIF (or a PNG
-    sequence) via the same jitted sphere tracer the ``raytrace``
-    subcommand uses."""
+    """Viewer — the capability answer to ``vdb_view``
+    (``openvdb/viewer/Viewer.h:59-66``).  Two modes:
+
+    ``--interactive``: LIVE viewer (``io.viewer``) — local WebGL page with
+    mouse orbit/zoom, clip-plane sliders (``ClipBox.h``), frame playback.
+
+    default: offline — orbit the camera around one grid, or play an
+    animation over many frame files with a fixed camera, writing an
+    animated GIF (or a PNG sequence) via the same jitted sphere tracer the
+    ``raytrace`` subcommand uses (GLFW is a non-starter headless)."""
     import numpy as _np
+
+    if args.interactive:
+        from fluidsim_tpu.io.viewer import serve
+
+        serve(args.files, port=args.port)
+        return 0
     from fluidsim_tpu.io.vdb import read_vdb
     from fluidsim_tpu.ops.raytrace import raytrace_levelset
 
@@ -298,10 +308,15 @@ def main(argv=None) -> int:
                     help="treat the grid as fog (0..1) written by --surface "
                          "and convert back to a signed distance first")
 
-    pv = sub.add_parser("view", help="offline viewer (vdb_view): orbit one "
-                                     "grid or play many frame files, to an "
-                                     "animated GIF or PNG sequence")
+    pv = sub.add_parser("view", help="viewer (vdb_view): --interactive for "
+                                     "the live WebGL orbit/clip viewer, or "
+                                     "offline to an animated GIF / PNG "
+                                     "sequence")
     pv.add_argument("files", nargs="+")
+    pv.add_argument("--interactive", action="store_true",
+                    help="serve the live viewer (mouse orbit, clip planes, "
+                         "frame playback) on --port")
+    pv.add_argument("--port", type=int, default=8611)
     pv.add_argument("-o", "--output", default=None,
                     help=".gif for animation, other extensions for a "
                          "numbered image sequence")
