@@ -28,16 +28,23 @@ def main():
     ap.add_argument("--bound", type=int, default=64)
     ap.add_argument("--density", type=float, default=25.0)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--mode", choices=("flip", "apic"), default="flip")
     args = ap.parse_args()
 
-    from fluidsim_tpu.models.flip import FlipSim, project, advect_bounce
+    from fluidsim_tpu.models.flip import (FlipSim, FlipParams, project,
+                                          advect_bounce)
     from fluidsim_tpu.scenes import get_scene
     from fluidsim_tpu.core.gridspec import cell_center_velocity
     from fluidsim_tpu.ops import transfer_pallas as tp
     from fluidsim_tpu.ops import transfer as tr
 
-    sim = FlipSim(get_scene("water_cube_drop", bound=args.bound,
-                            density=args.density))
+    scene = get_scene("water_cube_drop", bound=args.bound,
+                      density=args.density)
+    params_kw = {}
+    if args.mode == "apic":
+        params_kw["params"] = FlipParams(bound=args.bound,
+                                         wall=args.bound - 2, mode="apic")
+    sim = FlipSim(scene, **params_kw)
     for _ in range(3):
         sim.step()
     params = sim.params
@@ -46,6 +53,45 @@ def main():
     solid = sim.solid
     st = sim.state
     print(f"grid {2*B+1}^3  particles {sim.num_particles}")
+
+    def upto_apic(stage):
+        # mirrors the PRODUCTION APIC path (flip_step mode=="apic" branch)
+        from fluidsim_tpu.core.gridspec import cell_center_velocity_cm
+
+        def fn(pos0, vel0, aff0, dt, p_prev):
+            pos, vel, flat, aff_flat = tp.sort_by_cell_h(
+                pos0, vel0, B, lay, extra=aff0.reshape(-1, 9))
+            aff = aff_flat.reshape(-1, 3, 3)
+            if stage == "sort":
+                return jnp.sum(aff) + jnp.sum(flat)
+            weights, mom, occ, wv_rows = tp.p2g_pallas(
+                pos, vel, flat, solid, B, lay, params.kernel, aff=aff,
+                channel_major=True)
+            velg = tr.normalize_velocity_cm(weights, mom)
+            fluid = (occ > 0) & (~solid)
+            if stage == "p2g":
+                return jnp.sum(velg) + jnp.sum(fluid)
+            velg, err, n_outer, cg_iters, div_rms, pressure = project(
+                params, velg, fluid, solid, dt, p0=p_prev, cm=True)
+            if stage == "project":
+                return jnp.sum(velg) + err
+            vc_new = cell_center_velocity_cm(velg)
+            vel2, aff2 = tp.g2p_apic_pallas(pos, flat, vc_new, B, wall, lay,
+                                            params.kernel, wv_rows=wv_rows,
+                                            channel_major=True)
+            if stage == "g2p":
+                return jnp.sum(vel2) + jnp.sum(aff2)
+            speed = jnp.sqrt(jnp.sum(vel2 * vel2, axis=-1))
+            max_speed = jnp.max(speed)
+            dt_new = jnp.where(max_speed != 0,
+                               jnp.minimum(params.max_dt, params.dx / max_speed),
+                               params.max_dt)
+            pos2, vel3 = advect_bounce(
+                pos, vel2, dt_new, solid, B, 0.5, rounding="round",
+                analytic_wall=params.wall if params.walls_only_solid else None)
+            ke = 0.5 * jnp.sum((vel3 * vel3).astype(jnp.float32))
+            return jnp.sum(pos2) + ke
+        return jax.jit(fn)
 
     def upto(stage):
         # mirrors the PRODUCTION path: channel-major grids end to end
@@ -90,8 +136,12 @@ def main():
 
     prev = 0.0
     for stage in ("sort", "p2g", "project", "g2p", "advect"):
-        ms = timeit(upto(stage), st.pos, st.vel, st.dt, st.pressure,
-                    iters=args.iters)
+        if args.mode == "apic":
+            ms = timeit(upto_apic(stage), st.pos, st.vel, st.aff, st.dt,
+                        st.pressure, iters=args.iters)
+        else:
+            ms = timeit(upto(stage), st.pos, st.vel, st.dt, st.pressure,
+                        iters=args.iters)
         print(f"upto {stage:8s} {ms:8.1f} ms   (+{ms - prev:6.1f})")
         prev = ms
 
