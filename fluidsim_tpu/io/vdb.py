@@ -481,9 +481,8 @@ def _read_compressed_values(mv, off, count, value_mask, background,
     return values, off
 
 
-def read_vdb(path: str) -> List[VdbGrid]:
-    data = open(path, "rb").read()
-    mv = memoryview(data)
+def _parse_archive_header(mv):
+    """File-level header (``Archive::readHeader``). Returns (off, ngrids)."""
     off = 0
     (magic,) = struct.unpack_from("<q", mv, off); off += 8
     assert magic == OPENVDB_MAGIC, f"bad magic {magic:#x}"
@@ -498,103 +497,186 @@ def read_vdb(path: str) -> List[VdbGrid]:
         _, off = _read_string(mv, off)
         (sz,) = struct.unpack_from("<i", mv, off); off += 4 + sz
     (ngrids,) = struct.unpack_from("<i", mv, off); off += 4
+    return off, ngrids
 
+
+def _parse_grid_header(mv, off):
+    """One grid's descriptor + metadata + transform + TREE TOPOLOGY (child
+    masks down to the leaf value masks), stopping where the leaf VALUE
+    buffers begin.  Returns (info dict, buffers_off)."""
+    name, off = _read_string(mv, off)
+    gtype, off = _read_string(mv, off)
+    half = gtype.endswith("_HalfFloat")
+    base_type = gtype[:-len("_HalfFloat")] if half else gtype
+    assert base_type in ("Tree_float_5_4_3", "Tree_vec3s_5_4_3"), (
+        f"unsupported grid type {gtype}")
+    c = 1 if base_type == "Tree_float_5_4_3" else 3
+    parent, off = _read_string(mv, off)
+    grid_pos, block_pos, end_pos = struct.unpack_from("<3q", mv, off)
+    off += 24
+    (compression,) = struct.unpack_from("<I", mv, off); off += 4
+    (nmeta,) = struct.unpack_from("<I", mv, off); off += 4
+    meta = {}
+    for _ in range(nmeta):
+        mname, off = _read_string(mv, off)
+        mtype, off = _read_string(mv, off)
+        (sz,) = struct.unpack_from("<i", mv, off); off += 4
+        meta[mname] = (mtype, bytes(mv[off:off + sz])); off += sz
+    map_type, off = _read_string(mv, off)
+    assert map_type in ("UniformScaleMap", "ScaleMap"), map_type
+    scale = struct.unpack_from("<3d", mv, off)
+    off += 5 * 24
+    off += 4                                      # bufferCount
+    bgv = struct.unpack_from(f"<{c}f", mv, off); off += 4 * c
+    background = bgv[0] if c == 1 else np.asarray(bgv, np.float32)
+    ntiles, nchildren = struct.unpack_from("<II", mv, off); off += 8
+    assert ntiles == 0, "root tiles not supported"
+
+    int2n = 1 << (3 * INT2_LOG2)
+    int1n = 1 << (3 * INT1_LOG2)
+    leafn = 1 << (3 * LEAF_LOG2)
+    leaf_order = []
+    for _ in range(nchildren):
+        org2 = np.asarray(struct.unpack_from("<3i", mv, off)); off += 12
+        cm2 = _unpack_mask(bytes(mv[off:off + int2n // 8]), int2n); off += int2n // 8
+        vm2 = _unpack_mask(bytes(mv[off:off + int2n // 8]), int2n); off += int2n // 8
+        _, off = _read_compressed_values(mv, off, int2n, vm2, background,
+                                         compression, c, half)
+        for o2 in np.flatnonzero(cm2):
+            x = (o2 >> (2 * INT2_LOG2)) & 31
+            y = (o2 >> INT2_LOG2) & 31
+            z = o2 & 31
+            org1 = org2 + np.asarray([x, y, z]) * INT1_SPAN
+            cm1 = _unpack_mask(bytes(mv[off:off + int1n // 8]), int1n)
+            off += int1n // 8
+            vm1 = _unpack_mask(bytes(mv[off:off + int1n // 8]), int1n)
+            off += int1n // 8
+            _, off = _read_compressed_values(mv, off, int1n, vm1, background,
+                                             compression, c, half)
+            for o1 in np.flatnonzero(cm1):
+                lx = (o1 >> (2 * INT1_LOG2)) & 15
+                ly = (o1 >> INT1_LOG2) & 15
+                lz = o1 & 15
+                lorg = org1 + np.asarray([lx, ly, lz]) * LEAF_DIM
+                off += leafn // 8                     # leaf value mask (topo)
+                leaf_order.append(tuple(lorg))
+
+    info = dict(name=name, c=c, half=half, compression=compression,
+                background=background, voxel_size=float(scale[0]),
+                meta=meta, leaf_order=leaf_order,
+                grid_pos=grid_pos, block_pos=block_pos, end_pos=end_pos)
+    return info, off
+
+
+class DelayedVdbGrid:
+    """Delayed-load grid handle (the ``io::File`` delayed leaf-buffer
+    loading of ``openvdb/io/Archive.cc``: topology read eagerly, leaf value
+    buffers deferred to the descriptor's recorded stream offsets until the
+    grid data is first accessed).
+
+    ``name``/``leaf_count``/``voxel_size``/``background``/``meta`` are
+    available without touching the value buffers; ``.grid`` (property)
+    reads and caches them on first access.  Requires a seekable archive
+    (``hasGridOffsets``, i.e. ``end_pos > 0`` — all framework-written files).
+    """
+
+    def __init__(self, path, info, buffers_off):
+        self._path = path
+        self._info = info
+        self._buffers_off = buffers_off
+        self._grid = None
+
+    name = property(lambda self: self._info["name"])
+    voxel_size = property(lambda self: self._info["voxel_size"])
+    background = property(lambda self: self._info["background"])
+    meta = property(lambda self: self._info["meta"])
+    leaf_count = property(lambda self: len(self._info["leaf_order"]))
+    loaded = property(lambda self: self._grid is not None)
+
+    @property
+    def grid(self) -> VdbGrid:
+        if self._grid is None:
+            i = self._info
+            with open(self._path, "rb") as f:
+                f.seek(self._buffers_off)
+                data = f.read(i["end_pos"] - self._buffers_off)
+            self._grid = _read_leaf_buffers(
+                memoryview(data), 0, i["name"], i["leaf_order"],
+                i["background"], i["compression"], i["c"], i["half"],
+                i["voxel_size"])
+        return self._grid
+
+
+def open_vdb(path: str) -> List[DelayedVdbGrid]:
+    """Open an archive with DELAYED leaf-buffer loading: parses headers,
+    metadata and tree topology for every grid, but defers each grid's leaf
+    value buffers until its ``.grid`` is first accessed."""
+    data = open(path, "rb").read()
+    mv = memoryview(data)
+    off, ngrids = _parse_archive_header(mv)
     out = []
     for _ in range(ngrids):
-        name, off = _read_string(mv, off)
-        gtype, off = _read_string(mv, off)
-        half = gtype.endswith("_HalfFloat")
-        base_type = gtype[:-len("_HalfFloat")] if half else gtype
-        assert base_type in ("Tree_float_5_4_3", "Tree_vec3s_5_4_3"), (
-            f"unsupported grid type {gtype}")
-        c = 1 if base_type == "Tree_float_5_4_3" else 3
-        parent, off = _read_string(mv, off)
-        grid_pos, block_pos, end_pos = struct.unpack_from("<3q", mv, off)
-        off += 24
-        (compression,) = struct.unpack_from("<I", mv, off); off += 4
-        (nmeta,) = struct.unpack_from("<I", mv, off); off += 4
-        meta = {}
-        for _ in range(nmeta):
-            mname, off = _read_string(mv, off)
-            mtype, off = _read_string(mv, off)
-            (sz,) = struct.unpack_from("<i", mv, off); off += 4
-            meta[mname] = (mtype, bytes(mv[off:off + sz])); off += sz
-        map_type, off = _read_string(mv, off)
-        assert map_type in ("UniformScaleMap", "ScaleMap"), map_type
-        scale = struct.unpack_from("<3d", mv, off)
-        off += 5 * 24
-        off += 4                                      # bufferCount
-        bgv = struct.unpack_from(f"<{c}f", mv, off); off += 4 * c
-        background = bgv[0] if c == 1 else np.asarray(bgv, np.float32)
-        ntiles, nchildren = struct.unpack_from("<II", mv, off); off += 8
-        assert ntiles == 0, "root tiles not supported"
-
-        leaves = {}                                   # origin -> (mask, placeholder)
-        int2n = 1 << (3 * INT2_LOG2)
-        int1n = 1 << (3 * INT1_LOG2)
-        leafn = 1 << (3 * LEAF_LOG2)
-        leaf_order = []
-        for _ in range(nchildren):
-            org2 = np.asarray(struct.unpack_from("<3i", mv, off)); off += 12
-            cm2 = _unpack_mask(bytes(mv[off:off + int2n // 8]), int2n); off += int2n // 8
-            vm2 = _unpack_mask(bytes(mv[off:off + int2n // 8]), int2n); off += int2n // 8
-            _, off = _read_compressed_values(mv, off, int2n, vm2, background,
-                                             compression, c, half)
-            for o2 in np.flatnonzero(cm2):
-                x = (o2 >> (2 * INT2_LOG2)) & 31
-                y = (o2 >> INT2_LOG2) & 31
-                z = o2 & 31
-                org1 = org2 + np.asarray([x, y, z]) * INT1_SPAN
-                cm1 = _unpack_mask(bytes(mv[off:off + int1n // 8]), int1n)
-                off += int1n // 8
-                vm1 = _unpack_mask(bytes(mv[off:off + int1n // 8]), int1n)
-                off += int1n // 8
-                _, off = _read_compressed_values(mv, off, int1n, vm1, background,
-                                                 compression, c, half)
-                for o1 in np.flatnonzero(cm1):
-                    lx = (o1 >> (2 * INT1_LOG2)) & 15
-                    ly = (o1 >> INT1_LOG2) & 15
-                    lz = o1 & 15
-                    lorg = org1 + np.asarray([lx, ly, lz]) * LEAF_DIM
-                    lm = _unpack_mask(bytes(mv[off:off + leafn // 8]), leafn)
-                    off += leafn // 8
-                    leaves[tuple(lorg)] = lm
-                    leaf_order.append(tuple(lorg))
-
-        # leaf buffers, same order
-        leaf_vals = {}
-        for lorg in leaf_order:
-            lm = _unpack_mask(bytes(mv[off:off + leafn // 8]), leafn)
-            off += leafn // 8
-            vals, off = _read_compressed_values(mv, off, leafn, lm, background,
-                                                compression, c, half)
-            leaf_vals[lorg] = (vals, lm)
-
-        vdim = (LEAF_DIM, LEAF_DIM, LEAF_DIM) + ((c,) if c > 1 else ())
-        if leaf_order:
-            orgs = np.asarray(leaf_order)
-            lo = orgs.min(axis=0)
-            hi = orgs.max(axis=0) + LEAF_DIM
-            shape = tuple(hi - lo)
-            dense = np.empty(shape + ((c,) if c > 1 else ()), np.float32)
-            dense[...] = background
-            active = np.zeros(shape, bool)
-            for lorg in leaf_order:
-                vals, lm = leaf_vals[lorg]
-                s = tuple(slice(int(lorg[d] - lo[d]), int(lorg[d] - lo[d] + LEAF_DIM))
-                          for d in range(3))
-                dense[s] = vals.reshape(vdim)
-                active[s] = lm.reshape(LEAF_DIM, LEAF_DIM, LEAF_DIM)
-        else:
-            dense = np.zeros((0, 0, 0) + ((c,) if c > 1 else ()), np.float32)
-            active = np.zeros((0, 0, 0), bool)
-            lo = np.zeros(3, np.int64)
-
-        bg_out = (background if c == 1
-                  else tuple(float(x) for x in np.asarray(background)))
-        out.append(VdbGrid(values=dense, origin=tuple(int(x) for x in lo),
-                           active=active, name=name, background=bg_out,
-                           voxel_size=float(scale[0]), save_half=half))
-        if end_pos > 0:
-            off = end_pos
+        info, buffers_off = _parse_grid_header(mv, off)
+        assert info["end_pos"] > 0, (
+            "delayed load requires a seekable archive (grid offsets)")
+        out.append(DelayedVdbGrid(path, info, buffers_off))
+        off = info["end_pos"]
     return out
+
+
+def read_vdb(path: str) -> List[VdbGrid]:
+    data = open(path, "rb").read()
+    mv = memoryview(data)
+    off, ngrids = _parse_archive_header(mv)
+    out = []
+    for _ in range(ngrids):
+        info, off = _parse_grid_header(mv, off)
+        grid = _read_leaf_buffers(mv, off, info["name"], info["leaf_order"],
+                                  info["background"], info["compression"],
+                                  info["c"], info["half"],
+                                  info["voxel_size"])
+        out.append(grid)
+        if info["end_pos"] > 0:
+            off = info["end_pos"]
+    return out
+
+
+def _read_leaf_buffers(mv, off, name, leaf_order, background, compression,
+                       c, half, voxel_size) -> VdbGrid:
+    """Read the leaf-VALUE-buffer section of one grid (``Tree::readBuffers``)
+    starting at ``off`` (== the GridDescriptor's ``block_pos``) and assemble
+    the dense grid.  Shared by the eager reader and the delayed loader."""
+    leafn = 1 << (3 * LEAF_LOG2)
+    leaf_vals = {}
+    for lorg in leaf_order:
+        lm = _unpack_mask(bytes(mv[off:off + leafn // 8]), leafn)
+        off += leafn // 8
+        vals, off = _read_compressed_values(mv, off, leafn, lm, background,
+                                            compression, c, half)
+        leaf_vals[lorg] = (vals, lm)
+
+    vdim = (LEAF_DIM, LEAF_DIM, LEAF_DIM) + ((c,) if c > 1 else ())
+    if leaf_order:
+        orgs = np.asarray(leaf_order)
+        lo = orgs.min(axis=0)
+        hi = orgs.max(axis=0) + LEAF_DIM
+        shape = tuple(hi - lo)
+        dense = np.empty(shape + ((c,) if c > 1 else ()), np.float32)
+        dense[...] = background
+        active = np.zeros(shape, bool)
+        for lorg in leaf_order:
+            vals, lm = leaf_vals[lorg]
+            s = tuple(slice(int(lorg[d] - lo[d]), int(lorg[d] - lo[d] + LEAF_DIM))
+                      for d in range(3))
+            dense[s] = vals.reshape(vdim)
+            active[s] = lm.reshape(LEAF_DIM, LEAF_DIM, LEAF_DIM)
+    else:
+        dense = np.zeros((0, 0, 0) + ((c,) if c > 1 else ()), np.float32)
+        active = np.zeros((0, 0, 0), bool)
+        lo = np.zeros(3, np.int64)
+
+    bg_out = (background if c == 1
+              else tuple(float(x) for x in np.asarray(background)))
+    return VdbGrid(values=dense, origin=tuple(int(x) for x in lo),
+                   active=active, name=name, background=bg_out,
+                   voxel_size=voxel_size, save_half=half)

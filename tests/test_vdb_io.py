@@ -170,3 +170,35 @@ def test_half_float_roundtrip(tmp_path):
     (r,) = vdb.read_vdb(path)
     np.testing.assert_allclose(
         r.values[:8, :8, :8][a3], v3[a3].astype(np.float16).astype(np.float32))
+
+
+@pytest.mark.parametrize("compression", ALL_COMPRESSION)
+def test_delayed_load(tmp_path, compression):
+    """``open_vdb`` defers leaf value buffers (io::File delayed loading):
+    metadata/topology are available before any buffer read, and the
+    on-demand load matches the eager reader exactly."""
+    from fluidsim_tpu.io.vdb import open_vdb
+
+    g1 = _grid(seed=4, frac_active=0.4)
+    g2 = _grid(seed=5)
+    g2.name = "other"
+    path = str(tmp_path / "d.vdb")
+    write_vdb(path, [g1, g2], compression=compression)
+
+    handles = open_vdb(path)
+    assert [h.name for h in handles] == ["g", "other"]
+    assert all(not h.loaded for h in handles)
+    assert handles[0].leaf_count > 0
+    assert handles[0].voxel_size == 1.0
+
+    eager = read_vdb(path)
+    # load ONLY the second grid; the first stays unloaded
+    r = handles[1].grid
+    assert handles[1].loaded and not handles[0].loaded
+    np.testing.assert_array_equal(r.values, eager[1].values)
+    np.testing.assert_array_equal(r.active, eager[1].active)
+    assert r.name == "other"
+    # now the first
+    r0 = handles[0].grid
+    np.testing.assert_array_equal(r0.values, eager[0].values)
+    np.testing.assert_array_equal(r0.active, eager[0].active)
