@@ -82,7 +82,14 @@ class HaloLayout:
 def sort_by_cell_h(pos, vel, bound: int, layout: HaloLayout, extra=None):
     """Sort particles by the haloed flat id of their base cell (same order
     as ``transfer_fast.sort_by_cell``; different id arithmetic).  ``extra``:
-    optional (P, K) payload sorted along (e.g. flattened APIC C)."""
+    optional (P, K) payload sorted along (e.g. flattened APIC C).
+
+    Schedule note (measured at 129^3/2M, tunnel-floor-subtracted): the
+    16-operand APIC sort costs ~17 ms vs ~4 ms for the 7-operand FLIP
+    sort; a 2-operand key+iota sort + row-gather permutes was tried and
+    is ~3x WORSE here (~55 ms — 2M-row gathers of 3/9-wide payloads are
+    slower than the extra sort operands; the opposite holds for MPM's
+    25-column state at <=0.5M particles, ``mpm_pallas.sort_particles``)."""
     n = 2 * bound + 1
     base = cround(pos).astype(jnp.int32)
     bc = jnp.clip(base + bound, 0, n - 1)
