@@ -53,7 +53,7 @@ class FlipParams:
     gravity: Tuple[float, float, float] = (0.0, -10.0, 0.0)
     outer_tol: float = 0.1
     max_outer: int = 100
-    pcg_rtol: float = 1e-5
+    pcg_rtol: float = 0.0       # 0 = auto by grid size (auto_pcg_rtol)
     pcg_maxiter: int = 400
     mode: str = "flip"          # "flip" (e=0) or "pic" (e=0.5)
     kernel: str = "flip"
@@ -158,6 +158,19 @@ def advect_bounce(pos, vel, dt, solid, bound: int, e: float, rounding: str,
     return pos_out, velm
 
 
+def auto_pcg_rtol(n: int) -> float:
+    """CG tolerance auto-scale (used when ``params.pcg_rtol == 0``).
+
+    1e-5 at the reference class (n <= 129) keeps the recorded KE-parity
+    trace stable (``docs/parity_full_121cube.json``: 1.6e-5 vs the C++
+    port at rtol 1e-5).  Scaled grids get 1e-3: measured at 255^3/9.8M
+    the outer divergence error and div_rms are IDENTICAL to 3 digits
+    (0.0658 / 1.60 — the do-while's err <= 0.1 contract, ``fluid.cc:1484``,
+    is enforced regardless), KE differs by 2e-4 relative, and CG
+    iterations drop 62 -> 31 (frame 549 -> 420 ms)."""
+    return 1e-5 if n <= 129 else 1e-3
+
+
 def project(params: FlipParams, velg, fluid, solid, dt, p0=None,
             cm: bool = False):
     """Pressure projection.
@@ -189,6 +202,7 @@ def project(params: FlipParams, velg, fluid, solid, dt, p0=None,
     """
     g = jnp.asarray(params.gravity, velg.dtype)
     dx, rho = params.dx, params.rho
+    pcg_rtol = params.pcg_rtol or auto_pcg_rtol(fluid.shape[0])
     adiag = pr.laplacian_diag(fluid, solid, dt, rho, dx, dtype=velg.dtype)
 
     # On the Pallas path the whole CG loop runs in the packed (Npx, L)
@@ -241,7 +255,7 @@ def project(params: FlipParams, velg, fluid, solid, dt, p0=None,
         def solve(b, x0):
             res = pcg(apply_a, pad(b), x0=pad(x0),
                       precond=precond,
-                      rtol=params.pcg_rtol, maxiter=params.pcg_maxiter)
+                      rtol=pcg_rtol, maxiter=params.pcg_maxiter)
             return unpad(res.x), res.iters
     else:
         apply_a = lambda p: pr.apply_laplacian(p, adiag, fluid, dt, rho, dx)
@@ -258,7 +272,7 @@ def project(params: FlipParams, velg, fluid, solid, dt, p0=None,
 
         def solve(b, x0):
             res = pcg(apply_a, b, x0=x0, precond=precond,
-                      rtol=params.pcg_rtol, maxiter=params.pcg_maxiter)
+                      rtol=pcg_rtol, maxiter=params.pcg_maxiter)
             return res.x, res.iters
 
     def norm(x):

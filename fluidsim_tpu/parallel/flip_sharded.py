@@ -36,7 +36,8 @@ from fluidsim_tpu.core.splines import cround
 from fluidsim_tpu.ops import pressure as pr
 from fluidsim_tpu.ops import transfer
 from fluidsim_tpu.ops.pcg import pcg, jacobi_preconditioner
-from fluidsim_tpu.models.flip import FlipParams, advect_bounce
+from fluidsim_tpu.models.flip import (FlipParams, advect_bounce,
+                                      auto_pcg_rtol)
 from fluidsim_tpu.parallel.halo import exchange_halo, halo_reduce, migrate_neighbors
 from fluidsim_tpu.scenes import Scene, get_scene
 from fluidsim_tpu.seeding import seed_particles
@@ -335,7 +336,8 @@ def _sharded_step(params: FlipParams, nl: int, cap: int, mig_cap: int,
         rhs = pr.set_rhs(vg_ext, fluid_ext, solid_ext1, g, dt, dx)[1:-1]
         rhs_ext = exchange_halo(rhs, 1, AX)
         b = pr.divergence_rhs(vg_ext, rhs_ext, fluid_ext, solid_ext1, dx)[1:-1]
-        res = pcg(apply_a, b, x0=px0, precond=precond, rtol=params.pcg_rtol,
+        res = pcg(apply_a, b, x0=px0, precond=precond,
+                  rtol=params.pcg_rtol or auto_pcg_rtol(n),
                   maxiter=params.pcg_maxiter, reduce_fn=psum)
         p_ext = exchange_halo(jnp.where(fluid, res.x, 0.0), 1, AX)
         vg2 = pr.vel_update(vg_ext, p_ext, fluid_ext, solid_ext1, g, dt,
