@@ -227,6 +227,12 @@ def project(params: FlipParams, velg, fluid, solid, dt, p0=None,
         cap = 16 if params.mode == "apic" else 32
         if params.stencil_bx_cap:
             cap = min(cap, params.stencil_bx_cap)
+        if params.preconditioner == "chebyshev":
+            # the fused Chebyshev-step kernel carries 4 extra (bx, L) block
+            # scratches (6bx+32 window rows total): bx=16 keeps it inside
+            # scoped VMEM at 129^3-class L, and the solve is bx-insensitive
+            # (measured 11.1/10.6/8.4 ms at bx 32/16/8)
+            cap = min(cap, 16)
         mode_, bxs, lblk = pst.pick_layout(nn, cap=cap)
         if mode_ == "row":
             pad = lambda q: pst.pad_x(q, bx=bxs)
@@ -244,13 +250,13 @@ def project(params: FlipParams, velg, fluid, solid, dt, p0=None,
         safe_ad = jnp.where(ad_p > 0, ad_p, 1.0)
         precond = lambda r: jnp.where(ad_p > 0, r / safe_ad, 0.0)
         if params.preconditioner == "chebyshev":
-            # polynomial preconditioner in the SAME packed layout: d+1
-            # fused-stencil applies per CG iteration amortize the dots/
-            # axpys/while-step overhead over ~(d+1)x fewer iterations
-            from fluidsim_tpu.ops.pcg import chebyshev_preconditioner
-            precond = chebyshev_preconditioner(
-                apply_a, precond, degree=params.cheb_degree,
-                ratio=params.cheb_ratio)
+            # polynomial preconditioner in the SAME packed layout, with
+            # FUSED inner steps (one Pallas pass per step instead of an
+            # apply + 4 elementwise sweeps — pallas_stencil.
+            # chebyshev_precond_fused); same polynomial, same f32 op order
+            precond = pst.chebyshev_precond_fused(
+                ad_p, scale, nn, mode_, bxs, lblk,
+                degree=params.cheb_degree, ratio=params.cheb_ratio)
 
         def solve(b, x0):
             res = pcg(apply_a, pad(b), x0=pad(x0),

@@ -292,3 +292,260 @@ def pad_x(a, bx: int = 32):
 
 def unpad_x(a_pad, n: int, bx: int = 32):
     return a_pad[8:8 + n, :n * n].reshape(n, n, n)
+
+
+# ---- fused Chebyshev semi-iteration step -----------------------------------
+#
+# One inner step of the Chebyshev preconditioner
+# (``ops.pcg.chebyshev_preconditioner``) is
+#
+#     resid = r - A z;  d' = c1*d + c2*(resid / adiag);  z' = z + d'
+#
+# — an apply plus ~4 full-vector elementwise passes when composed from XLA
+# ops (~12 HBM sweeps of the packed state per step).  This kernel does the
+# whole step in ONE pass: z and adiag stream through the same windows the
+# plain apply uses, r and d ride along as halo-free block reads, and both
+# outputs write back per block (~7 sweeps).  The c1/c2 scalars come from
+# the rho recurrence, which is pure trace-time Python float arithmetic.
+# Numerics are identical to the composed form: same f32 ops in the same
+# order (masked neighbour sum, then the subtract/divide/axpy chain).
+
+def _kernel_cheb(cs_ref, p_hbm, a_hbm, r_hbm, d_hbm, dn_hbm, zn_hbm,
+                 p_buf, a_buf, r_buf, d_buf, dn_buf, zn_buf, sems,
+                 *, bx, n, npx, l):
+    i = pl.program_id(0)
+    scale, c1, c2 = cs_ref[0], cs_ref[1], cs_ref[2]
+    start = i * bx
+    wstart = pl.multiple_of(jnp.clip(start - 8, 0, npx - (bx + _W)), 8)
+    d0 = pl.multiple_of(start - wstart, 8)
+
+    cps = [pltpu.make_async_copy(p_hbm.at[pl.ds(wstart, bx + _W)], p_buf,
+                                 sems.at[0]),
+           pltpu.make_async_copy(a_hbm.at[pl.ds(wstart, bx + _W)], a_buf,
+                                 sems.at[1]),
+           pltpu.make_async_copy(r_hbm.at[pl.ds(start, bx)], r_buf,
+                                 sems.at[2]),
+           pltpu.make_async_copy(d_hbm.at[pl.ds(start, bx)], d_buf,
+                                 sems.at[3])]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+    def q_at(off, rows):
+        off = pl.multiple_of(off, 8)
+        return jnp.where(a_buf[pl.ds(off, rows)] > 0,
+                         p_buf[pl.ds(off, rows)], 0.0)
+
+    mid = q_at(d0, bx)
+    prev8 = q_at(pl.multiple_of(jnp.maximum(d0 - 8, 0), 8), 8)
+    next8 = q_at(pl.multiple_of(jnp.minimum(d0 + bx, bx + _W - 8), 8), 8)
+    x_minus = jnp.concatenate([prev8[7:8], mid[:-1]], axis=0)
+    x_plus = jnp.concatenate([mid[1:], next8[0:1]], axis=0)
+    y_minus = pltpu.roll(mid, n, 1)
+    y_plus = pltpu.roll(mid, l - n, 1)
+    z_minus = pltpu.roll(mid, 1, 1)
+    z_plus = pltpu.roll(mid, l - 1, 1)
+
+    a_mid = a_buf[pl.ds(pl.multiple_of(d0, 8), bx)]
+    az = (a_mid * mid
+          - scale * (x_minus + x_plus + y_minus + y_plus + z_minus + z_plus))
+    az = jnp.where(a_mid > 0, az, 0.0)
+    resid = r_buf[...] - az
+    safe = jnp.where(a_mid > 0, a_mid, 1.0)
+    pd = jnp.where(a_mid > 0, resid / safe, 0.0)
+    dn = c1 * d_buf[...] + c2 * pd
+    dn_buf[...] = dn
+    zn_buf[...] = mid + dn
+    cpo = [pltpu.make_async_copy(dn_buf, dn_hbm.at[pl.ds(start, bx)],
+                                 sems.at[0]),
+           pltpu.make_async_copy(zn_buf, zn_hbm.at[pl.ds(start, bx)],
+                                 sems.at[1])]
+    for cp in cpo:
+        cp.start()
+    for cp in cpo:
+        cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("n", "bx", "interpret"))
+def cheb_step_padded(z_pad, adiag_pad, r_pad, d_pad, scale, c1, c2, n: int,
+                     bx: int = 32, interpret: bool = False):
+    """One fused Chebyshev inner step on (Npx, L) padded state; returns
+    (d_new, z_new).  ``z`` must already be masked to fluid cells with zero
+    padding (every producer in the solve maintains this invariant — the
+    kernel re-masks via ``adiag > 0`` anyway, matching the plain apply)."""
+    npx, l = z_pad.shape
+    assert npx % bx == 0 and l % 128 == 0
+
+    return pl.pallas_call(
+        functools.partial(_kernel_cheb, bx=bx, n=n, npx=npx, l=l),
+        grid=(npx // bx,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((npx, l), z_pad.dtype)] * 2,
+        scratch_shapes=[pltpu.VMEM((bx + _W, l), z_pad.dtype),
+                        pltpu.VMEM((bx + _W, l), z_pad.dtype),
+                        pltpu.VMEM((bx, l), z_pad.dtype),
+                        pltpu.VMEM((bx, l), z_pad.dtype),
+                        pltpu.VMEM((bx, l), z_pad.dtype),
+                        pltpu.VMEM((bx, l), z_pad.dtype),
+                        pltpu.SemaphoreType.DMA((4,))],
+        interpret=interpret,
+    )(jnp.asarray([scale, c1, c2], z_pad.dtype), z_pad, adiag_pad, r_pad,
+      d_pad)
+
+
+def _kernel_cheb_lh(cs_ref, p_hbm, a_hbm, r_hbm, d_hbm, dn_hbm, zn_hbm,
+                    p_buf, a_buf, r_buf, d_buf, dn_buf, zn_buf, sems,
+                    *, bx, n, npx, lblk, nlb, lh):
+    i = pl.program_id(0)
+    jj = pl.program_id(1)
+    scale, c1, c2 = cs_ref[0], cs_ref[1], cs_ref[2]
+    start = i * bx
+    wstart = pl.multiple_of(jnp.clip(start - 8, 0, npx - (bx + _W)), 8)
+    d0 = pl.multiple_of(start - wstart, 8)
+    lw = lblk + 2 * lh
+
+    cps = [pltpu.make_async_copy(
+               p_hbm.at[pl.ds(wstart, bx + _W), pl.ds(jj * lblk, lw)], p_buf,
+               sems.at[0]),
+           pltpu.make_async_copy(
+               a_hbm.at[pl.ds(wstart, bx + _W), pl.ds(jj * lblk, lw)], a_buf,
+               sems.at[1]),
+           pltpu.make_async_copy(
+               r_hbm.at[pl.ds(start, bx), pl.ds(lh + jj * lblk, lblk)],
+               r_buf, sems.at[2]),
+           pltpu.make_async_copy(
+               d_hbm.at[pl.ds(start, bx), pl.ds(lh + jj * lblk, lblk)],
+               d_buf, sems.at[3])]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+    def q_at(off, rows):
+        off = pl.multiple_of(off, 8)
+        return jnp.where(a_buf[pl.ds(off, rows)] > 0,
+                         p_buf[pl.ds(off, rows)], 0.0)
+
+    q = q_at(d0, bx)
+    mid = q[:, lh:lh + lblk]
+    prev8 = q_at(pl.multiple_of(jnp.maximum(d0 - 8, 0), 8), 8)
+    next8 = q_at(pl.multiple_of(jnp.minimum(d0 + bx, bx + _W - 8), 8), 8)
+    x_minus = jnp.concatenate([prev8[7:8, lh:lh + lblk], mid[:-1]], 0)
+    x_plus = jnp.concatenate([mid[1:], next8[0:1, lh:lh + lblk]], 0)
+    y_minus = q[:, lh - n:lh - n + lblk]
+    y_plus = q[:, lh + n:lh + n + lblk]
+    z_minus = q[:, lh - 1:lh - 1 + lblk]
+    z_plus = q[:, lh + 1:lh + 1 + lblk]
+
+    a_mid = a_buf[pl.ds(pl.multiple_of(d0, 8), bx), lh:lh + lblk]
+    az = (a_mid * mid
+          - scale * (x_minus + x_plus + y_minus + y_plus + z_minus + z_plus))
+    az = jnp.where(a_mid > 0, az, 0.0)
+    resid = r_buf[...] - az
+    safe = jnp.where(a_mid > 0, a_mid, 1.0)
+    pd = jnp.where(a_mid > 0, resid / safe, 0.0)
+    dn = c1 * d_buf[...] + c2 * pd
+    dn_buf[:, lh:lh + lblk] = dn
+    zn_buf[:, lh:lh + lblk] = mid + dn
+    cpo = [pltpu.make_async_copy(
+               dn_buf.at[:, pl.ds(lh, lblk)],
+               dn_hbm.at[pl.ds(start, bx), pl.ds(lh + jj * lblk, lblk)],
+               sems.at[0]),
+           pltpu.make_async_copy(
+               zn_buf.at[:, pl.ds(lh, lblk)],
+               zn_hbm.at[pl.ds(start, bx), pl.ds(lh + jj * lblk, lblk)],
+               sems.at[1])]
+    for cp in cpo:
+        cp.start()
+
+    # edge lane blocks re-zero the halo lanes of BOTH outputs (the d/z
+    # carries must keep exactly-zero halos for the next step's window reads)
+    dn_buf[:, :lh] = jnp.zeros_like(dn_buf[:, :lh])
+
+    @pl.when(jj == 0)
+    def _():
+        for h in (dn_hbm, zn_hbm):
+            cp_l = pltpu.make_async_copy(
+                dn_buf.at[:, pl.ds(0, lh)],
+                h.at[pl.ds(start, bx), pl.ds(0, lh)], sems.at[2])
+            cp_l.start()
+            cp_l.wait()
+
+    @pl.when(jj == nlb - 1)
+    def _():
+        for h in (dn_hbm, zn_hbm):
+            cp_r = pltpu.make_async_copy(
+                dn_buf.at[:, pl.ds(0, lh)],
+                h.at[pl.ds(start, bx), pl.ds(lh + nlb * lblk, lh)],
+                sems.at[2])
+            cp_r.start()
+            cp_r.wait()
+
+    for cp in cpo:
+        cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("n", "bx", "lblk", "interpret"))
+def cheb_step_padded_lh(z_pad, adiag_pad, r_pad, d_pad, scale, c1, c2,
+                        n: int, bx: int = 32, lblk: int = 8192,
+                        interpret: bool = False):
+    """Lane-blocked twin of ``cheb_step_padded`` (layout from ``pad_x_lh``)."""
+    lh = lane_halo_s(n)
+    npx, lwr = z_pad.shape
+    lp = lwr - 2 * lh
+    assert npx % bx == 0 and lp % lblk == 0 and n < lh
+
+    return pl.pallas_call(
+        functools.partial(_kernel_cheb_lh, bx=bx, n=n, npx=npx, lblk=lblk,
+                          nlb=lp // lblk, lh=lh),
+        grid=(npx // bx, lp // lblk),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((npx, lwr), z_pad.dtype)] * 2,
+        scratch_shapes=[pltpu.VMEM((bx + _W, lblk + 2 * lh), z_pad.dtype),
+                        pltpu.VMEM((bx + _W, lblk + 2 * lh), z_pad.dtype),
+                        pltpu.VMEM((bx, lblk), z_pad.dtype),
+                        pltpu.VMEM((bx, lblk), z_pad.dtype),
+                        pltpu.VMEM((bx, lblk + 2 * lh), z_pad.dtype),
+                        pltpu.VMEM((bx, lblk + 2 * lh), z_pad.dtype),
+                        pltpu.SemaphoreType.DMA((4,))],
+        interpret=interpret,
+    )(jnp.asarray([scale, c1, c2], z_pad.dtype), z_pad, adiag_pad, r_pad,
+      d_pad)
+
+
+def chebyshev_precond_fused(ad_p, scale, n: int, mode: str, bx: int,
+                            lblk: int, degree: int = 3, lam_max: float = 2.0,
+                            ratio: float = 30.0, interpret: bool = False):
+    """Packed-layout Chebyshev preconditioner with FUSED inner steps.
+
+    Same polynomial as ``ops.pcg.chebyshev_preconditioner`` (identical f32
+    op order per step — see ``_kernel_cheb``), but each inner step is one
+    Pallas pass instead of an apply plus four elementwise sweeps.  The rho
+    recurrence is trace-time Python float arithmetic, so every step's
+    (c1, c2) pair is a compile-time constant."""
+    a, b = lam_max / ratio, lam_max
+    theta = 0.5 * (b + a)
+    delta = 0.5 * (b - a)
+    sigma1 = theta / delta
+    safe_ad = jnp.where(ad_p > 0, ad_p, 1.0)
+    step = cheb_step_padded if mode == "row" else cheb_step_padded_lh
+    kw = dict(bx=bx, interpret=interpret) if mode == "row" else dict(
+        bx=bx, lblk=lblk, interpret=interpret)
+
+    def precond(r):
+        rho = 1.0 / sigma1
+        d = jnp.where(ad_p > 0, r / safe_ad, 0.0) * (1.0 / theta)
+        z = d
+        for _ in range(degree - 1):
+            rho_new = 1.0 / (2.0 * sigma1 - rho)
+            d, z = step(z, ad_p, r, d, scale, rho_new * rho,
+                        2.0 * rho_new / delta, n, **kw)
+            rho = rho_new
+        return z
+
+    return precond

@@ -104,3 +104,51 @@ def test_lane_blocked_matches_xla_apply(bound, inner, lblk):
                                          lblk=lblk)
     np.testing.assert_array_equal(np.asarray(full[:, :256]), 0.0)
     np.testing.assert_array_equal(np.asarray(full[:, -256:]), 0.0)
+
+
+@pytest.mark.parametrize("mode", ["row", "lane"])
+def test_cheb_step_fused_matches_composed(mode):
+    """The fused Chebyshev inner-step kernel must reproduce the composed
+    (apply + elementwise) semi-iteration of ``pcg.chebyshev_preconditioner``
+    exactly, in both packed layouts."""
+    from fluidsim_tpu.ops.pcg import chebyshev_preconditioner
+    from fluidsim_tpu.ops import pallas_stencil as pst
+
+    bound, inner = 8, 5
+    spec = GridSpec(bound=bound, wall=bound - 2)
+    solid = jnp.asarray(spec.wall_mask())
+    fluid = jnp.asarray(spec.within_mask(inner)) & ~solid
+    dt, rho, dx = 0.1, 1.0, 1.0
+    n = spec.n
+    adiag = pr.laplacian_diag(fluid, solid, dt, rho, dx)
+    scale = dt / (rho * dx * dx)
+    rng = np.random.default_rng(3)
+    r3 = jnp.where(fluid,
+                   jnp.asarray(rng.normal(size=spec.shape), jnp.float32), 0)
+
+    if mode == "row":
+        bx, lblk = 8, 0
+        pad = lambda q: pst.pad_x(q, bx=bx)
+        unpad = lambda q: pst.unpad_x(q, n, bx=bx)
+        apply_k = lambda q: pst.apply_laplacian_padded(
+            q, ad_p, scale, n, bx=bx, interpret=True)
+    else:
+        bx, lblk = 8, 512
+        pad = lambda q: pst.pad_x_lh(q, bx=bx, lblk=lblk)
+        unpad = lambda q: pst.unpad_x_lh(q, n, bx=bx, lblk=lblk)
+        apply_k = lambda q: pst.apply_laplacian_padded_lh(
+            q, ad_p, scale, n, bx=bx, lblk=lblk, interpret=True)
+    ad_p = pad(adiag)
+    r_p = pad(r3)
+    safe = jnp.where(ad_p > 0, ad_p, 1.0)
+    precond_d = lambda u: jnp.where(ad_p > 0, u / safe, 0.0)
+
+    for degree in (2, 3, 4):
+        composed = chebyshev_preconditioner(apply_k, precond_d,
+                                            degree=degree)
+        fused = pst.chebyshev_precond_fused(ad_p, scale, n, mode, bx, lblk,
+                                            degree=degree, interpret=True)
+        zc = unpad(composed(r_p))
+        zf = unpad(fused(r_p))
+        np.testing.assert_allclose(np.asarray(zf), np.asarray(zc),
+                                   atol=1e-6, rtol=1e-5)
