@@ -227,13 +227,12 @@ def project(params: FlipParams, velg, fluid, solid, dt, p0=None,
         cap = 16 if params.mode == "apic" else 32
         if params.stencil_bx_cap:
             cap = min(cap, params.stencil_bx_cap)
-        if params.preconditioner == "chebyshev":
-            # the fused Chebyshev-step kernel carries 4 extra (bx, L) block
-            # scratches (6bx+32 window rows total): bx=16 keeps it inside
-            # scoped VMEM at 129^3-class L, and the solve is bx-insensitive
-            # (measured 11.1/10.6/8.4 ms at bx 32/16/8)
-            cap = min(cap, 16)
-        mode_, bxs, lblk = pst.pick_layout(nn, cap=cap)
+        # the fused Chebyshev-step kernel carries 4 extra (bx, L) block
+        # scratches (pick_bx's 6bx+32 rows model): 129^3 -> row bx=16,
+        # 193^3 -> lane-blocked.  The solve is bx-insensitive anyway
+        # (measured 11.1/10.6/8.4 ms at bx 32/16/8).
+        mode_, bxs, lblk = pst.pick_layout(
+            nn, cap=cap, cheb_fused=params.preconditioner == "chebyshev")
         if mode_ == "row":
             pad = lambda q: pst.pad_x(q, bx=bxs)
             unpad = lambda q: pst.unpad_x(q, nn, bx=bxs)

@@ -108,19 +108,26 @@ def apply_laplacian_padded(p_pad, adiag_pad, scale, n: int, bx: int = 32,
     )(jnp.asarray([scale], p_pad.dtype), p_pad, adiag_pad)
 
 
-def pick_bx(n: int, cap: int = 32, budget_bytes: int = 9_000_000):
+def pick_bx(n: int, cap: int = 32, budget_bytes: int = 9_000_000,
+            scratch_rows=None):
     """Largest block size whose scoped-VMEM scratch fits on the chip.
 
-    The kernel's scratch is two (bx+16, L)-row windows plus a (bx, L) out
-    buffer, L = roundup(N^2, 128) — it scales with the grid's y/z plane.
+    The plain apply's scratch is two (bx+16, L)-row windows plus a (bx, L)
+    out buffer (3bx+32 rows), L = roundup(N^2, 128) — it scales with the
+    grid's y/z plane.  ``scratch_rows``: override the rows-per-bx model —
+    the fused Chebyshev-step kernel carries 4 extra (bx, L) blocks
+    (6bx+32 rows; at 193^3/bx=8 that is 11.96 MB and the compiler's stack
+    extras push the scoped footprint to 16.6 MB > the 16 MB limit, so the
+    solve must fall to the lane-blocked layout there).
     The 9 MB budget is empirical, not the nominal 16 MB: Mosaic/XLA add
     stack allocations of their own (193^3 at bx=16 reported a 22.7 MB
     scoped footprint for an 11.96 MB scratch), and the largest validated
     configurations are 129^3 @ bx=32 (8.58 MB) and 193^3 @ bx=8 (8.37 MB).
     """
     l = -(-(n * n) // 128) * 128
+    rows = scratch_rows or (lambda bx: 3 * bx + 32)
     for bx in (32, 16, 8):
-        if bx <= cap and (2 * (bx + _W) + bx) * l * 4 <= budget_bytes:
+        if bx <= cap and rows(bx) * l * 4 <= budget_bytes:
             return bx
     raise ValueError(
         f"no stencil block size fits scoped VMEM at N={n} "
@@ -267,12 +274,16 @@ def unpad_x_lh(a_pad, n: int, bx: int = 32, lblk: int = 8192):
     return a_pad[8:8 + n, lh:lh + n * n].reshape(n, n, n)
 
 
-def pick_layout(n: int, cap: int = 32):
+def pick_layout(n: int, cap: int = 32, cheb_fused: bool = False):
     """(mode, bx, lblk) for the packed solve: the full-row kernel where its
     scratch fits scoped VMEM, the lane-blocked kernel beyond (lane halo
-    grows with n — ``lane_halo_s`` — so any n the HBM fits is legal)."""
+    grows with n — ``lane_halo_s`` — so any n the HBM fits is legal).
+    ``cheb_fused``: size for the fused Chebyshev-step kernel's larger
+    scratch (6bx+32 rows — see ``pick_bx``): 129^3 stays row @ bx=16,
+    193^3 falls to the lane-blocked layout."""
+    rows = (lambda bx: 6 * bx + 32) if cheb_fused else None
     try:
-        return ("row", pick_bx(n, cap=cap), 0)
+        return ("row", pick_bx(n, cap=cap, scratch_rows=rows), 0)
     except ValueError:
         return ("lane", min(cap, 32), 8192)
 

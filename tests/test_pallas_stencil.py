@@ -63,7 +63,8 @@ def test_lane_blocked_projection_matches(monkeypatch):
     dt = jnp.asarray(0.1, jnp.float32)
 
     ref = project(params, velg, fluid, sim.solid, dt)
-    monkeypatch.setattr(pst, "pick_layout", lambda n, cap=32: ("lane", 16, 128))
+    monkeypatch.setattr(pst, "pick_layout",
+                        lambda n, cap=32, cheb_fused=False: ("lane", 16, 128))
     with pltpu.force_tpu_interpret_mode():
         out = project(dataclasses.replace(params, pallas_transfer=True),
                       velg, fluid, sim.solid, dt)
