@@ -64,7 +64,12 @@ class MpmParams:
     # well below the cap).
     hardening_max: float = 10.0     # cap on eps*(1 - Jp) in exp()
     max_gradv_dt: float = 0.5       # cap on dt * max|gradv| per particle
-    cg_rtol: float = 1e-6
+    cg_rtol: float = 1e-6    # do NOT loosen: rtol 1e-4 measured +14%
+    # steps/s at 127^3 (CG 3 -> 2 iterations) but DESTABILIZES the stiff
+    # implicit solve — the 500-frame 127^3 soak's KE blew past 5x its
+    # recorded peak by frame 150 (energy injection from under-converged
+    # elasticity), unlike FLIP's pressure solve where the outer loop
+    # bounds the error (models/flip.py:auto_pcg_rtol).
     cg_maxiter: int = 1000
     kernel: str = "mpm"
     fast_transfer: bool = False  # sorted channel-fused transfers (ops.mpm_fast);
