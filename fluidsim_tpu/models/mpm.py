@@ -65,11 +65,15 @@ class MpmParams:
     hardening_max: float = 10.0     # cap on eps*(1 - Jp) in exp()
     max_gradv_dt: float = 0.5       # cap on dt * max|gradv| per particle
     cg_rtol: float = 1e-6    # do NOT loosen: rtol 1e-4 measured +14%
-    # steps/s at 127^3 (CG 3 -> 2 iterations) but DESTABILIZES the stiff
-    # implicit solve — the 500-frame 127^3 soak's KE blew past 5x its
-    # recorded peak by frame 150 (energy injection from under-converged
-    # elasticity), unlike FLIP's pressure solve where the outer loop
-    # bounds the error (models/flip.py:auto_pcg_rtol).
+    # steps/s at 127^3 (CG 3 -> 2 iterations) and tracks the 1e-6 KE
+    # trajectory within 1% pre-impact — but REPRODUCIBLY crashes the TPU
+    # worker ("kernel fault") during the impact transient (frames
+    # 150-200) in two independent processes, while the 1e-6 run completes
+    # all 500 frames in the same code path.  The under-converged solve
+    # evidently reaches a value regime some kernel faults on; until that
+    # is isolated, the tolerance stays tight (unlike FLIP's pressure
+    # solve, where the outer do-while bounds the error and rtol
+    # auto-scales — models/flip.py:auto_pcg_rtol).
     cg_maxiter: int = 1000
     kernel: str = "mpm"
     fast_transfer: bool = False  # sorted channel-fused transfers (ops.mpm_fast);
