@@ -66,14 +66,15 @@ class MpmParams:
     max_gradv_dt: float = 0.5       # cap on dt * max|gradv| per particle
     cg_rtol: float = 1e-6    # do NOT loosen: rtol 1e-4 measured +14%
     # steps/s at 127^3 (CG 3 -> 2 iterations) and tracks the 1e-6 KE
-    # trajectory within 1% pre-impact — but REPRODUCIBLY crashes the TPU
-    # worker ("kernel fault") during the impact transient (frames
-    # 150-200) in two independent processes, while the 1e-6 run completes
-    # all 500 frames in the same code path.  The under-converged solve
-    # evidently reaches a value regime some kernel faults on; until that
-    # is isolated, the tolerance stays tight (unlike FLIP's pressure
-    # solve, where the outer do-while bounds the error and rtol
-    # auto-scales — models/flip.py:auto_pcg_rtol).
+    # trajectory within 1% pre-impact — but the under-converged implicit
+    # elasticity INJECTS ENERGY after impact: by frame ~195 the 1e-4 run
+    # sits at |v|max ~6400, KE 1.27e10 and flat, where the 1e-6 run
+    # peaked at 9.2e9 (frame 175) and decays.  The same value regime also
+    # reproducibly crashed the TPU worker inside the steps(50) scan
+    # program (2/2 processes, frames 150-200).  Tight tolerance is a
+    # correctness requirement here, unlike FLIP's pressure solve where
+    # the outer do-while bounds the error and rtol auto-scales
+    # (models/flip.py:auto_pcg_rtol).
     cg_maxiter: int = 1000
     kernel: str = "mpm"
     fast_transfer: bool = False  # sorted channel-fused transfers (ops.mpm_fast);
