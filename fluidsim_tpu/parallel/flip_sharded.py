@@ -227,6 +227,108 @@ def _g2p_fused_local(pos_s, flat_s, fields_ext, within_wall_ext, bound):
     return jnp.where(den[:, None] != 0, num / safe[:, None], 0.0)
 
 
+def _make_packed_slab_solve(params: FlipParams, adiag_ext, nl: int, n: int,
+                            scale, itp: bool):
+    """Per-shard PACKED-layout PCG — the single-chip Pallas solve kernels
+    (fused stencil apply + fused Chebyshev inner steps,
+    ``ops.pallas_stencil``) run on this shard's x-slab.
+
+    Layout: the ext slab (nl + 2 rows incl. 1-row ghosts) sits at packed
+    rows [8, 8+nl+2); CG vectors keep their ghost rows ZERO at all times so
+    the ``psum`` dot products never double-count, and every operator
+    application refreshes the ghosts transiently via ``ppermute`` (one
+    (L,)-row neighbour send per apply — the ICI traffic per CG iteration
+    is identical to the XLA slab path's 1-cell halo exchange).  ``adiag``
+    ghosts hold the REAL neighbour diagonal (exchanged once per solve), so
+    the kernels' ``adiag > 0`` masking reads true neighbour values across
+    shard boundaries and zeros beyond the domain ends (ppermute edge
+    fill), exactly like the wrap-around argument of the single-chip
+    layout."""
+    from fluidsim_tpu.ops import pallas_stencil as pst
+    from fluidsim_tpu.parallel.halo import _perm
+
+    cheb = params.preconditioner == "chebyshev"
+    mode_, bx, lblk = pst.pick_layout(n, cheb_fused=cheb)
+    if mode_ == "row":
+        l = -(-(n * n) // 128) * 128
+        lh = 0
+        apply_k = partial(pst.apply_laplacian_padded, n=n, bx=bx,
+                          interpret=itp)
+        step_k = partial(pst.cheb_step_padded, n=n, bx=bx, interpret=itp)
+    else:
+        lh = pst.lane_halo_s(n)
+        l = -(-(n * n) // lblk) * lblk + 2 * lh
+        apply_k = partial(pst.apply_laplacian_padded_lh, n=n, bx=bx,
+                          lblk=lblk, interpret=itp)
+        step_k = partial(pst.cheb_step_padded_lh, n=n, bx=bx, lblk=lblk,
+                         interpret=itp)
+    npx = -(-(8 + nl + 2 + bx + 8) // bx) * bx
+    gl, gr = 8, 9 + nl                       # ghost rows; interior [9, 9+nl)
+
+    def pad_ext(a):                          # (nl+2, n, n)
+        flat = a.reshape(nl + 2, n * n)
+        flat = jnp.pad(flat, ((0, 0), (lh, l - n * n - lh)))
+        return jnp.pad(flat, ((8, npx - (nl + 2) - 8), (0, 0)))
+
+    def pad_int(a):                          # (nl, n, n); ghosts zero
+        flat = a.reshape(nl, n * n)
+        flat = jnp.pad(flat, ((0, 0), (lh, l - n * n - lh)))
+        return jnp.pad(flat, ((9, npx - nl - 9), (0, 0)))
+
+    def unpad_int(q):
+        return q[9:9 + nl, lh:lh + n * n].reshape(nl, n, n)
+
+    ndev = jax.lax.axis_size(AX)
+
+    def set_ghosts(q):
+        from_left = jax.lax.ppermute(q[8 + nl], AX, _perm(ndev, 1))
+        from_right = jax.lax.ppermute(q[9], AX, _perm(ndev, -1))
+        return q.at[gl].set(from_left).at[gr].set(from_right)
+
+    def zero_ghosts(q):
+        z = jnp.zeros((q.shape[1],), q.dtype)
+        return q.at[gl].set(z).at[gr].set(z)
+
+    ad_p = pad_ext(adiag_ext)
+    safe_ad = jnp.where(ad_p > 0, ad_p, 1.0)
+    jac = lambda r: jnp.where(ad_p > 0, r / safe_ad, 0.0)
+
+    def apply_a(p):
+        return zero_ghosts(apply_k(set_ghosts(p), ad_p, scale))
+
+    if cheb:
+        a_, b_ = 2.0 / params.cheb_ratio, 2.0
+        theta = 0.5 * (b_ + a_)
+        delta = 0.5 * (b_ - a_)
+        sigma1 = theta / delta
+
+        def precond(r):
+            rho = 1.0 / sigma1
+            d = jac(r) * (1.0 / theta)
+            z = d
+            for _ in range(params.cheb_degree - 1):
+                rho_new = 1.0 / (2.0 * sigma1 - rho)
+                d, z = step_k(set_ghosts(z), ad_p, r, d, scale,
+                              rho_new * rho, 2.0 * rho_new / delta)
+                d = zero_ghosts(d)
+                z = zero_ghosts(z)
+                rho = rho_new
+            return z
+    else:
+        precond = jac
+
+    def psum(x):
+        return jax.lax.psum(x, AX)
+
+    def solve(b, x0):
+        res = pcg(apply_a, pad_int(b), x0=pad_int(x0), precond=precond,
+                  rtol=params.pcg_rtol or auto_pcg_rtol(n),
+                  maxiter=params.pcg_maxiter, reduce_fn=psum)
+        return unpad_int(res.x), res.iters
+
+    return solve
+
+
 def _sharded_step(params: FlipParams, nl: int, cap: int, mig_cap: int,
                   solid_full, solid_pad_ext, state: ShardedFlipState):
     """SPMD body: runs per device under shard_map."""
@@ -308,23 +410,31 @@ def _sharded_step(params: FlipParams, nl: int, cap: int, mig_cap: int,
         count = count + shift_to_plus(ns, d) + shift_to_minus(ns, d)
     adiag = jnp.where(fluid, adiag_scale * count[1:-1], 0.0)
 
-    def apply_a(p):
-        p_ext = exchange_halo(jnp.where(fluid, p, 0.0), 1, AX)
-        fl_ext = exchange_halo(fluid, 1, AX)
-        ad_ext = exchange_halo(adiag, 1, AX)
-        out = pr.apply_laplacian(p_ext, ad_ext, fl_ext, dt, rho, dx)
-        return out[1:-1]
+    if use_pallas:
+        # packed per-shard solve on the single-chip Pallas kernels (fused
+        # stencil apply + fused Chebyshev steps); ICI traffic per CG
+        # iteration is the same 1-row ghost exchange as the XLA path
+        solve_packed = _make_packed_slab_solve(
+            params, exchange_halo(adiag, 1, AX), nl, n, adiag_scale,
+            params.pallas_interpret)
+    else:
+        def apply_a(p):
+            p_ext = exchange_halo(jnp.where(fluid, p, 0.0), 1, AX)
+            fl_ext = exchange_halo(fluid, 1, AX)
+            ad_ext = exchange_halo(adiag, 1, AX)
+            out = pr.apply_laplacian(p_ext, ad_ext, fl_ext, dt, rho, dx)
+            return out[1:-1]
 
-    precond = jacobi_preconditioner(adiag, mask=fluid)
-    if params.preconditioner == "chebyshev":
-        # Polynomial preconditioning is even better multi-chip than single:
-        # the d+1 in-precond applies only exchange 1-cell halos over ICI,
-        # while cutting ~(d+1)x the number of CG iterations — i.e. the
-        # number of GLOBAL psum dot-product rounds per solve.
-        from fluidsim_tpu.ops.pcg import chebyshev_preconditioner
-        precond = chebyshev_preconditioner(apply_a, precond,
-                                           degree=params.cheb_degree,
-                                           ratio=params.cheb_ratio)
+        precond = jacobi_preconditioner(adiag, mask=fluid)
+        if params.preconditioner == "chebyshev":
+            # Polynomial preconditioning is even better multi-chip than
+            # single: the d+1 in-precond applies only exchange 1-cell halos
+            # over ICI, while cutting ~(d+1)x the number of CG iterations —
+            # i.e. the number of GLOBAL psum dot-product rounds per solve.
+            from fluidsim_tpu.ops.pcg import chebyshev_preconditioner
+            precond = chebyshev_preconditioner(apply_a, precond,
+                                               degree=params.cheb_degree,
+                                               ratio=params.cheb_ratio)
 
     def norm(x):
         return jnp.sqrt(psum(jnp.sum((x * x).astype(jnp.float32))))
@@ -336,10 +446,14 @@ def _sharded_step(params: FlipParams, nl: int, cap: int, mig_cap: int,
         rhs = pr.set_rhs(vg_ext, fluid_ext, solid_ext1, g, dt, dx)[1:-1]
         rhs_ext = exchange_halo(rhs, 1, AX)
         b = pr.divergence_rhs(vg_ext, rhs_ext, fluid_ext, solid_ext1, dx)[1:-1]
-        res = pcg(apply_a, b, x0=px0, precond=precond,
-                  rtol=params.pcg_rtol or auto_pcg_rtol(n),
-                  maxiter=params.pcg_maxiter, reduce_fn=psum)
-        p_ext = exchange_halo(jnp.where(fluid, res.x, 0.0), 1, AX)
+        if use_pallas:
+            x, iters = solve_packed(b, px0)
+        else:
+            res = pcg(apply_a, b, x0=px0, precond=precond,
+                      rtol=params.pcg_rtol or auto_pcg_rtol(n),
+                      maxiter=params.pcg_maxiter, reduce_fn=psum)
+            x, iters = res.x, res.iters
+        p_ext = exchange_halo(jnp.where(fluid, x, 0.0), 1, AX)
         vg2 = pr.vel_update(vg_ext, p_ext, fluid_ext, solid_ext1, g, dt,
                             rho, dx)[1:-1]
         vg2_ext = exchange_halo(vg2, 1, AX)
@@ -349,7 +463,7 @@ def _sharded_step(params: FlipParams, nl: int, cap: int, mig_cap: int,
                                dx)[1:-1]
         bn = norm(b)
         err = jnp.where(bn > 0, norm(b - b2) / jnp.where(bn > 0, bn, 1.0), 0.0)
-        return vg2, err, res.iters, res.x
+        return vg2, err, iters, x
 
     # warm start: previous frame's slab pressure, masked to current fluid
     # cells (see models/flip.py:project); later passes reuse the previous
