@@ -111,7 +111,13 @@ def main():
         from fluidsim_tpu.models.flip import FlipSim, FlipParams
         from fluidsim_tpu.models.mpm import MpmSim
         from fluidsim_tpu.scenes import get_scene
+        # preserve rows other tools own (e.g. the sustained-throughput
+        # windows from scripts/bench_sustained.py)
+        details_path = os.path.join(HERE, "BENCH_DETAILS.json")
         details = {}
+        if os.path.exists(details_path):
+            with open(details_path) as f:
+                details = json.load(f)
         # config 1: coarse 64^3-class FLIP; config 3: 128^3-class;
         # scaling points: 192^3 (packed bx=8 solve) / 255^3 / 257^3 (the
         # 256^3-class BASELINE config 5 scale — wide 512-lane halo Pallas

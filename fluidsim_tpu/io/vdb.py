@@ -25,14 +25,24 @@ framework's outputs stay consumable by the reference's tools
 Tree type is the standard ``Tree4<T, 5, 4, 3>``: root -> 32^3 internal ->
 16^3 internal -> 8^3 leaf (``openvdb/openvdb.h:49-82``).
 
-Supported value types: ``float`` (``Tree_float_5_4_3``) and ``Vec3f``
-(``Tree_vec3s_5_4_3``, ``openvdb/openvdb.h:62,79`` +
-``openvdb/Types.h:343``), each optionally with half-float leaf storage
-(``Grid::setSaveFloatAsHalf`` -> ``_HalfFloat`` grid-type suffix,
+Supported value types (the registered grid families of
+``openvdb/openvdb.h:49-82`` + ``openvdb/Types.h:326-344`` type names):
+``float``, ``double``, ``int32``, ``int64``, ``bool``, ``vec3s`` (Vec3f),
+``vec3d`` and ``vec3i``.  Real-valued grids optionally use half-float leaf
+storage (``Grid::setSaveFloatAsHalf`` -> ``_HalfFloat`` grid-type suffix,
 ``io/GridDescriptor.cc:50,86`` + ``is_saved_as_half_float`` metadata,
-``Grid.cc:49,398-413``); NONE/ZIP/ACTIVE_MASK compression (no BLOSC — the
-library is absent from this image, and the reference's own build disables
-it the same way when unavailable, ``io/Compression.h:77-81``).
+``Grid.cc:49,398-413``; ``RealToHalf``, ``io/Compression.h:110-146``).
+Bool trees use the reference's specialized leaf serialization — bitmask
+buffers plus the leaf origin (``tree/LeafNodeBool.h:writeBuffers``).
+Compression: NONE/ZIP/ACTIVE_MASK (no BLOSC — the library is absent from
+this image, and the reference's own build disables it the same way when
+unavailable, ``io/Compression.h:77-81``).
+
+Grid instancing: grids sharing the same ``values`` array are written once;
+later occurrences become instance descriptors that name the first as their
+instance parent (``io/Archive.cc:1196-1233 writeGridInstance`` +
+``io/GridDescriptor.h isInstance``), and the reader re-connects them to
+the parent's tree (``Archive::connectInstance``, ``Archive.cc:990-1011``).
 """
 
 from __future__ import annotations
@@ -62,6 +72,37 @@ MASK_AND_ONE_INACTIVE_VAL = 4
 MASK_AND_TWO_INACTIVE_VALS = 5
 NO_MASK_AND_ALL_VALS = 6
 
+# Registered value types (openvdb/openvdb.h:49-82; names from
+# openvdb/Types.h:326-344).  ``np``: numpy storage dtype of one component;
+# ``c``: components; ``real``: half-float-capable (RealToHalf::isReal).
+# ``bool`` is storage-special-cased throughout (bitmask leaf buffers).
+_VTYPES = {
+    "float": ("<f4", 1, True),
+    "double": ("<f8", 1, True),
+    "int32": ("<i4", 1, False),
+    "int64": ("<i8", 1, False),
+    "bool": ("|b1", 1, False),
+    "vec3s": ("<f4", 3, True),
+    "vec3d": ("<f8", 3, True),
+    "vec3i": ("<i4", 3, False),
+}
+
+
+def _infer_vtype(values: np.ndarray) -> str:
+    vec = values.ndim == 4 and values.shape[-1] == 3
+    kind = values.dtype.kind
+    size = values.dtype.itemsize
+    if kind == "b":
+        return "bool"
+    if kind in "iu":
+        if vec:
+            return "vec3i"
+        return "int64" if size == 8 else "int32"
+    if size == 8:
+        return "vec3d" if vec else "double"
+    return "vec3s" if vec else "float"
+
+
 # Tree4<float,5,4,3> geometry
 LEAF_LOG2 = 3          # 8^3 leaves
 INT1_LOG2 = 4          # 16^3 internal (children = leaves), span 128
@@ -73,24 +114,33 @@ INT2_SPAN = INT1_SPAN << INT2_LOG2      # 4096
 
 @dataclasses.dataclass
 class VdbGrid:
-    """A dense float or Vec3f grid with OpenVDB placement info."""
+    """A dense grid (any registered value type) with OpenVDB placement info."""
 
-    values: np.ndarray                 # (nx, ny, nz) f32 or (nx, ny, nz, 3)
+    values: np.ndarray                 # (nx, ny, nz[, 3]); dtype sets vtype
     origin: tuple = (0, 0, 0)          # index-space coordinate of values[0,0,0]
     active: np.ndarray | None = None   # bool (nx, ny, nz); default: all active
     name: str = ""
     background: float | tuple = 0.0    # scalar, or 3-tuple for Vec3 grids
     voxel_size: float = 1.0
     save_half: bool = False            # half-float leaf storage on write
+    vtype: str | None = None           # value type name; None = infer
+
+    @property
+    def value_type(self) -> str:
+        return self.vtype or _infer_vtype(np.asarray(self.values))
+
+    @property
+    def store_dtype(self) -> np.dtype:
+        return np.dtype(_VTYPES[self.value_type][0])
 
     @property
     def channels(self) -> int:
-        return 1 if self.values.ndim == 3 else self.values.shape[-1]
+        return _VTYPES[self.value_type][1]
 
     @property
     def bg_row(self) -> np.ndarray:
-        return np.broadcast_to(np.asarray(self.background, np.float32),
-                               (self.channels,))
+        return np.broadcast_to(
+            np.asarray(self.background, self.store_dtype), (self.channels,))
 
 
 def _write_string(buf: bytearray, s: str):
@@ -165,10 +215,10 @@ def _unpack_mask(data: bytes, n: int) -> np.ndarray:
 
 
 def _write_data(buf: bytearray, arr: np.ndarray, compression: int,
-                half: bool = False):
+                half: bool = False, dtype: str = "<f4"):
     """``io::writeData`` + ``zipToStream`` framing (``Compression.cc``).
-    ``half``: store as IEEE half (``io::HalfWriter``, ``Compression.h``)."""
-    raw = np.ascontiguousarray(arr, dtype="<f2" if half else "<f4").tobytes()
+    ``half``: store reals as IEEE half (``io::HalfWriter``, ``Compression.h``)."""
+    raw = np.ascontiguousarray(arr, dtype="<f2" if half else dtype).tobytes()
     if compression & COMPRESS_ZIP:
         z = zlib.compress(raw, 1)
         if len(z) < len(raw):
@@ -179,33 +229,50 @@ def _write_data(buf: bytearray, arr: np.ndarray, compression: int,
         buf += raw
 
 
-def _rows(values: np.ndarray) -> np.ndarray:
-    """Flat (count, C) float32 view of a value array (C=1 for scalars)."""
-    v = np.asarray(values, np.float32)
+def _rows(values: np.ndarray, dtype: str = "<f4") -> np.ndarray:
+    """Flat (count, C) view of a value array (C=1 for scalars)."""
+    v = np.asarray(values, dtype)
     return v.reshape(-1, 1) if v.ndim == 1 else v.reshape(v.shape[0], -1)
+
+
+def _neg(v: np.ndarray) -> np.ndarray:
+    """``math::negative`` (``math/Math.h:108-110``): -v, or !v for bool."""
+    return ~v if v.dtype.kind == "b" else -v
+
+
+def _raw_val(v: np.ndarray, dtype: str, half: bool) -> bytes:
+    """One inactive value, written full-ValueT-width; under toHalf the
+    value is truncated through half precision first but keeps ValueT width
+    (``truncateRealToHalf``, ``Compression.h:574-588``)."""
+    if half:
+        v = v.astype("<f2").astype(dtype)
+    return np.ascontiguousarray(v, dtype).tobytes()
 
 
 def _write_compressed_values(buf: bytearray, values: np.ndarray,
                              value_mask: np.ndarray, child_mask: np.ndarray,
                              background, compression: int,
-                             half: bool = False):
-    """``io::writeCompressedValues`` (``Compression.h:462-640``) for float32
-    and Vec3f ("values" = rows of C components; comparisons are row-wise,
-    matching the reference's ValueType operator==).
+                             half: bool = False, dtype: str = "<f4"):
+    """``io::writeCompressedValues`` (``Compression.h:462-640``) for any
+    registered value type ("values" = rows of C components; comparisons are
+    row-wise, matching the reference's ValueType operator==).
 
     values/value_mask/child_mask are flat, node-offset order.
     """
-    rows = _rows(values)
+    rows = _rows(values, dtype)
     if not (compression & COMPRESS_ACTIVE_MASK):
         buf.append(NO_MASK_AND_ALL_VALS)
-        _write_data(buf, rows, compression, half)
+        _write_data(buf, rows, compression, half, dtype)
         return
 
     inactive = (~value_mask) & (~child_mask)
     ivals = rows[inactive]
-    uniq = np.unique(ivals, axis=0)
-    bg = np.broadcast_to(np.asarray(background, np.float32), rows.shape[1:])
-    neg_bg = -bg
+    # unique inactive values in FIRST-SEEN order (the reference scans the
+    # off-iterator and keeps the first two encountered, Compression.h:499-517)
+    uniq_sorted, first_idx = np.unique(ivals, axis=0, return_index=True)
+    uniq = uniq_sorted[np.argsort(first_idx, kind="stable")]
+    bg = np.broadcast_to(np.asarray(background, dtype), rows.shape[1:])
+    neg_bg = _neg(bg)
 
     def eq(a, b):
         return bool(np.array_equal(a, b))
@@ -220,7 +287,7 @@ def _write_compressed_values(buf: bytearray, values: np.ndarray,
         selection = None
     elif len(uniq) == 1:
         meta = NO_MASK_AND_ONE_INACTIVE_VAL
-        extra = uniq[0].astype("<f4").tobytes()
+        extra = _raw_val(uniq[0], dtype, half)
         selection = None
     elif len(uniq) == 2:
         # Selection mask marks entries equal to inactiveVal[1]; the writer
@@ -229,7 +296,7 @@ def _write_compressed_values(buf: bytearray, values: np.ndarray,
         v0, v1 = uniq[0], uniq[1]
         if not (eq(v0, bg) or eq(v1, bg)):
             meta = MASK_AND_TWO_INACTIVE_VALS
-            extra = v0.astype("<f4").tobytes() + v1.astype("<f4").tobytes()
+            extra = _raw_val(v0, dtype, half) + _raw_val(v1, dtype, half)
             sel_val = v1
         else:
             nonbg = v0 if eq(v1, bg) else v1
@@ -238,7 +305,7 @@ def _write_compressed_values(buf: bytearray, values: np.ndarray,
                 extra = b""
             else:
                 meta = MASK_AND_ONE_INACTIVE_VAL   # [nonbg, +bg]
-                extra = nonbg.astype("<f4").tobytes()
+                extra = _raw_val(nonbg, dtype, half)
             sel_val = bg
         selection = inactive & (rows == sel_val).all(axis=-1)
     else:
@@ -249,13 +316,13 @@ def _write_compressed_values(buf: bytearray, values: np.ndarray,
     buf.append(meta)
     buf += extra
     if meta == NO_MASK_AND_ALL_VALS:
-        _write_data(buf, rows, compression, half)
+        _write_data(buf, rows, compression, half, dtype)
         return
     if selection is not None and meta in (MASK_AND_NO_INACTIVE_VALS,
                                           MASK_AND_ONE_INACTIVE_VAL,
                                           MASK_AND_TWO_INACTIVE_VALS):
         buf += _pack_mask(selection)
-    _write_data(buf, rows[value_mask], compression, half)
+    _write_data(buf, rows[value_mask], compression, half, dtype)
 
 
 def _block_view(arr: np.ndarray, log2: int):

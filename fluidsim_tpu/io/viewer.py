@@ -237,13 +237,19 @@ class _Handler(BaseHTTPRequestHandler):
             except (ValueError, IndexError):
                 self._send(404, "text/plain", b"no such frame")
                 return
-            if i not in self.cache:
-                self.cache[i] = gzip.compress(
-                    _frame_points(path).tobytes(), 1)
-                if len(self.cache) > 8:        # bound memory
+            # ThreadingHTTPServer handles each request on its own thread:
+            # compute under the lock (serializes frame encoding, which is
+            # fine — it also prevents double-computing the same frame) and
+            # evict least-recently-used so playback scrubbing stays warm.
+            with self.cache_lock:
+                if i in self.cache:
+                    body = self.cache.pop(i)       # re-insert → most recent
+                else:
+                    body = gzip.compress(_frame_points(path).tobytes(), 1)
+                self.cache[i] = body
+                while len(self.cache) > 8:         # bound memory, LRU out
                     self.cache.pop(next(iter(self.cache)))
-            self._send(200, "application/octet-stream", self.cache[i],
-                       gz=True)
+            self._send(200, "application/octet-stream", body, gz=True)
         else:
             self._send(404, "text/plain", b"not found")
 
@@ -261,7 +267,8 @@ def serve(files, port: int = 8611, bound: float | None = None,
         pts = _frame_points(files[0])
         bound = float(np.max(np.abs(pts[:, :3]))) if len(pts) else 1.0
     handler = type("H", (_Handler,), {
-        "files": files, "bound": bound, "cache": {}})
+        "files": files, "bound": bound, "cache": {},
+        "cache_lock": threading.Lock()})
     srv = ThreadingHTTPServer(("127.0.0.1", port), handler)
     print(f"viewer: http://127.0.0.1:{port}/  ({len(files)} frame(s), "
           f"bound {bound:g}) — Ctrl-C to stop")

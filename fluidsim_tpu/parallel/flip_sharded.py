@@ -173,7 +173,8 @@ def _p2g_pallas_local(pos_s, vel_s, flat_h, nl, n, bound, lay, interpret):
     w27t = tp.masked_weights_cm(pos_s, bound, "flip")
     wv, _ = pt.pack_cols(flat_h, w27t, vel_s, 2048)
     d4 = pt.scatter_wv_fused(wv, flat_h, lay.xr, lay.lwr, n,
-                             interpret=interpret, cols=wv.shape[0])
+                             interpret=interpret, cols=wv.shape[0],
+                             lh=lay.lh)
     acc = d4[:, ps._XH:ps._XH + rows_x,
              2 * lay.lh:2 * lay.lh + n * n].reshape(4, rows_x, n, n)
     return jnp.moveaxis(acc, 0, -1), wv
@@ -198,7 +199,7 @@ def _g2p_pallas_local(pos_s, flat_h, wv_rows, fields_ext, within_wall_ext,
                          (2 * lay.lh, lay.lwr - n * n)))
     cols = tp.cols_of(wv_rows)
     out = pt.gather_wv_fused(fm_hp, wv_rows, flat_h, n, interpret=interpret,
-                             cols=cols)
+                             cols=cols, lh=lay.lh)
     num = out[:c, :p].T
     den = out[3, :p]
     safe = jnp.where(den != 0, den, 1.0)

@@ -107,7 +107,7 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
         prows = mp.pack_mpm_rows(flat_h, pos, vel, B)
         pcols = tp.cols_of(prows)
         d4 = pt.scatter_wv_fused(prows, flat_h, lay.xr, lay.lwr, n,
-                                 interpret=itp, cols=pcols)
+                                 interpret=itp, cols=pcols, lh=lay.lh)
         accn = d4[:, ps._XH:ps._XH + rows,
                   2 * lay.lh:2 * lay.lh + n * n].reshape(4, rows, n, n)
         mass = jnp.where(~solid_loc, halo_reduce(accn[0], W, AX), 0.0)
@@ -189,7 +189,7 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
             prows_f = prows.at[pt._M0:pt._M0 + 9, :p].set(m9t)
             df4 = pt.scatter_wv_fused(prows_f, flat_h, lay.xr, lay.lwr, n,
                                       interpret=itp, expand="fg",
-                                      cols=pcols)
+                                      cols=pcols, lh=lay.lh)
             f = jnp.moveaxis(
                 df4[:3, ps._XH:ps._XH + rows,
                     2 * lay.lh:2 * lay.lh + n * n].reshape(3, rows, n, n),
@@ -207,7 +207,7 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
             fm = mp._fm_hp(w_ext, active_ext, n, lay)
             out16 = pt.gather_wv_fused(fm, prows, flat_h, n, nout=16,
                                        contract="gw", interpret=itp,
-                                       cols=pcols)
+                                       cols=pcols, lh=lay.lh)
             gmat = jnp.stack([out16[4 * k:4 * k + 3, :p].T
                               for k in range(3)], axis=-1)
             return reduce3(scatter_sigma(mm3(dp(mm3(gmat, fe_in)), fe_t)))

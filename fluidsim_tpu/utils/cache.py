@@ -15,21 +15,30 @@ _DEFAULT_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     ".jax_cache")
 
-_enabled = False
+_active_dir: str | None = None
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> str:
     """Idempotently enable the on-disk compile cache (safe pre/post jax import).
 
     Honors ``FLUIDSIM_CACHE_DIR``; set it to ``0`` / ``off`` to disable.
+    Returns the directory JAX is actually using: once enabled, later calls
+    return the first-configured path (with a warning on a conflicting
+    request) rather than pretending the new path took effect.
     """
-    global _enabled
+    global _active_dir
     env = os.environ.get("FLUIDSIM_CACHE_DIR")
     if env in ("0", "off", "none"):
         return ""
     path = cache_dir or env or _DEFAULT_DIR
-    if _enabled:
-        return path
+    if _active_dir is not None:
+        if os.path.abspath(path) != os.path.abspath(_active_dir):
+            import warnings
+
+            warnings.warn(
+                f"compilation cache already enabled at {_active_dir}; "
+                f"ignoring request for {path}", stacklevel=2)
+        return _active_dir
     os.makedirs(path, exist_ok=True)
 
     import jax
@@ -39,5 +48,5 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
     # dominates even tiny compiles, and disk is cheap.
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    _enabled = True
+    _active_dir = path
     return path

@@ -23,9 +23,14 @@
 // unchanged — so the benchmark denominator is honest even on a single-core
 // driver machine.
 //
-// Usage: ref_cpu <bound> <density> <frames>
+// Usage: ref_cpu <bound> <density> <frames> [particle_file] [--perframe=FILE]
 // Prints one JSON line: {"steps_per_sec": ..., "amdahl_bound_steps_per_sec":
 // ..., ...}
+// With --perframe=FILE, every frame's wall seconds (and its particle-phase
+// seconds, for a per-window Amdahl bound) are appended to FILE as JSONL and
+// the warmup frame is skipped, so windowed sustained-throughput numbers
+// (e.g. post-impact frames 50-70, full-500 average) can be extracted from a
+// single long run.
 
 #include <cmath>
 #include <cstdint>
@@ -346,10 +351,18 @@ struct Sim {
 };
 
 int main(int argc, char** argv) {
-  int bound = argc > 1 ? std::atoi(argv[1]) : 64;
-  double density = argc > 2 ? std::atof(argv[2]) : 25.0;
-  int frames = argc > 3 ? std::atoi(argv[3]) : 3;
-  const char* particle_file = argc > 4 ? argv[4] : nullptr;
+  const char* perframe_path = nullptr;
+  std::vector<const char*> pos;
+  for (int i = 1; i < argc; ++i) {
+    if (std::strncmp(argv[i], "--perframe=", 11) == 0)
+      perframe_path = argv[i] + 11;
+    else
+      pos.push_back(argv[i]);
+  }
+  int bound = pos.size() > 0 ? std::atoi(pos[0]) : 64;
+  double density = pos.size() > 1 ? std::atof(pos[1]) : 25.0;
+  int frames = pos.size() > 2 ? std::atoi(pos[2]) : 3;
+  const char* particle_file = pos.size() > 3 ? pos[3] : nullptr;
   bool trace_ke = particle_file != nullptr;
 
   Sim sim(bound, density);
@@ -374,21 +387,40 @@ int main(int argc, char** argv) {
   fprintf(stderr, "# ref_cpu: grid %d^3, %zu particles, %d frames\n",
           sim.N, sim.px.size(), frames);
   double dt = sim.maxdt;
-  if (!trace_ke) {
+  if (!trace_ke && !perframe_path) {
     // one warmup frame (touch all memory) before timing
     sim.p2g();
     sim.project(dt);
     auto ub = sim.u, vb = sim.v, wb = sim.w;
     dt = sim.flip_advect(ub, vb, wb, dt);
   }
+  FILE* pf = nullptr;
+  if (perframe_path) {
+    pf = fopen(perframe_path, "w");
+    if (!pf) { fprintf(stderr, "cannot open %s\n", perframe_path); return 1; }
+  }
 
   g_particle_secs = 0.0;
   auto t0 = std::chrono::steady_clock::now();
   for (int f = 0; f < frames; ++f) {
+    double psec0 = g_particle_secs;
+    auto tf0 = std::chrono::steady_clock::now();
     sim.p2g();
     auto ub = sim.u; auto vb = sim.v; auto wb = sim.w;
     sim.project(dt);
     dt = sim.flip_advect(ub, vb, wb, dt);
+    if (pf) {
+      double fsecs = std::chrono::duration<double>(
+          std::chrono::steady_clock::now() - tf0).count();
+      double ke = 0;
+      for (size_t i = 0; i < sim.px.size(); ++i)
+        ke += 0.5 * ((double)sim.vx[i] * sim.vx[i] + (double)sim.vy[i] * sim.vy[i]
+                     + (double)sim.vz[i] * sim.vz[i]);
+      fprintf(pf, "{\"frame\": %d, \"secs\": %.6f, \"particle_secs\": %.6f, "
+              "\"ke\": %.8e, \"dt\": %.8f}\n",
+              f, fsecs, g_particle_secs - psec0, ke, dt);
+      fflush(pf);
+    }
     if (trace_ke) {
       double ke = 0;
       for (size_t i = 0; i < sim.px.size(); ++i)
@@ -397,6 +429,7 @@ int main(int argc, char** argv) {
       printf("{\"frame\": %d, \"ke\": %.8e, \"dt\": %.8f}\n", f, ke, dt);
     }
   }
+  if (pf) fclose(pf);
   if (!trace_ke) {
     double total = std::chrono::duration<double>(
         std::chrono::steady_clock::now() - t0).count();

@@ -34,9 +34,12 @@ def main():
     pos0.tofile(POS_FILE)
     print(f"seeded {pos0.shape[0]} particles -> {POS_FILE}", flush=True)
 
-    # C++ oracle (f64 accumulation, independent numerics)
-    ref_bin = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "native", "ref_mpm")
+    # C++ oracle (f64 accumulation, independent numerics); rebuild on demand
+    # so a stale/absent binary can't silently drift from ref_mpm.cc.
+    native = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "native")
+    subprocess.check_call(["make", "-C", native, "ref_mpm"])
+    ref_bin = os.path.join(native, "ref_mpm")
     proc = subprocess.Popen([ref_bin, "15", "400", str(FRAMES), POS_FILE],
                             stdout=subprocess.PIPE, text=True)
 
