@@ -38,8 +38,9 @@ Compression: NONE/ZIP/ACTIVE_MASK (no BLOSC — the library is absent from
 this image, and the reference's own build disables it the same way when
 unavailable, ``io/Compression.h:77-81``).
 
-Grid instancing: grids sharing the same ``values`` array are written once;
-later occurrences become instance descriptors that name the first as their
+Grid instancing: grids sharing one tree (same ``values``/``active``
+arrays, value type, half flag and background) are written once; later
+occurrences become instance descriptors that name the first as their
 instance parent (``io/Archive.cc:1196-1233 writeGridInstance`` +
 ``io/GridDescriptor.h isInstance``), and the reader re-connects them to
 the parent's tree (``Archive::connectInstance``, ``Archive.cc:990-1011``).
@@ -165,7 +166,7 @@ def _grid_metadata(grid: VdbGrid, compression: int) -> bytearray:
     (``Archive.cc:1305-1313``).  std::map order => alphabetical keys."""
     act = grid.active
     if act is None:
-        act = np.ones(grid.values.shape, dtype=bool)
+        act = np.ones(np.asarray(grid.values).shape[:3], dtype=bool)
     nactive = int(act.sum())
     idx = np.argwhere(act)
     if len(idx):
@@ -334,10 +335,11 @@ def _block_view(arr: np.ndarray, log2: int):
 
 
 class _TreeBuilder:
-    """Decompose a dense box into Tree4<f32,5,4,3> nodes."""
+    """Decompose a dense box into Tree4<T,5,4,3> nodes."""
 
     def __init__(self, grid: VdbGrid):
-        vals = np.asarray(grid.values, np.float32)
+        dt = grid.store_dtype
+        vals = np.asarray(grid.values, dt)
         c = grid.channels
         act = grid.active if grid.active is not None else np.ones(vals.shape[:3], bool)
         o = np.asarray(grid.origin, np.int64)
@@ -346,15 +348,15 @@ class _TreeBuilder:
         hi_a = ((hi + LEAF_DIM - 1) // LEAF_DIM) * LEAF_DIM
         shape = tuple(hi_a - lo_a)
         vshape = shape + vals.shape[3:]
-        self.vals = np.empty(vshape, np.float32)
-        self.vals[...] = grid.bg_row if c > 1 else np.float32(grid.background)
+        self.vals = np.empty(vshape, dt)
+        self.vals[...] = grid.bg_row if c > 1 else grid.bg_row[0]
         self.act = np.zeros(shape, bool)
         s = tuple(slice(int(o[d] - lo_a[d]), int(o[d] - lo_a[d] + vals.shape[d]))
                   for d in range(3))
         self.vals[s] = vals
         self.act[s] = act
         self.lo = lo_a          # aligned origin of the padded box
-        self.background = grid.bg_row if c > 1 else float(grid.background)
+        self.background = grid.bg_row if c > 1 else grid.bg_row[0]
 
         # leaves: (nlx,nly,nlz) blocks of 8^3
         self.leaf_vals = _block_view(self.vals, LEAF_LOG2)
@@ -386,11 +388,13 @@ def grid_to_bytes(grid: VdbGrid, compression: int) -> tuple:
     tb = _TreeBuilder(grid)
     c = grid.channels
     bg = grid.bg_row
-    half = grid.save_half
+    half = grid.save_half and _VTYPES[grid.value_type][2]
+    dt = _VTYPES[grid.value_type][0]
+    is_bool = grid.value_type == "bool"
 
     topo = bytearray()
     topo += struct.pack("<i", 1)                       # TreeBase bufferCount
-    topo += bg.astype("<f4").tobytes()                 # root background (f32)
+    topo += bg.astype(dt).tobytes()                    # root background (ValueT)
 
     root = tb.root_children()
     topo += struct.pack("<II", 0, len(root))           # numTiles, numChildren
@@ -409,7 +413,8 @@ def grid_to_bytes(grid: VdbGrid, compression: int) -> tuple:
         topo += _pack_mask(np.zeros_like(child2_mask))         # value mask
         _write_compressed_values(
             topo, np.broadcast_to(bg, (child2_mask.size, c)),
-            np.zeros_like(child2_mask), child2_mask, bg, compression, half)
+            np.zeros_like(child2_mask), child2_mask, bg, compression, half,
+            dt)
 
         # ---- children in offset order ----
         order = np.argsort(off2, kind="stable")
@@ -429,16 +434,24 @@ def grid_to_bytes(grid: VdbGrid, compression: int) -> tuple:
             _write_compressed_values(
                 topo, np.broadcast_to(bg, (child1_mask.size, c)),
                 np.zeros_like(child1_mask), child1_mask, bg,
-                compression, half)
+                compression, half, dt)
             for li in np.argsort(off1, kind="stable"):
                 i, j, k = lvs[li]
                 lmask = tb.leaf_act[i, j, k].reshape(-1)
                 topo += _pack_mask(lmask)              # leaf topology: value mask
                 lvals = tb.leaf_vals[i, j, k].reshape(-1, c)
                 buffers += _pack_mask(lmask)           # leaf buffers: mask again
-                _write_compressed_values(buffers, lvals, lmask,
-                                         np.zeros_like(lmask),
-                                         bg, compression, half)
+                if is_bool:
+                    # LeafNode<bool> specialization (tree/LeafNodeBool.h:
+                    # writeBuffers): origin coord, then the voxel values as
+                    # a raw NodeMask — never zipped or mask-compacted.
+                    lo = tb.leaf_origin(i, j, k)
+                    buffers += struct.pack("<3i", *lo)
+                    buffers += _pack_mask(lvals[:, 0].astype(bool))
+                else:
+                    _write_compressed_values(buffers, lvals, lmask,
+                                             np.zeros_like(lmask),
+                                             bg, compression, half, dt)
     return topo, buffers
 
 
@@ -455,6 +468,15 @@ def write_vdb(path: str, grids: Sequence[VdbGrid],
     buf += struct.pack("<i", len(grids))
 
     names = {}
+    # A tree is shared only when the whole tree state matches: the values
+    # array identity AND the activity mask, value type, half-storage and
+    # background (all of which live in the serialized tree).
+    def tree_key(g):
+        return (id(g.values), id(g.active), g.value_type,
+                bool(g.save_half and _VTYPES[g.value_type][2]),
+                g.bg_row.tobytes())
+
+    tree_map = {}                                      # tree_key -> unique name
     for g in grids:
         # unique names (Archive.cc:1196-1207): empty or repeated names get
         # an appended "[N]" suffix via GridDescriptor::addSuffix.
@@ -463,24 +485,36 @@ def write_vdb(path: str, grids: Sequence[VdbGrid],
         names[base] = n + 1
         unique = base if (base and n == 0) else f"{base}[{n}]"
 
-        gtype = "Tree_float_5_4_3" if g.channels == 1 else "Tree_vec3s_5_4_3"
-        if g.save_half:
+        vt = g.value_type
+        half = g.save_half and _VTYPES[vt][2]
+        gtype = f"Tree_{vt}_5_4_3"
+        if half:
             gtype += "_HalfFloat"  # GridDescriptor::stringAsUniqueName suffix
+        # instancing (Archive.cc:1196-1233): a grid whose tree (values
+        # array) was already written becomes an instance of that grid —
+        # descriptor names the parent, and only compression + metadata +
+        # transform follow (writeGridInstance, Archive.cc:1329-1367)
+        parent = tree_map.get(tree_key(g), "")
         _write_string(buf, unique)
         _write_string(buf, gtype)
-        _write_string(buf, "")                         # instance parent
+        _write_string(buf, parent)                     # instance parent
         offset_pos = len(buf)
         buf += struct.pack("<3q", 0, 0, 0)             # patched below
         grid_pos = len(buf)
         buf += struct.pack("<I", compression)
         buf += _grid_metadata(g, compression)
         buf += _transform_bytes(g.voxel_size)
+        if parent:
+            end_pos = len(buf)
+            struct.pack_into("<3q", buf, offset_pos, grid_pos, 0, end_pos)
+            continue
         topo, leaf_buffers = grid_to_bytes(g, compression)
         buf += topo
         block_pos = len(buf)
         buf += leaf_buffers
         end_pos = len(buf)
         struct.pack_into("<3q", buf, offset_pos, grid_pos, block_pos, end_pos)
+        tree_map[tree_key(g)] = unique
 
     with open(path, "wb") as f:
         f.write(bytes(buf))
@@ -491,9 +525,8 @@ def write_vdb(path: str, grids: Sequence[VdbGrid],
 # plus uncompressed/zip/active-mask files from the reference tools.
 # --------------------------------------------------------------------------
 
-def _read_data(mv, off, count, compression, c=1, half=False):
-    dt = "<f2" if half else "<f4"
-    isz = (2 if half else 4) * c
+def _read_data(mv, off, count, compression, c=1, half=False, dtype="<f4"):
+    dt = np.dtype("<f2" if half else dtype)
     if compression & COMPRESS_ZIP:
         (nz,) = struct.unpack_from("<q", mv, off)
         off += 8
@@ -506,32 +539,32 @@ def _read_data(mv, off, count, compression, c=1, half=False):
         vals = np.frombuffer(raw, dt, count=count * c)
     else:
         vals = np.frombuffer(mv, dt, count=count * c, offset=off)
-        off += isz * count
-    return vals.astype(np.float32).reshape(count, c), off
+        off += dt.itemsize * count * c
+    return vals.astype(np.dtype(dtype)).reshape(count, c), off
 
 
 def _read_compressed_values(mv, off, count, value_mask, background,
-                            compression, c=1, half=False):
+                            compression, c=1, half=False, dtype="<f4"):
     """Mirror of the reference read path (``Compression.h`` read loop):
     inactive value = selectionMask ? inactiveVal1 : inactiveVal0, with
-    inactiveVal0 defaulting to -background for metadata != 0 and
+    inactiveVal0 defaulting to negative(background) for metadata != 0 and
     inactiveVal1 defaulting to +background."""
-    bg = np.broadcast_to(np.asarray(background, np.float32), (c,))
+    dt = np.dtype(dtype)
+    bg = np.broadcast_to(np.asarray(background, dt), (c,))
     meta = mv[off]; off += 1
     if meta == NO_MASK_AND_ALL_VALS:
-        vals, off = _read_data(mv, off, count, compression, c, half)
+        vals, off = _read_data(mv, off, count, compression, c, half, dtype)
         return vals.copy(), off
     inactive_val1 = bg
-    inactive_val0 = bg if meta == NO_MASK_OR_INACTIVE_VALS else -bg
+    inactive_val0 = bg if meta == NO_MASK_OR_INACTIVE_VALS else _neg(bg)
     if meta in (NO_MASK_AND_ONE_INACTIVE_VAL, MASK_AND_ONE_INACTIVE_VAL,
                 MASK_AND_TWO_INACTIVE_VALS):
-        inactive_val0 = np.asarray(
-            struct.unpack_from(f"<{c}f", mv, off), np.float32)
-        off += 4 * c
+        # inactive values are stored full-ValueT-width even under toHalf
+        inactive_val0 = np.frombuffer(mv, dt, count=c, offset=off).copy()
+        off += dt.itemsize * c
         if meta == MASK_AND_TWO_INACTIVE_VALS:
-            inactive_val1 = np.asarray(
-                struct.unpack_from(f"<{c}f", mv, off), np.float32)
-            off += 4 * c
+            inactive_val1 = np.frombuffer(mv, dt, count=c, offset=off).copy()
+            off += dt.itemsize * c
     sel = None
     if meta in (MASK_AND_NO_INACTIVE_VALS, MASK_AND_ONE_INACTIVE_VAL,
                 MASK_AND_TWO_INACTIVE_VALS):
@@ -539,8 +572,8 @@ def _read_compressed_values(mv, off, count, value_mask, background,
         sel = _unpack_mask(bytes(mv[off:off + nbytes]), count)
         off += nbytes
     n_active = int(value_mask.sum())
-    vals, off = _read_data(mv, off, n_active, compression, c, half)
-    values = np.empty((count, c), np.float32)
+    vals, off = _read_data(mv, off, n_active, compression, c, half, dtype)
+    values = np.empty((count, c), dt)
     values[...] = inactive_val0
     if sel is not None:
         values[sel] = inactive_val1
@@ -575,9 +608,12 @@ def _parse_grid_header(mv, off):
     gtype, off = _read_string(mv, off)
     half = gtype.endswith("_HalfFloat")
     base_type = gtype[:-len("_HalfFloat")] if half else gtype
-    assert base_type in ("Tree_float_5_4_3", "Tree_vec3s_5_4_3"), (
-        f"unsupported grid type {gtype}")
-    c = 1 if base_type == "Tree_float_5_4_3" else 3
+    assert (base_type.startswith("Tree_")
+            and base_type.endswith("_5_4_3")), f"unsupported grid type {gtype}"
+    vt = base_type[len("Tree_"):-len("_5_4_3")]
+    assert vt in _VTYPES, f"unsupported value type {vt}"
+    dtype, c, _ = _VTYPES[vt]
+    dt = np.dtype(dtype)
     parent, off = _read_string(mv, off)
     grid_pos, block_pos, end_pos = struct.unpack_from("<3q", mv, off)
     off += 24
@@ -593,9 +629,18 @@ def _parse_grid_header(mv, off):
     assert map_type in ("UniformScaleMap", "ScaleMap"), map_type
     scale = struct.unpack_from("<3d", mv, off)
     off += 5 * 24
+    if parent:
+        # instance grid (Archive::writeGridInstance): no tree follows —
+        # the reader connects it to its parent's tree (Archive.cc:990-1011)
+        info = dict(name=name, c=c, half=half, compression=compression,
+                    background=None, voxel_size=float(scale[0]),
+                    vtype=vt, parent=parent, meta=meta, leaf_order=[],
+                    grid_pos=grid_pos, block_pos=block_pos, end_pos=end_pos)
+        return info, off
     off += 4                                      # bufferCount
-    bgv = struct.unpack_from(f"<{c}f", mv, off); off += 4 * c
-    background = bgv[0] if c == 1 else np.asarray(bgv, np.float32)
+    bgrow = np.frombuffer(mv, dt, count=c, offset=off).copy()
+    off += dt.itemsize * c
+    background = bgrow[0] if c == 1 else bgrow
     ntiles, nchildren = struct.unpack_from("<II", mv, off); off += 8
     assert ntiles == 0, "root tiles not supported"
 
@@ -608,7 +653,7 @@ def _parse_grid_header(mv, off):
         cm2 = _unpack_mask(bytes(mv[off:off + int2n // 8]), int2n); off += int2n // 8
         vm2 = _unpack_mask(bytes(mv[off:off + int2n // 8]), int2n); off += int2n // 8
         _, off = _read_compressed_values(mv, off, int2n, vm2, background,
-                                         compression, c, half)
+                                         compression, c, half, dtype)
         for o2 in np.flatnonzero(cm2):
             x = (o2 >> (2 * INT2_LOG2)) & 31
             y = (o2 >> INT2_LOG2) & 31
@@ -619,7 +664,7 @@ def _parse_grid_header(mv, off):
             vm1 = _unpack_mask(bytes(mv[off:off + int1n // 8]), int1n)
             off += int1n // 8
             _, off = _read_compressed_values(mv, off, int1n, vm1, background,
-                                             compression, c, half)
+                                             compression, c, half, dtype)
             for o1 in np.flatnonzero(cm1):
                 lx = (o1 >> (2 * INT1_LOG2)) & 15
                 ly = (o1 >> INT1_LOG2) & 15
@@ -630,7 +675,7 @@ def _parse_grid_header(mv, off):
 
     info = dict(name=name, c=c, half=half, compression=compression,
                 background=background, voxel_size=float(scale[0]),
-                meta=meta, leaf_order=leaf_order,
+                vtype=vt, parent="", meta=meta, leaf_order=leaf_order,
                 grid_pos=grid_pos, block_pos=block_pos, end_pos=end_pos)
     return info, off
 
@@ -670,8 +715,31 @@ class DelayedVdbGrid:
             self._grid = _read_leaf_buffers(
                 memoryview(data), 0, i["name"], i["leaf_order"],
                 i["background"], i["compression"], i["c"], i["half"],
-                i["voxel_size"])
+                i["voxel_size"], i.get("vtype", "float"))
         return self._grid
+
+
+class _DelayedInstance:
+    """Delayed-load handle for an instance grid: owns its descriptor info
+    (name, transform, metadata) but resolves ``.grid`` through its instance
+    parent's handle (``Archive::connectInstance`` semantics)."""
+
+    def __init__(self, parent_handle, info):
+        self._parent = parent_handle
+        self._info = info
+
+    name = property(lambda self: self._info["name"])
+    voxel_size = property(lambda self: self._info["voxel_size"])
+    meta = property(lambda self: self._info["meta"])
+    background = property(lambda self: self._parent.background)
+    leaf_count = property(lambda self: self._parent.leaf_count)
+    loaded = property(lambda self: self._parent.loaded)
+    instance_parent = property(lambda self: self._info["parent"])
+
+    @property
+    def grid(self) -> VdbGrid:
+        return dataclasses.replace(self._parent.grid, name=self.name,
+                                   voxel_size=self.voxel_size)
 
 
 def open_vdb(path: str) -> List[DelayedVdbGrid]:
@@ -682,11 +750,17 @@ def open_vdb(path: str) -> List[DelayedVdbGrid]:
     mv = memoryview(data)
     off, ngrids = _parse_archive_header(mv)
     out = []
+    by_name = {}
     for _ in range(ngrids):
         info, buffers_off = _parse_grid_header(mv, off)
         assert info["end_pos"] > 0, (
             "delayed load requires a seekable archive (grid offsets)")
-        out.append(DelayedVdbGrid(path, info, buffers_off))
+        if info["parent"]:
+            h = _DelayedInstance(by_name[info["parent"]], info)
+        else:
+            h = DelayedVdbGrid(path, info, buffers_off)
+        out.append(h)
+        by_name[info["name"]] = h
         off = info["end_pos"]
     return out
 
@@ -696,30 +770,50 @@ def read_vdb(path: str) -> List[VdbGrid]:
     mv = memoryview(data)
     off, ngrids = _parse_archive_header(mv)
     out = []
+    by_name = {}
     for _ in range(ngrids):
         info, off = _parse_grid_header(mv, off)
-        grid = _read_leaf_buffers(mv, off, info["name"], info["leaf_order"],
-                                  info["background"], info["compression"],
-                                  info["c"], info["half"],
-                                  info["voxel_size"])
+        if info["parent"]:
+            # connectInstance (Archive.cc:990-1011): share the parent tree
+            par = by_name[info["parent"]]
+            grid = dataclasses.replace(par, name=info["name"],
+                                       voxel_size=info["voxel_size"])
+        else:
+            grid = _read_leaf_buffers(mv, off, info["name"],
+                                      info["leaf_order"],
+                                      info["background"],
+                                      info["compression"],
+                                      info["c"], info["half"],
+                                      info["voxel_size"], info["vtype"])
         out.append(grid)
+        by_name[info["name"]] = grid
         if info["end_pos"] > 0:
             off = info["end_pos"]
     return out
 
 
 def _read_leaf_buffers(mv, off, name, leaf_order, background, compression,
-                       c, half, voxel_size) -> VdbGrid:
+                       c, half, voxel_size, vtype="float") -> VdbGrid:
     """Read the leaf-VALUE-buffer section of one grid (``Tree::readBuffers``)
     starting at ``off`` (== the GridDescriptor's ``block_pos``) and assemble
     the dense grid.  Shared by the eager reader and the delayed loader."""
+    dtype = _VTYPES[vtype][0]
+    dt = np.dtype(dtype)
     leafn = 1 << (3 * LEAF_LOG2)
     leaf_vals = {}
     for lorg in leaf_order:
         lm = _unpack_mask(bytes(mv[off:off + leafn // 8]), leafn)
         off += leafn // 8
-        vals, off = _read_compressed_values(mv, off, leafn, lm, background,
-                                            compression, c, half)
+        if vtype == "bool":
+            # LeafNode<bool>::readBuffers: origin coord + raw value bitmask
+            off += 12
+            vals = _unpack_mask(bytes(mv[off:off + leafn // 8]),
+                                leafn).reshape(leafn, 1)
+            off += leafn // 8
+        else:
+            vals, off = _read_compressed_values(mv, off, leafn, lm,
+                                                background, compression, c,
+                                                half, dtype)
         leaf_vals[lorg] = (vals, lm)
 
     vdim = (LEAF_DIM, LEAF_DIM, LEAF_DIM) + ((c,) if c > 1 else ())
@@ -728,7 +822,7 @@ def _read_leaf_buffers(mv, off, name, leaf_order, background, compression,
         lo = orgs.min(axis=0)
         hi = orgs.max(axis=0) + LEAF_DIM
         shape = tuple(hi - lo)
-        dense = np.empty(shape + ((c,) if c > 1 else ()), np.float32)
+        dense = np.empty(shape + ((c,) if c > 1 else ()), dt)
         dense[...] = background
         active = np.zeros(shape, bool)
         for lorg in leaf_order:
@@ -738,12 +832,14 @@ def _read_leaf_buffers(mv, off, name, leaf_order, background, compression,
             dense[s] = vals.reshape(vdim)
             active[s] = lm.reshape(LEAF_DIM, LEAF_DIM, LEAF_DIM)
     else:
-        dense = np.zeros((0, 0, 0) + ((c,) if c > 1 else ()), np.float32)
+        dense = np.zeros((0, 0, 0) + ((c,) if c > 1 else ()), dt)
         active = np.zeros((0, 0, 0), bool)
         lo = np.zeros(3, np.int64)
 
-    bg_out = (background if c == 1
-              else tuple(float(x) for x in np.asarray(background)))
+    if c == 1:
+        bg_out = np.asarray(background, dt).item()
+    else:
+        bg_out = tuple(np.asarray(background, dt).tolist())
     return VdbGrid(values=dense, origin=tuple(int(x) for x in lo),
                    active=active, name=name, background=bg_out,
-                   voxel_size=voxel_size, save_half=half)
+                   voxel_size=voxel_size, save_half=half, vtype=vtype)

@@ -12,6 +12,8 @@
 //   grid descriptor:  openvdb/io/GridDescriptor.cc:81-98: unique name,
 //                     grid type (+ "_HalfFloat" suffix, :50,86), instance
 //                     parent, 3x int64 offsets (grid/blocks/end)
+//   value types:      openvdb/openvdb.h:49-82 registered grid families,
+//                     type names from openvdb/Types.h:326-344
 //   metadata:         openvdb/MetaMap.cc (uint32 count; per entry: name,
 //                     type name, int32 size, payload)
 //   transform:        openvdb/math/Transform.cc + Maps.h:834-850
@@ -21,16 +23,25 @@
 //                     root child: Coord origin + InternalNode<5> topology,
 //                     recursively InternalNode<4>, LeafNode<3> (value mask;
 //                     buffers in a second pass at the blocks offset)
+//   bool leaves:      openvdb/tree/LeafNodeBool.h writeBuffers — value
+//                     mask, leaf origin Coord, raw value bitmask (never
+//                     zip/mask-compacted)
 //   node masks:       openvdb/util/NodeMasks.h:565 (save = raw bit words,
 //                     little-endian)
 //   compression:      openvdb/io/Compression.h:77-100 (flags; per-node
-//                     metadata byte), Compression.cc zipToStream framing
-//                     (int64 byte count; negative = stored uncompressed)
+//                     metadata byte; inactive values stored full
+//                     ValueT-width even under toHalf, :570-588),
+//                     Compression.cc zipToStream framing (int64 byte
+//                     count; negative = stored uncompressed)
+//   instancing:       openvdb/io/Archive.cc:1329-1367 writeGridInstance —
+//                     descriptor + compression + metadata + transform,
+//                     NO tree; parent named in the descriptor
 //
 // Usage: vdbcheck file.vdb
 // Prints one JSON line per grid: {"name", "type", "half", "leaf_count",
-// "active_voxels", "active_sum", "bbox": [...], "file_voxel_count"} and a
-// final {"ok": true, "grids": N} line; exits non-zero on any parse error.
+// "active_voxels", "active_sum", "bbox": [...], "file_voxel_count"} (plus
+// "instance_parent" for instances) and a final {"ok": true, "grids": N}
+// line; exits non-zero on any parse error.
 //
 // Build: g++ -O2 -std=c++17 -o vdbcheck vdbcheck.cc -lz
 
@@ -38,6 +49,7 @@
 #include <cstdio>
 #include <cstring>
 #include <cmath>
+#include <map>
 #include <stdexcept>
 #include <string>
 #include <vector>
@@ -95,6 +107,35 @@ enum {
   kMaskAndTwoInactiveVals = 5,
   kNoMaskAndAllVals = 6,
 };
+
+// Value-type descriptor (openvdb/openvdb.h:49-82; Types.h:326-344 names).
+enum class Kind { F32, F64, I32, I64, Bool };
+
+struct VType {
+  int comps;       // components per voxel
+  int bytes;       // bytes per component (full-width ValueT)
+  Kind kind;
+  bool real() const { return kind == Kind::F32 || kind == Kind::F64; }
+};
+
+VType vtypeOf(const std::string& base) {
+  static const std::map<std::string, VType> kTypes = {
+      {"float", {1, 4, Kind::F32}},  {"double", {1, 8, Kind::F64}},
+      {"int32", {1, 4, Kind::I32}},  {"int64", {1, 8, Kind::I64}},
+      {"bool", {1, 1, Kind::Bool}},  {"vec3s", {3, 4, Kind::F32}},
+      {"vec3d", {3, 8, Kind::F64}},  {"vec3i", {3, 4, Kind::I32}},
+  };
+  const std::string prefix = "Tree_", suffix = "_5_4_3";
+  if (base.size() <= prefix.size() + suffix.size() ||
+      base.compare(0, prefix.size(), prefix) != 0 ||
+      base.compare(base.size() - suffix.size(), suffix.size(), suffix) != 0)
+    throw std::runtime_error("unknown grid type " + base);
+  std::string vt = base.substr(prefix.size(),
+                               base.size() - prefix.size() - suffix.size());
+  auto it = kTypes.find(vt);
+  if (it == kTypes.end()) throw std::runtime_error("unknown value type " + vt);
+  return it->second;
+}
 
 struct Meta {
   std::string name, type;
@@ -172,14 +213,56 @@ struct ValueStats {
   size_t count = 0;
 };
 
+// Decode one component at q (stored width: 2 bytes if half, else full
+// ValueT width) into a double for the checksum.
+double decodeComp(const uint8_t* q, const VType& vt, bool half) {
+  if (half) {
+    uint16_t hv;
+    std::memcpy(&hv, q, 2);
+    return double(halfToFloat(hv));
+  }
+  switch (vt.kind) {
+    case Kind::F32: {
+      float v;
+      std::memcpy(&v, q, 4);
+      return double(v);
+    }
+    case Kind::F64: {
+      double v;
+      std::memcpy(&v, q, 8);
+      return v;
+    }
+    case Kind::I32: {
+      int32_t v;
+      std::memcpy(&v, q, 4);
+      return double(v);
+    }
+    case Kind::I64: {
+      int64_t v;
+      std::memcpy(&v, q, 8);
+      return double(v);
+    }
+    case Kind::Bool:
+      return double(*q != 0);
+  }
+  return 0.0;
+}
+
 // io::readCompressedValues (Compression.h:462-640): per-node metadata byte,
 // optional inactive values + selection mask, then the (possibly compacted)
 // value payload.  We only need to WALK it (and fold active leaf values into
 // the checksum), not reconstruct inactive values.
 void readCompressedValues(Cursor& c, size_t count, size_t activeCount,
-                          const uint8_t* valueMask, uint32_t flags, int comps,
-                          bool half, ValueStats* stats) {
-  size_t vsz = (half ? 2 : 4) * size_t(comps);
+                          const uint8_t* valueMask, uint32_t flags,
+                          const VType& vt, bool half, ValueStats* stats) {
+  size_t csz = half ? 2 : size_t(vt.bytes);      // stored component bytes
+  size_t vsz = csz * size_t(vt.comps);
+  auto fold = [&](const std::vector<uint8_t>& data, size_t i) {
+    for (int k = 0; k < vt.comps; ++k)
+      stats->sum += decodeComp(data.data() + i * vsz + size_t(k) * csz, vt,
+                               half);
+    stats->count += 1;
+  };
   if (!(flags & kCompressActiveMask)) {
     // no ACTIVE_MASK: one metadata byte then ALL values
     uint8_t meta = c.scalar<uint8_t>();
@@ -187,26 +270,15 @@ void readCompressedValues(Cursor& c, size_t count, size_t activeCount,
       throw std::runtime_error("unexpected metadata without ACTIVE_MASK");
     std::vector<uint8_t> data = readDataBytes(c, flags, count * vsz);
     if (stats && valueMask) {
-      for (size_t i = 0; i < count; ++i) {
-        if (!(valueMask[i >> 3] >> (i & 7) & 1)) continue;
-        for (int k = 0; k < comps; ++k) {
-          const uint8_t* q = data.data() + i * vsz + k * (half ? 2 : 4);
-          float v;
-          if (half) {
-            uint16_t hv;
-            std::memcpy(&hv, q, 2);
-            v = halfToFloat(hv);
-          } else {
-            std::memcpy(&v, q, 4);
-          }
-          stats->sum += v;
-        }
-        stats->count += 1;
-      }
+      for (size_t i = 0; i < count; ++i)
+        if (valueMask[i >> 3] >> (i & 7) & 1) fold(data, i);
     }
     return;
   }
   uint8_t meta = c.scalar<uint8_t>();
+  // inactive values are stored full-ValueT-width even under toHalf
+  // (Compression.h:570-588 truncateRealToHalf keeps sizeof(ValueT))
+  size_t inactSz = size_t(vt.bytes) * size_t(vt.comps);
   switch (meta) {
     case kNoMaskOrInactiveVals:
     case kNoMaskAndMinusBg:
@@ -214,10 +286,10 @@ void readCompressedValues(Cursor& c, size_t count, size_t activeCount,
       break;
     case kNoMaskAndOneInactiveVal:
     case kMaskAndOneInactiveVal:
-      c.skip(4 * size_t(comps));  // inactive values are stored f32
+      c.skip(inactSz);
       break;
     case kMaskAndTwoInactiveVals:
-      c.skip(8 * size_t(comps));
+      c.skip(2 * inactSz);
       break;
     case kNoMaskAndAllVals:
       break;
@@ -232,39 +304,11 @@ void readCompressedValues(Cursor& c, size_t count, size_t activeCount,
   std::vector<uint8_t> data = readDataBytes(c, flags, stored * vsz);
   if (stats && valueMask) {
     if (meta == kNoMaskAndAllVals) {
-      for (size_t i = 0; i < count; ++i) {
-        if (!(valueMask[i >> 3] >> (i & 7) & 1)) continue;
-        for (int k = 0; k < comps; ++k) {
-          const uint8_t* q = data.data() + i * vsz + k * (half ? 2 : 4);
-          float v;
-          if (half) {
-            uint16_t hv;
-            std::memcpy(&hv, q, 2);
-            v = halfToFloat(hv);
-          } else {
-            std::memcpy(&v, q, 4);
-          }
-          stats->sum += v;
-        }
-        stats->count += 1;
-      }
+      for (size_t i = 0; i < count; ++i)
+        if (valueMask[i >> 3] >> (i & 7) & 1) fold(data, i);
     } else {
       // compacted payload: stored values ARE the active ones, in order
-      for (size_t i = 0; i < stored; ++i) {
-        for (int k = 0; k < comps; ++k) {
-          const uint8_t* q = data.data() + i * vsz + k * (half ? 2 : 4);
-          float v;
-          if (half) {
-            uint16_t hv;
-            std::memcpy(&hv, q, 2);
-            v = halfToFloat(hv);
-          } else {
-            std::memcpy(&v, q, 4);
-          }
-          stats->sum += v;
-        }
-        stats->count += 1;
-      }
+      for (size_t i = 0; i < stored; ++i) fold(data, i);
     }
   }
 }
@@ -277,7 +321,7 @@ size_t popcount(const uint8_t* mask, size_t bits) {
 }
 
 struct GridReport {
-  std::string name, type;
+  std::string name, type, parent;
   bool half = false;
   size_t leafCount = 0;
   size_t activeVoxels = 0;
@@ -291,14 +335,14 @@ constexpr size_t kN2 = size_t(1) << 15;  // 32^3 offsets
 constexpr size_t kN1 = size_t(1) << 12;  // 16^3
 constexpr size_t kNL = size_t(1) << 9;   // 8^3
 
-void parseGrid(Cursor& c, uint32_t flags, int comps, bool half,
+void parseGrid(Cursor& c, uint32_t flags, const VType& vt, bool half,
                GridReport* rep, std::vector<std::vector<uint8_t>>* leafMasks) {
-  c.scalar<int32_t>();                        // TreeBase bufferCount
-  c.skip(4 * size_t(comps));                  // root background (f32 each)
+  c.scalar<int32_t>();  // TreeBase bufferCount
+  c.skip(size_t(vt.bytes) * size_t(vt.comps));  // root background (ValueT)
   uint32_t numTiles = c.scalar<uint32_t>();
   uint32_t numChildren = c.scalar<uint32_t>();
-  for (uint32_t t = 0; t < numTiles; ++t) {   // root tiles: Coord+val+bool
-    c.skip(12 + 4 * size_t(comps) + 1);
+  for (uint32_t t = 0; t < numTiles; ++t) {  // root tiles: Coord+val+bool
+    c.skip(12 + size_t(vt.bytes) * size_t(vt.comps) + 1);
   }
   // recursive descent, depth-first in stored order
   for (uint32_t ch = 0; ch < numChildren; ++ch) {
@@ -307,14 +351,14 @@ void parseGrid(Cursor& c, uint32_t flags, int comps, bool half,
     std::vector<uint8_t> child2(cm2, cm2 + kN2 / 8);
     const uint8_t* vm2 = c.raw(kN2 / 8);
     size_t act2 = popcount(vm2, kN2);
-    readCompressedValues(c, kN2, act2, nullptr, flags, comps, half, nullptr);
+    readCompressedValues(c, kN2, act2, nullptr, flags, vt, half, nullptr);
     size_t n1nodes = popcount(child2.data(), kN2);
     for (size_t i1 = 0; i1 < n1nodes; ++i1) {
       const uint8_t* cm1 = c.raw(kN1 / 8);
       std::vector<uint8_t> child1(cm1, cm1 + kN1 / 8);
       const uint8_t* vm1 = c.raw(kN1 / 8);
       size_t act1 = popcount(vm1, kN1);
-      readCompressedValues(c, kN1, act1, nullptr, flags, comps, half, nullptr);
+      readCompressedValues(c, kN1, act1, nullptr, flags, vt, half, nullptr);
       size_t nleaf = popcount(child1.data(), kN1);
       for (size_t il = 0; il < nleaf; ++il) {
         const uint8_t* lm = c.raw(kNL / 8);  // leaf topology: value mask
@@ -326,7 +370,7 @@ void parseGrid(Cursor& c, uint32_t flags, int comps, bool half,
   }
 }
 
-void parseLeafBuffers(Cursor& c, uint32_t flags, int comps, bool half,
+void parseLeafBuffers(Cursor& c, uint32_t flags, const VType& vt, bool half,
                       const std::vector<std::vector<uint8_t>>& leafMasks,
                       GridReport* rep) {
   ValueStats stats;
@@ -334,8 +378,19 @@ void parseLeafBuffers(Cursor& c, uint32_t flags, int comps, bool half,
     const uint8_t* lm2 = c.raw(kNL / 8);  // buffers repeat the value mask
     if (std::memcmp(lm2, lm.data(), kNL / 8) != 0)
       throw std::runtime_error("leaf buffer mask != topology mask");
-    readCompressedValues(c, kNL, popcount(lm.data(), kNL), lm.data(), flags,
-                         comps, half, &stats);
+    if (vt.kind == Kind::Bool) {
+      // LeafNodeBool.h writeBuffers: origin Coord + raw value bitmask
+      c.skip(12);
+      const uint8_t* vb = c.raw(kNL / 8);
+      for (size_t i = 0; i < kNL; ++i) {
+        if (!(lm.data()[i >> 3] >> (i & 7) & 1)) continue;
+        stats.sum += double(vb[i >> 3] >> (i & 7) & 1);
+        stats.count += 1;
+      }
+    } else {
+      readCompressedValues(c, kNL, popcount(lm.data(), kNL), lm.data(), flags,
+                           vt, half, &stats);
+    }
   }
   rep->activeSum = stats.sum;
   if (stats.count != rep->activeVoxels)
@@ -373,22 +428,20 @@ int main(int argc, char** argv) {
     c.skip(36);            // ASCII uuid
     readMetaMap(c);        // file-level metadata
     int32_t ngrids = c.scalar<int32_t>();
+    std::vector<std::string> written;  // names with trees (instance parents)
 
     for (int32_t g = 0; g < ngrids; ++g) {
       GridReport rep;
       rep.name = c.str();
       rep.type = c.str();
-      c.str();  // instance parent
+      rep.parent = c.str();  // instance parent (Archive.cc:1329)
       rep.half = rep.type.size() > 10 &&
                  rep.type.rfind("_HalfFloat") == rep.type.size() - 10;
       std::string base =
           rep.half ? rep.type.substr(0, rep.type.size() - 10) : rep.type;
-      int comps;
-      if (base == "Tree_float_5_4_3") comps = 1;
-      else if (base == "Tree_vec3s_5_4_3") comps = 3;
-      else if (base == "Tree_vec3d_5_4_3" || base == "Tree_double_5_4_3")
-        throw std::runtime_error("f64 trees not produced by this framework");
-      else throw std::runtime_error("unknown grid type " + rep.type);
+      VType vt = vtypeOf(base);
+      if (rep.half && !vt.real())
+        throw std::runtime_error("half-float suffix on non-real type");
 
       int64_t gridPos = 0, blockPos = 0, endPos = 0;
       if (hasOffsets) {
@@ -425,16 +478,36 @@ int main(int argc, char** argv) {
         throw std::runtime_error("unknown map type " + mapType);
       c.skip(8 * mapDoubles);
 
+      if (!rep.parent.empty()) {
+        // instance grid: no tree follows (Archive::writeGridInstance);
+        // parent must be an earlier grid that owns a tree
+        bool found = false;
+        for (const auto& w : written)
+          if (w == rep.parent) found = true;
+        if (!found)
+          throw std::runtime_error("instance parent \"" + rep.parent +
+                                   "\" not previously written");
+        if (hasOffsets && size_t(endPos) != c.off)
+          throw std::runtime_error("end offset mismatch after instance");
+        std::printf(
+            "{\"name\": \"%s\", \"type\": \"%s\", \"half\": %s, "
+            "\"instance_parent\": \"%s\"}\n",
+            rep.name.c_str(), rep.type.c_str(), rep.half ? "true" : "false",
+            rep.parent.c_str());
+        continue;
+      }
+
       std::vector<std::vector<uint8_t>> leafMasks;
-      parseGrid(c, flags, comps, rep.half, &rep, &leafMasks);
+      parseGrid(c, flags, vt, rep.half, &rep, &leafMasks);
       if (hasOffsets && size_t(blockPos) != c.off)
         throw std::runtime_error("block offset mismatch after topology");
-      parseLeafBuffers(c, flags, comps, rep.half, leafMasks, &rep);
+      parseLeafBuffers(c, flags, vt, rep.half, leafMasks, &rep);
       if (hasOffsets && size_t(endPos) != c.off)
         throw std::runtime_error("end offset mismatch after buffers");
       if (rep.fileVoxelCount >= 0 &&
           size_t(rep.fileVoxelCount) != rep.activeVoxels)
         throw std::runtime_error("file_voxel_count != counted active voxels");
+      written.push_back(rep.name);
 
       std::printf(
           "{\"name\": \"%s\", \"type\": \"%s\", \"half\": %s, "

@@ -202,3 +202,93 @@ def test_delayed_load(tmp_path, compression):
     r0 = handles[0].grid
     np.testing.assert_array_equal(r0.values, eager[0].values)
     np.testing.assert_array_equal(r0.active, eager[0].active)
+
+
+def _typed_grids(seed=11, shape=(16, 16, 16)):
+    """One grid per registered value type (openvdb/openvdb.h:49-82), all
+    sharing an activity mask; returns (grids, active)."""
+    rng = np.random.default_rng(seed)
+    act = rng.random(shape) < 0.5
+    return [
+        VdbGrid(rng.standard_normal(shape).astype(np.float32), name="f",
+                active=act),
+        VdbGrid(rng.standard_normal(shape), name="d", active=act),
+        VdbGrid(rng.integers(-5, 99, shape).astype(np.int32), name="i32",
+                active=act, background=7),
+        VdbGrid(rng.integers(-5, 99, shape).astype(np.int64), name="i64",
+                active=act),
+        VdbGrid(act.copy(), name="b", active=act, background=False),
+        VdbGrid(rng.standard_normal(shape + (3,)).astype(np.float32),
+                name="v3s", active=act),
+        VdbGrid(rng.standard_normal(shape + (3,)), name="v3d", active=act),
+        VdbGrid(rng.integers(-5, 99, shape + (3,)).astype(np.int32),
+                name="v3i", active=act),
+    ], act
+
+
+@pytest.mark.parametrize("compression", ALL_COMPRESSION)
+def test_value_type_roundtrip(tmp_path, compression):
+    """Every registered value type round-trips with its native dtype
+    (VERDICT r2 item 7: Int32/Bool/Double/Vec3d generality)."""
+    grids, act = _typed_grids()
+    path = str(tmp_path / "t.vdb")
+    write_vdb(path, grids, compression=compression)
+    back = read_vdb(path)
+    for g, r in zip(grids, back):
+        assert r.name == g.name
+        assert r.value_type == g.value_type
+        assert r.values.dtype == g.store_dtype
+        ga = np.asarray(g.values, g.store_dtype)
+        np.testing.assert_array_equal(ga[act], r.values[act])
+        if not (compression & COMPRESS_ACTIVE_MASK):
+            np.testing.assert_array_equal(ga, r.values)
+        np.testing.assert_array_equal(act, r.active)
+
+
+def test_double_half_roundtrip(tmp_path):
+    """Double/Vec3d grids honor save_half (RealToHalf<double> -> half,
+    io/Compression.h:120-146): stored half, read back as f64."""
+    rng = np.random.default_rng(3)
+    gs = [VdbGrid(rng.standard_normal((8, 8, 8)), name="dh", save_half=True),
+          VdbGrid(rng.standard_normal((8, 8, 8, 3)), name="v3dh",
+                  save_half=True)]
+    path = str(tmp_path / "h.vdb")
+    write_vdb(path, gs)
+    for g, r in zip(gs, read_vdb(path)):
+        assert r.save_half and r.values.dtype == np.float64
+        np.testing.assert_allclose(
+            r.values, np.asarray(g.values, np.float16).astype(np.float64))
+
+
+def test_instance_parent_roundtrip(tmp_path):
+    """Grids sharing a values array are written once; the second becomes an
+    instance descriptor naming the first (Archive::writeGridInstance,
+    Archive.cc:1329-1367) and the reader re-connects it
+    (Archive::connectInstance)."""
+    from fluidsim_tpu.io.vdb import open_vdb
+
+    rng = np.random.default_rng(4)
+    shared = rng.standard_normal((8, 8, 8)).astype(np.float32)
+    gs = [VdbGrid(shared, name="a"),
+          VdbGrid(shared, name="a_inst", voxel_size=2.0),
+          VdbGrid(rng.standard_normal((8, 8, 8)).astype(np.float32),
+                  name="own")]
+    path = str(tmp_path / "i.vdb")
+    write_vdb(path, gs)
+    # the instance's tree section must not be duplicated on disk: the file
+    # is much smaller than one with three independent trees
+    gs_indep = [VdbGrid(np.array(g.values), name=g.name,
+                        voxel_size=g.voxel_size) for g in gs]
+    path2 = str(tmp_path / "i2.vdb")
+    write_vdb(path2, gs_indep)
+    assert os.path.getsize(path) < os.path.getsize(path2)
+
+    back = read_vdb(path)
+    assert [g.name for g in back] == ["a", "a_inst", "own"]
+    assert back[1].voxel_size == 2.0
+    np.testing.assert_array_equal(back[0].values, back[1].values)
+
+    handles = open_vdb(path)
+    assert handles[1].instance_parent == "a"
+    np.testing.assert_array_equal(handles[1].grid.values,
+                                  handles[0].grid.values)
