@@ -76,6 +76,33 @@ class MpmParams:
     # the outer do-while bounds the error and rtol auto-scales
     # (models/flip.py:auto_pcg_rtol).
     cg_maxiter: int = 1000
+    # Preconditioner for A = I + beta dt^2 H/m (the reference uses
+    # IncompleteCholesky on its assembled sparse A, mpm.cc:1283).  "jacobi"
+    # uses a mass-lumped stiffness-density diagonal proxy
+    #   d_i = 1 + beta dt^2 gamma (2 mu0 + lam0) / m_i * sum_p w_pi V_p h_p
+    # (one extra scalar P2G per frame; h = hardening factor, the only
+    # spatially-varying stiffness term).  PCG terminates on the TRUE
+    # residual (ops/pcg.py), so the solution quality bar is unchanged —
+    # only the iteration path differs.  The win appears exactly where the
+    # soak is slow: post-impact frames where hardened/compressed regions
+    # make A strongly non-uniform.
+    precond: str = "none"           # "none" | "jacobi" — measured NEUTRAL
+    # on the 127^3 cone (iters 6614 -> 6483 over 500 frames,
+    # docs/mpm_anatomy_127*.json): diag(A) ~= 1 + 3.6e-4*h deviates from
+    # identity only via hardening, by which point the off-diagonal
+    # structure dominates.  Kept as an option for stiffer material setups.
+    precond_gamma: float = 1.0      # diag proxy scale
+    # Implicit operator: "full" = the reference's exact corotated Hessian
+    # (deformHeader.h:241-272, indefinite under compression — the measured
+    # cause of the impact-frame CG blowup into the 1000-iteration cap at
+    # 127^3, docs/mpm_anatomy_127_none.json frame 114); "spd" = its
+    # positive-semidefinite Gauss-Newton part (ops/svd3.py:
+    # piola_linearized), unconditionally CG-convergent.  "auto" (default):
+    # MpmSim keeps "full" at the reference class (bound <= 15, exact
+    # parity with mpm.cc) and switches to "spd" for scaled-up scenes,
+    # where the impact-phase solve is the measured bottleneck and the
+    # KE-decay oracle validates the trajectory (docs/validation.md).
+    hessian: str = "auto"           # "auto" | "full" | "spd"
     kernel: str = "mpm"
     fast_transfer: bool = False  # sorted channel-fused transfers (ops.mpm_fast);
     # default off at reference scale (31^3 / ~6k particles, where the naive
@@ -130,7 +157,8 @@ def _particle_nodes(pos, solid, bound: int):
     return ids, inb, not_solid, w, gradw
 
 
-def make_force_fn(ids, gather_mask, scatter_mask, gradw, FE, volume, mu, lam, n3):
+def make_force_fn(ids, gather_mask, scatter_mask, gradw, FE, volume, mu, lam,
+                  n3, hessian="full"):
     """Grid elastic force as a function of a grid displacement increment ``u``.
 
     ``forces(0)`` is the reference's explicit force scatter
@@ -169,6 +197,8 @@ def mpm_step(params: MpmParams, solid, state: MpmState):
     thr = params.mass_threshold
     fe_in, fp_in = state.FE, state.FP
     use_pallas = bool(params.pallas_transfer)
+    hess = (params.hessian if params.hessian != "auto"
+            else ("full" if params.bound <= 15 else "spd"))
 
     if use_pallas:
         from fluidsim_tpu.ops import mpm_pallas as mp
@@ -230,19 +260,22 @@ def mpm_step(params: MpmParams, solid, state: MpmState):
     if use_pallas:
         f0_fn, dforce = mp.make_force_fns(pos, flat_h, rows, fe_in,
                                           volume, mu, lam, active, solid, B,
-                                          lay, interpret=itp)
+                                          lay, interpret=itp,
+                                          hessian=hess)
         f0 = f0_fn().reshape(n3, 3)
     elif params.fast_transfer:
         from fluidsim_tpu.ops import mpm_fast as mf
         forces_dense = mf.make_force_fn_fused(
             pos, flat_s, gradw, valid[:, None].astype(pos.dtype),
-            fe_in, volume, mu, lam, active, solid, B)
+            fe_in, volume, mu, lam, active, solid, B,
+            hessian=hess)
         forces = lambda u_flat: forces_dense(u_flat.reshape(n, n, n, 3)).reshape(n3, 3)
     else:
         active_flat = active.reshape(-1)
         gather_mask = active_flat[ids] & inb       # Hessian column mask (mpm.cc:681)
         forces = make_force_fn(ids, gather_mask, not_solid, gradw,
-                               fe_in, volume, mu, lam, n3)
+                               fe_in, volume, mu, lam, n3,
+                               hessian=hess)
     if not use_pallas:
         f0 = forces(jnp.zeros((n3, 3), pos.dtype))
 
@@ -252,6 +285,30 @@ def mpm_step(params: MpmParams, solid, state: MpmState):
 
     beta_dt2 = params.beta * dt * dt
     zeros_u = jnp.zeros((n3, 3), pos.dtype)
+
+    precond = None
+    if params.precond == "jacobi":
+        # mass-lumped stiffness-density diagonal proxy (see MpmParams):
+        # rho_i = sum_p w_pi V_p h_p, scattered through the same P2G
+        # machinery as momentum (h rides in the first velocity channel)
+        h_fac = mu / params.mu0
+        s = volume * h_fac
+        svec = jnp.stack([s, jnp.zeros_like(s), jnp.zeros_like(s)], axis=-1)
+        if use_pallas:
+            rows_d = mp.pack_mpm_rows(flat_h, pos, svec, B)
+            _, mom_d = mp.p2g_mpm(rows_d, flat_h, solid, B, lay,
+                                  interpret=itp)
+        elif params.fast_transfer:
+            _, mom_d = mf.p2g_mpm(pos, svec, flat_s, solid, B)
+        else:
+            _, mom_d = transfer.p2g_velocity(pos, svec, solid, B,
+                                             params.kernel)
+        rho = mom_d[..., 0]
+        dscale = params.precond_gamma * (2.0 * params.mu0 + params.lam0)
+        diag = 1.0 + beta_dt2 * dscale * rho / mass_safe[..., 0]
+
+        def precond(r):
+            return jnp.where(active[..., None], r / diag[..., None], r)
 
     def matvec(wv):
         wm = jnp.where(active[..., None], wv, 0.0)
@@ -272,7 +329,8 @@ def mpm_step(params: MpmParams, solid, state: MpmState):
     # gather+scatter Hessian-vector product, ~14% of the whole frame at
     # scale.  The solution bar is unchanged (same rtol on the same system;
     # the C++-oracle KE parity and soak tolerances are trajectory-level).
-    res = pcg(matvec, b, x0=b, rtol=params.cg_rtol, maxiter=params.cg_maxiter)
+    res = pcg(matvec, b, x0=b, precond=precond, rtol=params.cg_rtol,
+              maxiter=params.cg_maxiter)
     velg = jnp.where(active[..., None], res.x, 0.0)  # updateVelocity, mpm.cc:705-737
 
     # -- deformation gradient update (mpm.cc:493-586) --
@@ -359,6 +417,11 @@ class MpmSim:
             auto = (jax.default_backend() != "cpu"
                     and params.bound > 15 and scene.spec.n <= 511)
             params = dataclasses.replace(params, pallas_transfer=auto)
+        if params.hessian == "auto":
+            # reference class -> exact reference Hessian; scaled scenes ->
+            # the SPD Gauss-Newton operator (see MpmParams.hessian)
+            params = dataclasses.replace(
+                params, hessian="full" if params.bound <= 15 else "spd")
         self.scene = scene
         self.params = params
         self.solid = jnp.asarray(scene.solid)

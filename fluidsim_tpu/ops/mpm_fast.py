@@ -101,7 +101,7 @@ def p2g_mpm(pos_s, vel_s, flat_s, solid, bound: int):
 
 
 def make_force_fn_fused(pos_s, flat_s, gradw, w27_valid, FE, volume, mu, lam,
-                        active, solid, bound: int):
+                        active, solid, bound: int, hessian: str = "full"):
     """Fused grid-force function of a dense displacement field u (N,N,N,3).
 
     ``forces(0)`` equals the naive ``models.mpm.make_force_fn`` zero point;
@@ -111,7 +111,7 @@ def make_force_fn_fused(pos_s, flat_s, gradw, w27_valid, FE, volume, mu, lam,
     """
     fe_t = jnp.swapaxes(FE, -1, -2)
     not_solid = ~solid
-    p0, dp = piola_linearized(FE, mu, lam)   # one SVD per frame
+    p0, dp = piola_linearized(FE, mu, lam, hessian)  # one SVD per frame
 
     def forces(u):
         rows = gather_table(u, active, flat_s)          # (P, 27, 4)

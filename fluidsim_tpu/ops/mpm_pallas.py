@@ -229,7 +229,7 @@ def flip_delta(pos_s, rows, flat_h, dvc, bound: int, wall: int,
 
 def make_force_fns(pos_s, flat_h, rows, FE, volume, mu, lam,
                    active, solid, bound: int, lay: tp.HaloLayout,
-                   interpret: bool = False):
+                   interpret: bool = False, hessian: str = "full"):
     """(f0, dforce): the explicit grid force and its exact linearization.
 
     ``f0()`` equals ``mpm_fast.make_force_fn_fused``'s ``forces(0)``
@@ -243,7 +243,7 @@ def make_force_fns(pos_s, flat_h, rows, FE, volume, mu, lam,
     p = pos_s.shape[0]
     fe_t = jnp.swapaxes(FE, -1, -2)
     not_solid = ~solid
-    p0, dp = piola_linearized(FE, mu, lam)          # one SVD per frame
+    p0, dp = piola_linearized(FE, mu, lam, hessian)  # one SVD per frame
     valid = jnp.all(jnp.abs(cround(pos_s)) <= bound, axis=-1)
     scale = jnp.where(valid, -volume, 0.0)          # zero dead particles
 

@@ -256,13 +256,26 @@ def piola_corotated(F, mu, lam):
             + (lam * (J - 1.0))[..., None, None] * cof)
 
 
-def piola_linearized(FE, mu, lam):
+def piola_linearized(FE, mu, lam, hessian: str = "full"):
     """Precompute the corotated Piola stress P0 at FE plus a *linear*
     differential closure dP(dF) — one SVD total, hoisted out of the implicit
     solve (the naive route re-ran the SVD + its JVP inside every CG matvec).
 
-    dP matches ``dPsydFdF`` (``deformHeader.h:241-249``):
+    ``hessian="full"`` matches ``dPsydFdF`` (``deformHeader.h:241-249``):
     ``2 mu dF - 2 mu dR + lam (cof:dF) cof + lam (J-1) dcof``.
+
+    ``hessian="spd"`` keeps only the POSITIVE-SEMIDEFINITE Gauss-Newton part
+    ``2 mu dF + lam (cof:dF) cof`` (quadratic form 2mu|dF|^2 +
+    lam (cof:dF)^2 >= 0).  The dropped terms — ``-2 mu dR`` and
+    ``lam (J-1) dcof`` — are exactly what makes the corotated Hessian
+    indefinite under strong compression (J < 1), i.e. at impact, where the
+    measured 127^3 anatomy shows CG stagnating into its 1000-iteration cap
+    (docs/mpm_anatomy_127_none.json, frame 114).  With the SPD operator,
+    ``A = I + beta dt^2 H/m`` has spectrum >= 1, so CG is unconditionally
+    convergent and the semi-implicit update cannot amplify ``b``.  P0 (the
+    explicit force) is exact in both modes; only the implicit operator is
+    approximated (a Gauss-Newton step instead of a full Newton step for the
+    same backward-Euler-weighted system).
     """
     R, S = polar_rs(FE)
     J = det3(FE)
@@ -270,7 +283,7 @@ def piola_linearized(FE, mu, lam):
     P0 = (2.0 * mu[..., None, None] * (FE - R)
           + (lam * (J - 1.0))[..., None, None] * cof)
 
-    def dP(dF):
+    def dP_full(dF):
         dR = polar_delta(R, S, dF)
         _, dcof = jax.jvp(cofactor3, (FE,), (dF,))   # polynomial jvp: cheap
         cof_dF = jnp.einsum("...ij,...ij->...", cof, dF,
@@ -279,7 +292,13 @@ def piola_linearized(FE, mu, lam):
                 + lam[..., None, None] * (cof_dF[..., None, None] * cof
                                           + (J - 1.0)[..., None, None] * dcof))
 
-    return P0, dP
+    def dP_spd(dF):
+        cof_dF = jnp.einsum("...ij,...ij->...", cof, dF,
+                            precision=jax.lax.Precision.HIGHEST)
+        return (2.0 * mu[..., None, None] * dF
+                + lam[..., None, None] * cof_dF[..., None, None] * cof)
+
+    return P0, (dP_spd if hessian == "spd" else dP_full)
 
 
 def hardening(mu0, lam0, eps, Jp, exponent_cap: float | None = None):

@@ -179,7 +179,9 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
         # explicit LINEAR Hessian chain (no jvp across pallas_call):
         # gradW gather over active cells -> piola_linearized dP -> in-kernel
         # M gradW(o) scatter, halo-reduced by the callers
-        p0, dp = piola_linearized(fe_in, mu, lam)
+        hess = (params.hessian if params.hessian != "auto"
+                else ("full" if params.bound <= 15 else "spd"))
+        p0, dp = piola_linearized(fe_in, mu, lam, hess)
         valid = jnp.all(jnp.abs(cround(pos)) <= B, axis=-1)
         scale = jnp.where(valid, -vol_alive, 0.0)
         not_solid_ext = ~solid_ext

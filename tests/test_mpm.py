@@ -153,3 +153,66 @@ def test_matvec_linearity():
     _, d12 = jax.jvp(forces, (z,), (w1 + 2.0 * w2,))
     np.testing.assert_allclose(np.asarray(d12), np.asarray(d1 + 2.0 * d2),
                                atol=2e-2, rtol=1e-3)
+
+
+def test_spd_hessian_positive_semidefinite():
+    """The "spd" implicit operator (ops/svd3.py:piola_linearized) must give
+    w^T (A - I) w >= 0 for arbitrary w at a DEFORMED state — the property
+    the full corotated Hessian loses under compression (the measured cause
+    of the impact-frame CG stagnation, docs/mpm_anatomy_127_none.json)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from fluidsim_tpu.models.mpm import MpmSim, mpm_step
+
+    rng = np.random.default_rng(5)
+    sim = MpmSim("mpm_cone")
+    # drive into a deformed state quickly: big downward velocity
+    sim.state.vel = jnp.asarray(
+        np.full((sim.num_particles, 3), [0.0, -80.0, 0.0], np.float32))
+    for _ in range(30):
+        sim.step()
+
+    for hess, allow_negative in (("spd", False), ("full", True)):
+        params = dataclasses.replace(sim.params, hessian=hess)
+        # squeeze FE to strong compression so the full Hessian's indefinite
+        # terms (-2 mu dR, lam (J-1) dcof) are active
+        state = dataclasses.replace(
+            sim.state, FE=sim.state.FE * 0.8)
+
+        quad_signs = []
+        for trial in range(5):
+            key = jax.random.PRNGKey(trial)
+
+            def quad_form(state=state, params=params, key=key):
+                from fluidsim_tpu.models import mpm as M
+                B = params.bound
+                n = 2 * B + 1
+                solid = sim.solid
+                # rebuild the force linearization exactly as mpm_step does
+                pos, vel = state.pos, state.vel
+                from fluidsim_tpu.ops.svd3 import hardening, det3
+                mu, lam = hardening(params.mu0, params.lam0,
+                                    params.hardening_eps, det3(state.FP),
+                                    exponent_cap=params.hardening_max)
+                ids, inb, not_solid, w, gradw = M._particle_nodes(
+                    pos, solid, B)
+                volume = jnp.maximum(state.volume, 1e-6)
+                mask = inb
+                forces = M.make_force_fn(ids, mask, not_solid, gradw,
+                                         state.FE, volume, mu, lam,
+                                         n * n * n, hessian=params.hessian)
+                wvec = jax.random.normal(key, (n * n * n, 3),
+                                         dtype=jnp.float32)
+                zeros = jnp.zeros_like(wvec)
+                _, df = jax.jvp(forces, (zeros,), (wvec,))
+                # u^T K u = -u . f (K = -dforce/du); normalize by |w|^2
+                return -jnp.vdot(wvec, df) / jnp.vdot(wvec, wvec)
+
+            quad_signs.append(float(quad_form()))
+
+        if not allow_negative:
+            assert all(q >= -1e-3 * max(abs(x) for x in quad_signs)
+                       for q in quad_signs), (hess, quad_signs)
