@@ -70,6 +70,17 @@ class FlipParams:
     pallas_interpret: bool = False   # run the Pallas kernels in interpret
                                      # mode (CPU equivalence tests of the
                                      # sharded Pallas path only)
+    sort_method: str = "full"        # "full" = 7/16-operand lax.sort;
+                                     # "bucket" = window-grouped bucketing
+                                     # (ops.bucket_sort).  MEASURED at
+                                     # 129^3/2M: bucket 17.5 ms vs full
+                                     # 9.5 — the kernel's DMA count is
+                                     # floored at one block load per
+                                     # window-run (~10k x ~1 us), which
+                                     # already exceeds the comparison
+                                     # sort; see the architecture ledger.
+                                     # Kept for large-n experiments where
+                                     # lax.sort's log^2 P bites.
     walls_only_solid: bool = False   # scene solid == box walls exactly;
                                      # enables the analytic bounce probe
                                      # (auto-detected by FlipSim)
@@ -354,7 +365,8 @@ def flip_step(params: FlipParams, solid, state: FlipState):
         from fluidsim_tpu.ops import transfer_pallas as tp
         lay = tp.HaloLayout(2 * B + 1)
         pos, vel, flat, aff_flat = tp.sort_by_cell_h(
-            pos, vel, B, lay, extra=state.aff.reshape(-1, 9))
+            pos, vel, B, lay, extra=state.aff.reshape(-1, 9),
+            method=params.sort_method, interpret=params.pallas_interpret)
         aff = aff_flat.reshape(-1, 3, 3)
         weights, mom, occ, wv_rows = tp.p2g_pallas(
             pos, vel, flat, solid, B, lay, params.kernel, aff=aff,
@@ -380,7 +392,8 @@ def flip_step(params: FlipParams, solid, state: FlipState):
     elif params.fast_transfer and params.pallas_transfer:
         from fluidsim_tpu.ops import transfer_pallas as tp
         lay = tp.HaloLayout(2 * B + 1)
-        pos, vel, flat = tp.sort_by_cell_h(pos, vel, B, lay)
+        pos, vel, flat = tp.sort_by_cell_h(pos, vel, B, lay,
+                                           method=params.sort_method, interpret=params.pallas_interpret)
         weights, mom, occ, wv_rows = tp.p2g_pallas(
             pos, vel, flat, solid, B, lay, params.kernel,
             channel_major=True)

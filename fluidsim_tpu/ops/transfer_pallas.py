@@ -79,7 +79,8 @@ class HaloLayout:
         return self.xr * self.lwr
 
 
-def sort_by_cell_h(pos, vel, bound: int, layout: HaloLayout, extra=None):
+def sort_by_cell_h(pos, vel, bound: int, layout: HaloLayout, extra=None,
+                   method: str = "full", interpret: bool = False):
     """Sort particles by the haloed flat id of their base cell (same order
     as ``transfer_fast.sort_by_cell``; different id arithmetic).  ``extra``:
     optional (P, K) payload sorted along (e.g. flattened APIC C).
@@ -95,11 +96,27 @@ def sort_by_cell_h(pos, vel, bound: int, layout: HaloLayout, extra=None):
     bc = jnp.clip(base + bound, 0, n - 1)
     flat = ((bc[:, 0] + ps._XH) * layout.lwr
             + layout.lh + bc[:, 1] * n + bc[:, 2])
+    k = 0 if extra is None else extra.shape[1]
+    if method == "bucket":
+        # window-grouped bucketing (ops.bucket_sort): the kernels only
+        # need W-cell window grouping, and frame coherence makes that far
+        # cheaper than the full comparison sort (auto-falls back to it)
+        from fluidsim_tpu.ops.bucket_sort import bucket_or_sort
+        cols = [pos[:, 0], pos[:, 1], pos[:, 2],
+                vel[:, 0], vel[:, 1], vel[:, 2]]
+        if extra is not None:
+            cols += [extra[:, i] for i in range(k)]
+        flat_o, co = bucket_or_sort(flat, jnp.stack(cols, axis=0),
+                                    interpret=interpret)
+        pos_s = jnp.stack([co[0], co[1], co[2]], axis=-1)
+        vel_s = jnp.stack([co[3], co[4], co[5]], axis=-1)
+        if extra is None:
+            return pos_s, vel_s, flat_o
+        return pos_s, vel_s, flat_o, jnp.stack(
+            [co[6 + i] for i in range(k)], axis=-1)
     ops = [flat, pos[:, 0], pos[:, 1], pos[:, 2],
            vel[:, 0], vel[:, 1], vel[:, 2]]
-    k = 0
     if extra is not None:
-        k = extra.shape[1]
         ops += [extra[:, i] for i in range(k)]
     out = jax.lax.sort(ops, num_keys=1)
     pos_s = jnp.stack(out[1:4], axis=-1)
