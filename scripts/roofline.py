@@ -144,8 +144,15 @@ def main():
     if args.mode == "apic":
         call_args.append(st.aff)
 
+    # dispatch floor (tunnel round trip): subtract from the FIRST stage —
+    # later stages are prefix diffs, so the floor cancels there
+    floor = timeit(jax.jit(
+        lambda *a: jnp.sum(a[0]) + jnp.sum(a[1])), *call_args,
+        iters=args.iters)
+    print(f"# dispatch floor: {floor:.2f} ms", file=sys.stderr)
+
     rows = []
-    prev_ms, prev_by = 0.0, 0.0
+    prev_ms, prev_by = floor, 0.0
     for stage in ("sort", "p2g", "project", "g2p", "advect"):
         j = upto(stage)
         ms = timeit(j, *call_args, iters=args.iters)
