@@ -216,3 +216,25 @@ def test_spd_hessian_positive_semidefinite():
         if not allow_negative:
             assert all(q >= -1e-3 * max(abs(x) for x in quad_signs)
                        for q in quad_signs), (hess, quad_signs)
+
+
+def test_jacobi_precond_same_solution():
+    """precond="jacobi" changes the CG iteration path, never the solution
+    bar (ops/pcg.py terminates on the TRUE residual): the reference-cone
+    trajectory must match precond="none" to solver-noise tolerance."""
+    import dataclasses
+
+    from fluidsim_tpu.models.mpm import MpmSim
+
+    kes = {}
+    for pc in ("none", "jacobi"):
+        sim = MpmSim("mpm_cone")
+        sim = MpmSim("mpm_cone",
+                     params=dataclasses.replace(sim.params, precond=pc))
+        ke = []
+        for _ in range(12):
+            ke.append(float(sim.step()["kinetic_energy"]))
+        kes[pc] = np.asarray(ke)
+    rel = np.abs(kes["jacobi"] - kes["none"]) / np.maximum(
+        np.abs(kes["none"]), 1e-9)
+    assert rel.max() < 1e-3, rel
