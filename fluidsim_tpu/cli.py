@@ -304,6 +304,26 @@ def main(argv=None) -> int:
     pt.add_argument("--look", type=float, nargs=3, default=(0.0, 0.0, 0.0))
     pt.add_argument("--size", type=int, nargs=2, default=(512, 512))
     pt.add_argument("--fov", type=float, default=40.0)
+    # vdb_render camera/film options (cmd/openvdb_render/main.cc:73-106):
+    pt.add_argument("--camera", default="perspective",
+                    choices=["perspective", "persp", "orthographic", "ortho"],
+                    help="-camera: perspective or orthographic")
+    pt.add_argument("--focal", type=float, default=None,
+                    help="-focal: perspective focal length in mm "
+                         "(with --aperture, overrides --fov)")
+    pt.add_argument("--aperture", type=float, default=41.2136,
+                    help="-aperture: film aperture in mm (default 41.2136)")
+    pt.add_argument("--ortho-frame", type=float, default=None,
+                    help="-frame: orthographic frame half-width in index "
+                         "units (default: grid bound)")
+    pt.add_argument("--samples", type=int, default=1,
+                    help="-samples: supersamples per pixel")
+    pt.add_argument("--near", type=float, default=1e-3,
+                    help="-near: ray start depth")
+    pt.add_argument("--far", type=float, default=None,
+                    help="-far: ray clip depth (default 4x bound)")
+    pt.add_argument("--up", type=float, nargs=3, default=None,
+                    help="-up: camera up-vector hint")
     pt.add_argument("--fog-half-width", type=float, default=None,
                     help="treat the grid as fog (0..1) written by --surface "
                          "and convert back to a signed distance first")
@@ -363,9 +383,17 @@ def main(argv=None) -> int:
         eye = _np.asarray(args.eye if args.eye is not None
                           else (0.0, 0.3 * bound, -2.2 * bound), _np.float64)
         look = _np.asarray(args.look, _np.float64)
-        img, hit, _ = raytrace_levelset(cube, bound, tuple(eye - off),
-                                        tuple(look - off), width=args.size[0],
-                                        height=args.size[1], fov_deg=args.fov)
+        fov = args.fov
+        if args.focal is not None:
+            from fluidsim_tpu.ops.raytrace import focal_to_fov
+            fov = focal_to_fov(args.focal, args.aperture)
+        cam = "orthographic" if args.camera.startswith("ortho") else "perspective"
+        img, hit, _ = raytrace_levelset(
+            cube, bound, tuple(eye - off), tuple(look - off),
+            width=args.size[0], height=args.size[1], fov_deg=fov,
+            camera=cam, frame=args.ortho_frame, samples=args.samples,
+            znear=args.near, zfar=args.far,
+            up_hint=tuple(args.up) if args.up is not None else None)
         out = args.output or (os.path.splitext(args.file)[0] + "_ray.png")
         write_image(out, _np.asarray(img) * 255.0)
         print(f"wrote {out} ({args.size[0]}x{args.size[1]}, "

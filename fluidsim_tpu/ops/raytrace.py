@@ -15,6 +15,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fluidsim_tpu.ops.advect_volume import sample_trilinear
 
@@ -27,12 +28,35 @@ def _sample(sdf, p, bound):
     return jnp.where(outside, jnp.float32(3.0), v)
 
 
-@partial(jax.jit, static_argnames=("bound", "width", "height", "max_steps"))
+def focal_to_fov(focal_mm: float, aperture_mm: float = 41.2136) -> float:
+    """``PerspectiveCamera::focalLengthToFieldOfView`` (the conversion the
+    reference CLI applies to its -focal/-aperture options,
+    ``cmd/openvdb_render/main.cc:178``): fov = 2 atan(aperture / 2 focal),
+    in degrees.  Defaults match the reference (41.2136 mm film aperture,
+    50 mm focal)."""
+    import math
+
+    return math.degrees(2.0 * math.atan2(aperture_mm, 2.0 * focal_mm))
+
+
+@partial(jax.jit, static_argnames=("bound", "width", "height", "max_steps",
+                                  "camera", "samples"))
 def raytrace_levelset(sdf, bound: int, eye, look_at,
                       width: int = 256, height: int = 256,
                       fov_deg: float = 40.0, max_steps: int = 128,
-                      light_dir=(0.5, 1.0, 0.3), hit_eps: float = 5e-3):
+                      light_dir=(0.5, 1.0, 0.3), hit_eps: float = 5e-3,
+                      camera: str = "perspective", frame: float | None = None,
+                      samples: int = 1, znear: float = 1e-3,
+                      zfar: float | None = None, up_hint=None):
     """Render an SDF grid with sphere tracing.
+
+    Camera/film options mirror the reference ``vdb_render`` CLI
+    (``cmd/openvdb_render/main.cc:73-106,178-196``): perspective or
+    orthographic ``camera``; perspective FOV from ``fov_deg`` (use
+    ``focal_to_fov`` for -focal/-aperture); ``frame`` = orthographic frame
+    half-width in index units; ``samples`` = supersamples per pixel
+    (stratified ceil(sqrt(N))^2 grid); ``znear``/``zfar`` = ray clip
+    range (-near/-far); ``up_hint`` overrides the automatic up vector.
 
     Args:
       sdf: (N, N, N) signed distance in index space (``mesh_to_sdf`` /
@@ -46,22 +70,53 @@ def raytrace_levelset(sdf, bound: int, eye, look_at,
     eye = jnp.asarray(eye, dtype)
     fwd = jnp.asarray(look_at, dtype) - eye
     fwd = fwd / jnp.linalg.norm(fwd)
-    up0 = jnp.where(jnp.abs(fwd[1]) > 0.99,
-                    jnp.asarray([1.0, 0.0, 0.0], dtype),
-                    jnp.asarray([0.0, 1.0, 0.0], dtype))
+    if up_hint is None:
+        up0 = jnp.where(jnp.abs(fwd[1]) > 0.99,
+                        jnp.asarray([1.0, 0.0, 0.0], dtype),
+                        jnp.asarray([0.0, 1.0, 0.0], dtype))
+    else:
+        up0 = jnp.asarray(up_hint, dtype)
     right = jnp.cross(fwd, up0)
     right = right / jnp.linalg.norm(right)
     up = jnp.cross(right, fwd)
 
-    half = jnp.tan(jnp.deg2rad(jnp.asarray(fov_deg, dtype)) / 2)
-    ys = (0.5 - (jnp.arange(height, dtype=dtype) + 0.5) / height) * 2 * half
-    xs = ((jnp.arange(width, dtype=dtype) + 0.5) / width - 0.5) * 2 * half * (width / height)
-    dirs = (fwd[None, None]
-            + xs[None, :, None] * right[None, None]
-            + ys[:, None, None] * up[None, None])
-    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-    d = dirs.reshape(-1, 3)
+    # stratified sub-pixel offsets (reference -samples antialiasing)
+    ss = max(1, int(np.ceil(np.sqrt(samples))))
+    offs = [((i + 0.5) / ss - 0.5, (j + 0.5) / ss - 0.5)
+            for i in range(ss) for j in range(ss)]
+
+    def pixel_axes(dx, dy):
+        ys = (0.5 - (jnp.arange(height, dtype=dtype) + 0.5 + dy) / height)
+        xs = ((jnp.arange(width, dtype=dtype) + 0.5 + dx) / width - 0.5)
+        return xs, ys
+
+    if camera.startswith("ortho"):
+        hw = jnp.asarray(bound if frame is None else frame, dtype)
+        d_list, o_list = [], []
+        for dx, dy in offs:
+            xs, ys = pixel_axes(dx, dy)
+            org = (eye[None, None]
+                   + (xs * 2 * hw * (width / height))[None, :, None]
+                   * right[None, None]
+                   + (ys * 2 * hw)[:, None, None] * up[None, None])
+            o_list.append(org.reshape(-1, 3))
+            d_list.append(jnp.broadcast_to(fwd, (height * width, 3)))
+    else:
+        half = jnp.tan(jnp.deg2rad(jnp.asarray(fov_deg, dtype)) / 2)
+        d_list, o_list = [], []
+        for dx, dy in offs:
+            xs, ys = pixel_axes(dx, dy)
+            dirs = (fwd[None, None]
+                    + (xs * 2 * half * (width / height))[None, :, None]
+                    * right[None, None]
+                    + (ys * 2 * half)[:, None, None] * up[None, None])
+            dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+            d_list.append(dirs.reshape(-1, 3))
+            o_list.append(jnp.broadcast_to(eye, (height * width, 3)))
+    d = jnp.concatenate(d_list, axis=0)
+    origins = jnp.concatenate(o_list, axis=0)
     q = d.shape[0]
+    tmax = jnp.asarray(4.0 * bound if zfar is None else zfar, dtype)
 
     def cond(state):
         t, live, _ = state
@@ -69,20 +124,20 @@ def raytrace_levelset(sdf, bound: int, eye, look_at,
 
     def body(state):
         t, live, steps = state
-        p = eye[None] + t[:, None] * d
+        p = origins + t[:, None] * d
         dist = _sample(sdf, p, bound)
         hit = dist < hit_eps
         t = jnp.where(live & ~hit, t + jnp.maximum(dist, hit_eps), t)
-        out = t > 4.0 * bound
+        out = t > tmax
         live = live & ~hit & ~out & (steps < max_steps)
         return t, live, steps + 1
 
-    t0 = jnp.full((q,), 1e-3, dtype)
+    t0 = jnp.full((q,), znear, dtype)
     t, _, _ = jax.lax.while_loop(
         cond, body, (t0, jnp.ones((q,), bool), jnp.zeros((), jnp.int32)))
 
-    p = eye[None] + t[:, None] * d
-    hit = (_sample(sdf, p, bound) < 2 * hit_eps) & (t < 4.0 * bound)
+    p = origins + t[:, None] * d
+    hit = (_sample(sdf, p, bound) < 2 * hit_eps) & (t < tmax)
 
     # central-difference normal
     h = jnp.asarray(0.5, dtype)
@@ -105,6 +160,10 @@ def raytrace_levelset(sdf, bound: int, eye, look_at,
     sky = ((1 - sky_t)[:, None] * jnp.asarray([1.0, 1.0, 1.0], dtype)
            + sky_t[:, None] * jnp.asarray([0.45, 0.62, 0.85], dtype))
 
-    img = jnp.where(hit[:, None], surf, sky).reshape(height, width, 3)
-    depth = jnp.where(hit, t, jnp.inf).reshape(height, width)
-    return img.astype(jnp.float32), hit.reshape(height, width), depth
+    img_s = jnp.where(hit[:, None], surf, sky).reshape(-1, height, width, 3)
+    img = jnp.mean(img_s, axis=0)
+    hit_g = hit.reshape(-1, height, width)
+    t_g = jnp.where(hit, t, jnp.inf).reshape(-1, height, width)
+    # primary-sample hit/depth (sub-pixel 0 = the reference single-sample
+    # behaviour); the averaged image carries the AA
+    return img.astype(jnp.float32), hit_g[0], t_g[0]

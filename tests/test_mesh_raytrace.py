@@ -134,3 +134,36 @@ def test_cli_view_turntable_and_sequence(tmp_path):
     assert cli_main(["view", vdb, vdb, "-o", seq, "--size", "48", "48"]) == 0
     assert (tmp_path / "seq_0000.png").exists()
     assert (tmp_path / "seq_0001.png").exists()
+
+
+def test_camera_film_options():
+    """vdb_render camera/film parity (cmd/openvdb_render/main.cc:73-196):
+    focal/aperture -> fov conversion, orthographic silhouette size,
+    supersampling, near/far clipping."""
+    import math
+
+    from fluidsim_tpu.ops.raytrace import raytrace_levelset, focal_to_fov
+    from fluidsim_tpu.ops.levelset import sphere_sdf
+
+    # the reference's default 50 mm / 41.2136 mm -> its documented fov
+    assert abs(focal_to_fov(50.0, 41.2136)
+               - math.degrees(2 * math.atan2(41.2136, 100.0))) < 1e-9
+
+    B = 16
+    n = 2 * B + 1
+    sdf = sphere_sdf((n, n, n), B, (0.0, 0.0, 0.0), 8.0)
+    _, hit_o, _ = raytrace_levelset(sdf, B, (0, 0, -40), (0, 0, 0),
+                                    width=64, height=64,
+                                    camera="orthographic", frame=12.0)
+    area = int(np.asarray(hit_o).sum())
+    expected = math.pi * (8 / 12 * 32) ** 2          # analytic silhouette
+    assert 0.8 < area / expected < 1.2, (area, expected)
+
+    img_aa, _, _ = raytrace_levelset(sdf, B, (0, 0, -40), (0, 0, 0),
+                                     width=32, height=32, samples=4)
+    assert img_aa.shape == (32, 32, 3)
+    assert np.isfinite(np.asarray(img_aa)).all()
+
+    _, hit_clip, _ = raytrace_levelset(sdf, B, (0, 0, -40), (0, 0, 0),
+                                       width=32, height=32, zfar=20.0)
+    assert int(np.asarray(hit_clip).sum()) == 0      # far plane before sphere
