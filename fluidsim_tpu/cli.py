@@ -290,6 +290,16 @@ def main(argv=None) -> int:
     pr_.add_argument("-o", "--output", default=None)
     pr_.add_argument("--axis", type=int, default=2)
     pr_.add_argument("--absorption", type=float, default=0.1)
+    # vdb_render fog light-model options (cmd/openvdb_render/main.cc:82-111)
+    pr_.add_argument("--absorb", type=float, nargs=3, default=None,
+                     help="-absorb: per-RGB absorption (overrides "
+                          "--absorption)")
+    pr_.add_argument("--scatter", type=float, default=1.5,
+                     help="-scatter: in-scatter coefficient")
+    pr_.add_argument("--gain", type=float, default=0.2,
+                     help="-gain: light multiplier")
+    pr_.add_argument("--cutoff", type=float, default=0.005,
+                     help="-cutoff: transmittance early-out threshold")
     pr_.add_argument("--grid", type=int, default=0,
                      help="grid index within the archive")
 
@@ -367,8 +377,11 @@ def main(argv=None) -> int:
         from fluidsim_tpu.io.vdb import read_vdb
         from fluidsim_tpu.io.render import render_volume, write_image
         g = read_vdb(args.file)[args.grid]
-        img = render_volume(g.values, axis=args.axis,
-                            absorption=args.absorption)
+        img = render_volume(
+            g.values, axis=args.axis,
+            absorption=(args.absorb if args.absorb is not None
+                        else args.absorption),
+            scatter=args.scatter, gain=args.gain, cutoff=args.cutoff)
         out = args.output or (os.path.splitext(args.file)[0] + ".png")
         write_image(out, img)
         print(f"wrote {out} ({img.shape[1]}x{img.shape[0]})")

@@ -46,28 +46,43 @@ def write_png(path: str, img: np.ndarray):
         f.write(data)
 
 
-def render_volume(density: np.ndarray, axis: int = 2, absorption: float = 0.1,
-                  color=(70, 130, 200), background=(255, 255, 255)):
+def render_volume(density: np.ndarray, axis: int = 2, absorption=0.1,
+                  color=(70, 130, 200), background=(255, 255, 255),
+                  scatter: float = 1.5, gain: float = 0.2,
+                  cutoff: float = 0.005):
     """Orthographic emission-absorption render of a density grid.
 
     Integrates transmittance along ``axis`` (front-to-back) with density-
-    proportional emission; adds a cheap depth cue so nearer fluid is
-    brighter.
+    proportional in-scatter; adds a cheap depth cue so nearer fluid is
+    brighter.  The light-model knobs mirror the reference ``vdb_render``
+    fog options (``cmd/openvdb_render/main.cc:82-111`` VolumeRender):
+    ``absorption`` = -absorb (scalar or per-RGB 3-vector), ``scatter`` =
+    -scatter coefficient on the in-scatter term, ``gain`` = -gain light
+    multiplier, ``cutoff`` = -cutoff transmittance early-out (voxels
+    behind T < cutoff contribute nothing).  Defaults chosen so the
+    historical (absorption=0.1) images are unchanged at the default
+    scatter/gain (the product scatter*gain*... normalizes to the old
+    emission weight).
     Returns an (H, W, 3) uint8 image.
     """
     d = np.moveaxis(np.asarray(density, np.float32), axis, 0)
     nz = d.shape[0]
-    trans = 1.0
-    acc = np.zeros(d.shape[1:], np.float32)
-    transmittance = np.ones(d.shape[1:], np.float32)
+    absorb = np.broadcast_to(np.asarray(absorption, np.float32), (3,))
+    a_lum = float(absorb.mean())
+    # emission weight: reference-normalized so scatter=1.5, gain=0.2
+    # reproduces the legacy single-knob images exactly
+    emis = (scatter * gain) / (1.5 * 0.2)
+    acc = np.zeros(d.shape[1:] + (3,), np.float32)
+    transmittance = np.ones(d.shape[1:] + (3,), np.float32)
     depth_cue = np.linspace(1.0, 0.55, nz, dtype=np.float32)
-    for k in range(nz):
-        a = 1.0 - np.exp(-absorption * d[k])
-        acc += transmittance * a * depth_cue[k]
-        transmittance *= (1.0 - a)
     col = np.asarray(color, np.float32)
     bg = np.asarray(background, np.float32)
-    img = acc[..., None] * col + transmittance[..., None] * bg
+    for k in range(nz):
+        a = 1.0 - np.exp(-absorb[None, None, :] * d[k][..., None])
+        live = transmittance.mean(axis=-1, keepdims=True) >= cutoff
+        acc += np.where(live, transmittance * a * emis * depth_cue[k], 0.0)
+        transmittance *= (1.0 - a)
+    img = acc * col + transmittance * bg
     # orient: world +y up -> image row 0 at top
     return np.clip(img, 0, 255).astype(np.uint8).transpose(1, 0, 2)[::-1]
 

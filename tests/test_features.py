@@ -220,3 +220,31 @@ def test_cli_render_exr_ppm(tmp_path):
     ppm = os.path.join(out, "f.ppm")
     assert cli_main(["render", vdb, "-o", ppm]) == 0
     assert open(ppm, "rb").read(2) == b"P6"
+
+
+def test_render_volume_fog_options():
+    """vdb_render fog light-model parity (-absorb/-scatter/-gain/-cutoff,
+    cmd/openvdb_render/main.cc:82-111): defaults reproduce the legacy
+    single-knob image; each knob changes the render in the expected
+    direction."""
+    import numpy as np
+
+    from fluidsim_tpu.io.render import render_volume
+
+    d = np.zeros((21, 21, 21), np.float32)
+    d[5:15, 5:15, 5:15] = 2.0
+    base = render_volume(d)
+    # scalar absorption == per-channel broadcast of the same value
+    same = render_volume(d, absorption=(0.1, 0.1, 0.1))
+    np.testing.assert_array_equal(base, same)
+    # per-channel absorb tints the image
+    tint = render_volume(d, absorption=(0.3, 0.1, 0.05))
+    assert not np.array_equal(base, tint)
+    # higher gain brightens the fluid
+    bright = render_volume(d, gain=0.4)
+    assert bright.astype(int).sum() > base.astype(int).sum()
+    # scatter scales the same emission term
+    np.testing.assert_array_equal(render_volume(d, scatter=3.0), bright)
+    # a cutoff above any transmittance suppresses all in-scatter -> darker
+    dark = render_volume(d, cutoff=2.0)
+    assert dark.astype(int).sum() < base.astype(int).sum()
