@@ -196,14 +196,30 @@ def main():
 
     # vs_baseline uses the MOST CONSERVATIVE denominator available: the
     # Amdahl bound — the steps/s an infinitely-threaded reference could
-    # reach on this CPU (particle loops free, serial grid/CG unchanged).
+    # reach on this CPU (particle loops free, serial grid/CG unchanged) —
+    # computed over the SAME frame window the TPU numerator measures
+    # (frames [warmup, warmup+2*frames) of the 500-frame per-frame CPU
+    # trace, docs/ref_cpu_perframe_129.jsonl).  Early frames are the
+    # cheapest for the CPU reference (free-fall: few CG iterations), so
+    # the window-matched ratio is the honest one; the full-run average is
+    # in BENCH_DETAILS.json:flip_129cube_2M_full.
     vs_baseline = 0.0
-    if os.path.exists(BASELINE_PATH):
+    denom = None
+    trace = os.path.join(HERE, "docs", "ref_cpu_perframe_129.jsonl")
+    if os.path.exists(trace):
+        with open(trace) as f:
+            rows = [json.loads(line) for line in f]
+        lo, hi = args.warmup, args.warmup + 2 * args.frames
+        window = rows[lo:hi]
+        if window:
+            serial = sum(r["secs"] - r["particle_secs"] for r in window)
+            denom = len(window) / serial
+    if denom is None and os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as f:
             base = json.load(f)
         denom = base.get("amdahl_bound_steps_per_sec") or base.get("steps_per_sec")
-        if denom:
-            vs_baseline = res["steps_per_sec"] / denom
+    if denom:
+        vs_baseline = res["steps_per_sec"] / denom
 
     print(json.dumps({
         "metric": "flip_steps_per_sec_128cube_2Mparticles",

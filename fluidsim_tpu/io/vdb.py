@@ -34,9 +34,11 @@ storage (``Grid::setSaveFloatAsHalf`` -> ``_HalfFloat`` grid-type suffix,
 ``Grid.cc:49,398-413``; ``RealToHalf``, ``io/Compression.h:110-146``).
 Bool trees use the reference's specialized leaf serialization — bitmask
 buffers plus the leaf origin (``tree/LeafNodeBool.h:writeBuffers``).
-Compression: NONE/ZIP/ACTIVE_MASK (no BLOSC — the library is absent from
-this image, and the reference's own build disables it the same way when
-unavailable, ``io/Compression.h:77-81``).
+Compression: NONE/ZIP/ACTIVE_MASK/BLOSC (``io/Compression.h:77-81``).
+The BLOSC path rides the pure-Python Blosc-1 + LZ4 codec in
+:mod:`fluidsim_tpu.io.blosc` (no blosc library exists in this image);
+reads handle lz4/zlib-codec byte-shuffled chunks and fail with a message
+naming the codec for blosclz/snappy/zstd chunks.
 
 Grid instancing: grids sharing one tree (same ``values``/``active``
 arrays, value type, half flag and background) are written once; later
@@ -56,6 +58,8 @@ from typing import List, Sequence
 
 import numpy as np
 
+from . import blosc
+
 OPENVDB_MAGIC = 0x56444220           # openvdb/version.h:83
 FILE_VERSION = 224                   # openvdb/version.h:96
 LIB_MAJOR, LIB_MINOR = 4, 0
@@ -63,6 +67,7 @@ LIB_MAJOR, LIB_MINOR = 4, 0
 COMPRESS_NONE = 0
 COMPRESS_ZIP = 0x1
 COMPRESS_ACTIVE_MASK = 0x2
+COMPRESS_BLOSC = 0x4                 # openvdb/io/Compression.h:81
 
 # Per-node compression metadata byte (openvdb/io/Compression.h:93-100)
 NO_MASK_OR_INACTIVE_VALS = 0
@@ -175,9 +180,16 @@ def _grid_metadata(grid: VdbGrid, compression: int) -> bytearray:
     else:
         mn = np.zeros(3, np.int64)
         mx = -np.ones(3, np.int64)
-    comp_name = {COMPRESS_NONE: "none", COMPRESS_ZIP: "zip",
-                 COMPRESS_ACTIVE_MASK: "active values",
-                 COMPRESS_ZIP | COMPRESS_ACTIVE_MASK: "zip + active values"}[compression]
+    # io::compressionToString (Compression.cc:48-58): zip, blosc,
+    # active values — joined in that order
+    words = []
+    if compression & COMPRESS_ZIP:
+        words.append("zip")
+    if compression & COMPRESS_BLOSC:
+        words.append("blosc")
+    if compression & COMPRESS_ACTIVE_MASK:
+        words.append("active values")
+    comp_name = " + ".join(words) if words else "none"
     entries = bytearray()
     count = 4 + (1 if grid.name else 0) + (1 if grid.save_half else 0)
     entries += struct.pack("<I", count)
@@ -220,7 +232,12 @@ def _write_data(buf: bytearray, arr: np.ndarray, compression: int,
     """``io::writeData`` + ``zipToStream`` framing (``Compression.cc``).
     ``half``: store reals as IEEE half (``io::HalfWriter``, ``Compression.h``)."""
     raw = np.ascontiguousarray(arr, dtype="<f2" if half else dtype).tobytes()
-    if compression & COMPRESS_ZIP:
+    if compression & COMPRESS_BLOSC:
+        # bloscToStream (Compression.cc:157-197): int64 chunk size, then
+        # the blosc chunk; negative size would mean a raw fallback
+        chunk = blosc.compress(raw, typesize=4)
+        buf += struct.pack("<q", len(chunk)) + chunk
+    elif compression & COMPRESS_ZIP:
         z = zlib.compress(raw, 1)
         if len(z) < len(raw):
             buf += struct.pack("<q", len(z)) + z
@@ -527,7 +544,19 @@ def write_vdb(path: str, grids: Sequence[VdbGrid],
 
 def _read_data(mv, off, count, compression, c=1, half=False, dtype="<f4"):
     dt = np.dtype("<f2" if half else dtype)
-    if compression & COMPRESS_ZIP:
+    if compression & COMPRESS_BLOSC:
+        # bloscFromStream (Compression.cc:206-246): int64 size, negative
+        # means a raw uncompressed fallback chunk follows
+        (nz,) = struct.unpack_from("<q", mv, off)
+        off += 8
+        if nz <= 0:
+            raw = bytes(mv[off:off - nz])
+            off += -nz
+        else:
+            raw = blosc.decompress(bytes(mv[off:off + nz]))
+            off += nz
+        vals = np.frombuffer(raw, dt, count=count * c)
+    elif compression & COMPRESS_ZIP:
         (nz,) = struct.unpack_from("<q", mv, off)
         off += 8
         if nz <= 0:

@@ -330,9 +330,22 @@ def _make_packed_slab_solve(params: FlipParams, adiag_ext, nl: int, n: int,
     return solve
 
 
+def _digest(*arrays):
+    """Scalar that depends on every element computed so far (profiling)."""
+    return sum(jnp.sum(a.astype(jnp.float32)) for a in arrays)
+
+
 def _sharded_step(params: FlipParams, nl: int, cap: int, mig_cap: int,
-                  solid_full, solid_pad_ext, state: ShardedFlipState):
-    """SPMD body: runs per device under shard_map."""
+                  solid_full, solid_pad_ext, state: ShardedFlipState,
+                  upto: str | None = None):
+    """SPMD body: runs per device under shard_map.
+
+    ``upto``: profiling hook — stop after the named phase and return a
+    scalar digest of everything computed to that point, so cumulative
+    prefixes of the REAL step can be jitted separately and diffed into a
+    per-phase ledger (``scripts/profile_sharded.py``).  Checkpoints:
+    ``sort``, ``p2g``, ``reduce``, ``setup``, ``pass1``, ``project``,
+    ``g2p``, ``advect``; ``None`` runs the full step."""
     B, wall, n = params.bound, params.wall, 2 * params.bound + 1
     dx, rho = params.dx, params.rho
     g = jnp.asarray(params.gravity, state.pos.dtype)
@@ -362,12 +375,18 @@ def _sharded_step(params: FlipParams, nl: int, cap: int, mig_cap: int,
             itp = params.pallas_interpret
             pos, vel, alive, flat_ext = _sort_local_h(pos, vel, alive, x0,
                                                       nl, n, B, lay)
+            if upto == "sort":
+                return _digest(pos, vel, flat_ext)
             acc, wv_rows = _p2g_pallas_local(pos, vel, flat_ext, nl, n, B,
                                              lay, itp)
         else:
             pos, vel, alive, flat_ext = _sort_local(pos, vel, alive, x0, nl,
                                                     n, B)
+            if upto == "sort":
+                return _digest(pos, vel, flat_ext)
             acc = _p2g_fused_local(pos, vel, flat_ext, x0, nl, n, B)
+        if upto == "p2g":
+            return _digest(acc)
         red = jnp.stack([halo_reduce(acc[..., c], W, AX) for c in range(4)],
                         axis=-1)
         ns_loc = (~solid_loc)[..., None]
@@ -401,6 +420,8 @@ def _sharded_step(params: FlipParams, nl: int, cap: int, mig_cap: int,
                                          x0, nl, n, W), W, AX)
     fluid = (occ > 0) & (~solid_loc)
     velb = velg
+    if upto == "reduce":
+        return _digest(velg, occ, fluid)
 
     # ---- pressure projection do-while (fluid.cc:1457-1484) ----
     adiag_scale = dt / (rho * dx * dx)
@@ -480,9 +501,13 @@ def _sharded_step(params: FlipParams, nl: int, cap: int, mig_cap: int,
 
     carry = body((velg, jnp.inf, jnp.zeros((), jnp.int32),
                   jnp.zeros((), jnp.int32), p_prev))
+    if upto == "pass1":
+        return _digest(carry[0], carry[4]) + carry[1] + carry[3]
     velg, err, n_outer, cg_iters, pressure = jax.lax.while_loop(
         lambda c: (c[1] > params.outer_tol) & (c[2] < params.max_outer),
         body, carry)
+    if upto == "project":
+        return _digest(velg, pressure) + err + cg_iters
 
     # ---- FLIP delta gather (fluid.cc:1490, CatmullRomFLIP 210-263) ----
     vc_new = _cell_center_ext(exchange_halo(velg, W, AX))
@@ -513,6 +538,8 @@ def _sharded_step(params: FlipParams, nl: int, cap: int, mig_cap: int,
                           num / jnp.where(den[:, None] != 0, den[:, None], 1.0),
                           0.0)
     vel = jnp.where(alive[:, None], vel + delta, 0.0)
+    if upto == "g2p":
+        return _digest(vel)
 
     # ---- CFL (pmax over shards) ----
     speed = jnp.sqrt(jnp.sum(vel * vel, axis=-1))
@@ -528,6 +555,8 @@ def _sharded_step(params: FlipParams, nl: int, cap: int, mig_cap: int,
         analytic_wall=params.wall if params.walls_only_solid else None)
     pos = jnp.where(alive[:, None], pos_new, SENTINEL)
     vel = jnp.where(alive[:, None], vel_new, 0.0)
+    if upto == "advect":
+        return _digest(pos, vel) + dt_new
 
     # ---- nearest-neighbour migration ----
     owner = jnp.clip((cround(pos[:, 0]).astype(jnp.int32) + B) // nl, 0,

@@ -11,10 +11,11 @@ import pytest
 
 from fluidsim_tpu.io.vdb import (
     VdbGrid, write_vdb, read_vdb, COMPRESS_NONE, COMPRESS_ZIP,
-    COMPRESS_ACTIVE_MASK, OPENVDB_MAGIC, FILE_VERSION)
+    COMPRESS_ACTIVE_MASK, COMPRESS_BLOSC, OPENVDB_MAGIC, FILE_VERSION)
 
 ALL_COMPRESSION = [COMPRESS_NONE, COMPRESS_ZIP, COMPRESS_ACTIVE_MASK,
-                   COMPRESS_ZIP | COMPRESS_ACTIVE_MASK]
+                   COMPRESS_ZIP | COMPRESS_ACTIVE_MASK,
+                   COMPRESS_BLOSC, COMPRESS_BLOSC | COMPRESS_ACTIVE_MASK]
 
 
 def _grid(shape=(21, 21, 21), origin=(-10, -10, -10), seed=0, frac_active=1.0):
