@@ -84,6 +84,14 @@ class FlipParams:
     walls_only_solid: bool = False   # scene solid == box walls exactly;
                                      # enables the analytic bounce probe
                                      # (auto-detected by FlipSim)
+    transfer_window: int = 0         # Pallas transfer cell-window width W
+                                     # (0 = kernel default 512); the
+                                     # "fewer, wider windows" lever of the
+                                     # per-window fixed-cost model
+                                     # (docs/architecture.md) — sweepable
+                                     # via scripts/sweep_window.py
+    transfer_chunk: int = 0          # particle chunk rows T per window
+                                     # (0 = default 2048)
     preconditioner: str = "chebyshev"  # "jacobi", "chebyshev" (polynomial)
     # or "multigrid" (V-cycle).  Chebyshev-Jacobi d3 measured 113 -> 39 CG
     # iterations and -36% solve time at 129^3 (the d+1 in-precond stencil
@@ -363,7 +371,9 @@ def flip_step(params: FlipParams, solid, state: FlipState):
                    and (params.mode == "apic" or params.transfer_chunks == 0))
     if params.mode == "apic" and params.fast_transfer and params.pallas_transfer:
         from fluidsim_tpu.ops import transfer_pallas as tp
-        lay = tp.HaloLayout(2 * B + 1)
+        lay = tp.HaloLayout(2 * B + 1,
+                            w=params.transfer_window or 512,
+                            t=params.transfer_chunk or 2048)
         pos, vel, flat, aff_flat = tp.sort_by_cell_h(
             pos, vel, B, lay, extra=state.aff.reshape(-1, 9),
             method=params.sort_method, interpret=params.pallas_interpret)
@@ -391,7 +401,9 @@ def flip_step(params: FlipParams, solid, state: FlipState):
         velg = transfer.normalize_velocity(weights, mom)
     elif params.fast_transfer and params.pallas_transfer:
         from fluidsim_tpu.ops import transfer_pallas as tp
-        lay = tp.HaloLayout(2 * B + 1)
+        lay = tp.HaloLayout(2 * B + 1,
+                            w=params.transfer_window or 512,
+                            t=params.transfer_chunk or 2048)
         pos, vel, flat = tp.sort_by_cell_h(pos, vel, B, lay,
                                            method=params.sort_method, interpret=params.pallas_interpret)
         weights, mom, occ, wv_rows = tp.p2g_pallas(

@@ -49,6 +49,9 @@ class HaloLayout:
     # A slab value (e.g. a shard's nl + 2*halo rows) gives the sharded
     # paths the same kernel layout over their local x-slab.
     lhmin: int = 256             # floor for the lane halo (tests force 512)
+    w: int = 512                 # transfer cell-window width (one-hot MXU
+                                 # kernels; lwr is padded to a multiple)
+    t: int = 2048                # particle chunk rows per window
 
     @property
     def lh(self) -> int:         # lane halo: >= n + 1, multiple of 256
@@ -60,7 +63,16 @@ class HaloLayout:
 
     @property
     def l(self) -> int:          # padded y*z lane extent
-        return -(-(self.n * self.n) // self.lblk) * self.lblk
+        base = -(-(self.n * self.n) // self.lblk) * self.lblk
+        # keep lwr = 2*lh + l a multiple of the transfer window width
+        # (windows-per-row kernel requirement) without growing the lane
+        # halo; l stays a multiple of lblk for the stencil kernels
+        for _ in range(self.w // self.lblk + 1):
+            if (base + 2 * self.lh) % self.w == 0:
+                return base
+            base += self.lblk
+        raise ValueError(f"no l with lwr % {self.w} == 0 from lblk="
+                         f"{self.lblk}, lh={self.lh}")
 
     @property
     def nxb(self) -> int:
@@ -189,9 +201,9 @@ def p2g_pallas(pos_s, vel_s, flat_h, solid, bound: int,
         # pallas_transfer.pack_cols); the columns feed the g2p gathers too.
         w27t = (masked_weights_cm(pos_s, bound, kernel) if w27 is None
                 else w27.T)
-        wv, _ = pt.pack_cols(flat_h, w27t, vel_s, 2048, aff=aff)
+        wv, _ = pt.pack_cols(flat_h, w27t, vel_s, lay.t, aff=aff, w=lay.w)
         d4 = pt.scatter_wv_fused(wv, flat_h, lay.xr, lay.lwr, n,
-                                 interpret=interpret,
+                                 w=lay.w, t=lay.t, interpret=interpret,
                                  cols=wv.shape[0],
                                  lh=lay.lh)             # (4, XR, LWR+2lh)
         accn = d4[:, ps._XH:ps._XH + n,
@@ -199,9 +211,9 @@ def p2g_pallas(pos_s, vel_s, flat_h, solid, bound: int,
     else:
         if w27 is None:
             w27 = masked_weights(pos_s, bound, kernel)
-        wv, _ = pt.pack_wv_rows(flat_h, w27, vel_s, 2048, aff=aff)
-        d_cm = pt.scatter_wv_cm(wv, flat_h, lay.ncells,
-                                interpret=interpret)             # (128, NC)
+        wv, _ = pt.pack_wv_rows(flat_h, w27, vel_s, lay.t, aff=aff, w=lay.w)
+        d_cm = pt.scatter_wv_cm(wv, flat_h, lay.ncells, w=lay.w,
+                                t=lay.t, interpret=interpret)    # (128, NC)
         acc = ps.reduce_haloed(d_cm.reshape(128, lay.xr, lay.lwr), n,
                                bx=lay.bx, lblk=lay.lblk,
                                interpret=interpret, lh=lay.lh)   # (4,nxb,l)
@@ -263,18 +275,18 @@ def g2p_pallas(pos_s, flat_h, fields, bound: int, wall: int,
         if fused_table:
             w27t = (masked_weights_cm(pos_s, bound, kernel) if w27 is None
                     else w27.T)
-            wv_rows, _ = pt.pack_cols(flat_h, w27t, None, 2048)
+            wv_rows, _ = pt.pack_cols(flat_h, w27t, None, lay.t, w=lay.w)
         else:
             if w27 is None:
                 w27 = masked_weights(pos_s, bound, kernel)
-            wv_rows, _ = pt.pack_wv_rows(flat_h, w27, None, 2048)
+            wv_rows, _ = pt.pack_wv_rows(flat_h, w27, None, lay.t, w=lay.w)
     if fused_table:
         fm_hp = jnp.pad(fm, ((0, 0), (ps._XH, lay.xr - n - ps._XH),
                              (2 * lay.lh, lay.lwr - n * n)))
         cols = cols_of(wv_rows)
         out = pt.gather_wv_fused(fm_hp, wv_rows, flat_h, n,
-                                 interpret=interpret, cols=cols,
-                                 lh=lay.lh)
+                                 w=lay.w, t=lay.t, interpret=interpret,
+                                 cols=cols, lh=lay.lh)
     else:
         fm_h = jnp.pad(fm, ((0, 0), (ps._XH, lay.xr - n - ps._XH),
                             (lay.lh, lay.lwr - n * n - lay.lh)))
@@ -282,7 +294,8 @@ def g2p_pallas(pos_s, flat_h, fields, bound: int, wall: int,
                                  interpret=interpret,
                                  lh=lay.lh)                      # (128,XR,LWR)
         out = pt.gather_wv_cm(table.reshape(128, lay.ncells), wv_rows,
-                              flat_h, interpret=interpret)
+                              flat_h, w=lay.w, t=lay.t,
+                              interpret=interpret)
     # rows 0..2: sum_o w*mask*field; row 3: sum_o w*mask (the masked
     # fields are zero wherever the mask is, so the mask re-multiply of the
     # XLA formulation is idempotent and both sums are linear in the rows)
@@ -330,25 +343,26 @@ def g2p_apic_pallas(pos_s, flat_h, vc, bound: int, wall: int,
         if fused_table:
             w27t = (masked_weights_cm(pos_s, bound, kernel) if w27 is None
                     else w27.T)
-            wv_rows, _ = pt.pack_cols(flat_h, w27t, None, 2048)
+            wv_rows, _ = pt.pack_cols(flat_h, w27t, None, lay.t, w=lay.w)
         else:
             if w27 is None:
                 w27 = masked_weights(pos_s, bound, kernel)
-            wv_rows, _ = pt.pack_wv_rows(flat_h, w27, None, 2048)
+            wv_rows, _ = pt.pack_wv_rows(flat_h, w27, None, lay.t, w=lay.w)
     if fused_table:
         fm_hp = jnp.pad(fm, ((0, 0), (ps._XH, lay.xr - n - ps._XH),
                              (2 * lay.lh, lay.lwr - n * n)))
         cols = cols_of(wv_rows)
         mo = pt.gather_wv_fused(fm_hp, wv_rows, flat_h, n,
-                                interpret=interpret, nout=24, cols=cols,
-                                lh=lay.lh)
+                                w=lay.w, t=lay.t, interpret=interpret,
+                                nout=24, cols=cols, lh=lay.lh)
     else:
         fm_h = jnp.pad(fm, ((0, 0), (ps._XH, lay.xr - n - ps._XH),
                             (lay.lh, lay.lwr - n * n - lay.lh)))
         table = ps.expand_haloed(fm_h, n, bx=lay.bx, lblk=lay.lblk,
                                  interpret=interpret, lh=lay.lh)
         mo = pt.gather_wv_cm(table.reshape(128, lay.ncells), wv_rows,
-                             flat_h, interpret=interpret, nout=24)
+                             flat_h, w=lay.w, t=lay.t, interpret=interpret,
+                             nout=24)
 
     den = mo[0, :p]
     vnum = mo[1:4, :p].T                                 # (P, 3)

@@ -69,15 +69,46 @@ def cpu_windows():
     return out
 
 
-def tpu_run(bound: int, density: float, frames: int):
+def tpu_run(bound: int, density: float, frames: int, vdb_dir: str = None,
+            accum: bool = False):
     from fluidsim_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     from fluidsim_tpu.models.flip import FlipSim
     from fluidsim_tpu.scenes import get_scene
 
     sim = FlipSim(get_scene("water_cube_drop", bound=bound, density=density))
-    print(f"# grid {2*bound+1}^3, {sim.num_particles} particles",
-          file=sys.stderr)
+    print(f"# grid {2*bound+1}^3, {sim.num_particles} particles"
+          + (f", vdb -> {vdb_dir}" if vdb_dir else ""), file=sys.stderr)
+
+    # --vdb: pay the reference's per-frame I/O (fluid.cc:1503-1509 writes
+    # simulation/mygrids<i>.vdb every frame) through the async writer the
+    # CLI uses (cli.py:90-125, io::Queue analogue).  This inherently syncs
+    # the host once per frame (the occupancy fetch), so the measured
+    # number is sustained throughput WITH production I/O on.
+    writer = None
+    persistent = None
+    accum_grids = []
+    max_pending = 0
+    if vdb_dir:
+        import numpy as _np
+        from fluidsim_tpu.io.vdb import VdbGrid
+        from fluidsim_tpu.io.native import AsyncVdbWriter
+        os.makedirs(vdb_dir, exist_ok=True)
+        spec = sim.scene.spec
+        solid_np = _np.asarray(sim.scene.solid)
+        persistent = _np.zeros(spec.shape, _np.float32)
+        writer = AsyncVdbWriter()
+
+        def write_frame(frame, metrics):
+            nonlocal max_pending
+            occ = np.asarray(metrics["occupancy"])
+            persistent[~solid_np] = occ[~solid_np]
+            g = VdbGrid(values=persistent.copy(), origin=(-spec.bound,) * 3,
+                        background=0.0, voxel_size=spec.dx)
+            writer.submit(os.path.join(vdb_dir, f"mygrids{frame}.vdb"), g)
+            max_pending = max(max_pending, writer.pending())
+            if accum:
+                accum_grids.append(g)
 
     # segment boundaries: warmup ends at 2; then every window edge + end
     edges = sorted({2, frames} | {a for _, a, _ in WINDOWS}
@@ -96,14 +127,28 @@ def tpu_run(bound: int, density: float, frames: int):
     t0 = time.time()
     done = edges[0]
     for e in edges[1:]:
-        for _ in range(done, e):
+        for f in range(done, e):
             m = sim.step()
+            if writer is not None:
+                write_frame(f, m)
         _ = float(m["kinetic_energy"])
         cum[e] = time.time() - t0
         done = e
         print(f"# frame {e}: cumulative {cum[e]:.1f}s", file=sys.stderr)
+    if writer is not None:
+        tq0 = time.time()
+        writer.flush()
+        drain_secs = time.time() - tq0
+        if accum:
+            from fluidsim_tpu.io.vdb import write_vdb
+            write_vdb(os.path.join(vdb_dir, "mygrids.vdb"), accum_grids)
+        writer.close()
 
     out = {"particles": sim.num_particles, "grid": 2 * bound + 1}
+    if writer is not None:
+        out["vdb"] = {"dir": vdb_dir, "max_pending": max_pending,
+                      "final_drain_secs": round(drain_secs, 2),
+                      "accum": accum}
     for name, a, b in WINDOWS:
         if a not in cum or b not in cum:
             continue
@@ -119,13 +164,22 @@ def main():
     ap.add_argument("--density", type=float, default=25.0)
     ap.add_argument("--frames", type=int, default=500)
     ap.add_argument("--cpu-only", action="store_true")
+    ap.add_argument("--vdb", default=None, metavar="DIR",
+                    help="write mygrids<i>.vdb per frame to DIR through "
+                         "AsyncVdbWriter (the reference's production I/O, "
+                         "fluid.cc:1503-1509) and publish *_vdb rows")
+    ap.add_argument("--accum", action="store_true",
+                    help="with --vdb: also write the accumulated "
+                         "mygrids.vdb at the end (fluid.cc:1508-1509)")
     args = ap.parse_args()
 
     rec = {}
     if os.path.exists(OUT):
         rec = json.load(open(OUT))
+    key = "tpu_vdb" if args.vdb else "tpu"
     if not args.cpu_only:
-        rec["tpu"] = tpu_run(args.bound, args.density, args.frames)
+        rec[key] = tpu_run(args.bound, args.density, args.frames,
+                           vdb_dir=args.vdb, accum=args.accum)
     cpu = cpu_windows()
     if cpu:
         rec["cpu"] = cpu
@@ -136,12 +190,15 @@ def main():
 
     # merge per-window rows (with like-for-like vs_baseline) into
     # BENCH_DETAILS.json; bench.py --suite preserves these keys
-    if "tpu" in rec:
-        details = json.load(open(DETAILS)) if os.path.exists(DETAILS) else {}
+    details = json.load(open(DETAILS)) if os.path.exists(DETAILS) else {}
+    merged = False
+    for side, suffix in (("tpu", ""), ("tpu_vdb", "_vdb")):
+        if side not in rec:
+            continue
         for name, _, _ in WINDOWS:
-            if name not in rec["tpu"]:
+            if name not in rec[side]:
                 continue
-            row = dict(rec["tpu"][name])
+            row = dict(rec[side][name])
             cwin = (rec.get("cpu") or {}).get(name)
             if cwin:
                 row["cpu_steps_per_sec"] = cwin["steps_per_sec"]
@@ -149,11 +206,13 @@ def main():
                 row["vs_baseline"] = round(
                     row["steps_per_sec"] / cwin["amdahl_bound_steps_per_sec"],
                     1)
-            details[f"flip_129cube_2M_{name}"] = row
+            details[f"flip_129cube_2M_{name}{suffix}"] = row
+            merged = True
+    if merged:
         with open(DETAILS, "w") as f:
             json.dump(details, f, indent=1)
         print(f"merged sustained rows into {DETAILS}")
-    for side in ("tpu", "cpu"):
+    for side in ("tpu", "tpu_vdb", "cpu"):
         if side in rec:
             for name, _, _ in WINDOWS:
                 if name in rec[side]:

@@ -318,3 +318,33 @@ def test_wide_lane_halo_stencil_matches_row_kernel(state):
         n, bx=8, lblk=128)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("w,t", [(1024, 2048), (2048, 1024), (512, 4096)])
+def test_window_width_sweep_matches_xla(state, w, t):
+    """The transfer window width W / chunk rows T are sweepable layout
+    parameters (the "fewer, wider windows" lever of the per-window
+    fixed-cost model, docs/architecture.md): results must be identical
+    for any (W, T)."""
+    scene, solid, st = state
+    B = BOUND
+    lay = tp.HaloLayout(2 * B + 1, w=w, t=t)
+    assert lay.lwr % w == 0
+    pos, vel, flat = tp.sort_by_cell_h(st.pos, st.vel, B, lay)
+    wP, momP, occP, wv = tp.p2g_pallas(pos, vel, flat, solid, B, lay,
+                                       "flip", interpret=True)
+
+    pos2, vel2, flat2 = tf.sort_by_cell(st.pos, st.vel, B)
+    wX, momX, occX = tf.p2g_fused(pos2, vel2, flat2, solid, B, "flip")
+    for name, a, b in (("weights", wP, wX), ("momentum", momP, momX),
+                       ("occupancy", occP, occX)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5, err_msg=name)
+
+    velg = tr.normalize_velocity(wP, momP)
+    vc = cell_center_velocity(velg)
+    dP = tp.g2p_pallas(pos, flat, vc, B, scene.spec.wall, lay, "flip",
+                       wv_rows=wv, interpret=True)
+    dX = tf.g2p_fused(pos2, flat2, vc, B, scene.spec.wall, "flip")
+    np.testing.assert_allclose(np.asarray(dP), np.asarray(dX),
+                               atol=1e-5, rtol=1e-4)
