@@ -145,20 +145,30 @@ def _slab_layout(nl, n):
 
 def _sort_local_h(pos, vel, alive, x0, nl, n, bound, lay):
     """``_sort_local`` with *haloed slab* flat ids (``pallas_shift``
-    layout over the extended slab), via a 2-operand key+iota sort +
-    row-gather permutes (wide multi-operand sorts compile pathologically
-    on TPU — see ``mpm_pallas.sort_mpm_h``)."""
+    layout over the extended slab), via the same direct 8-operand
+    ``lax.sort`` the single-chip path uses (measured 437 -> ~150 ms at
+    257^3/15.7M rows vs the old key+iota sort + 3 row-gather permutes —
+    the gathers of wide payloads dominate at this row count, exactly as
+    the ``sort_by_cell_h`` schedule note records for 129^3).
+
+    Dead (padding) slots get the out-of-range id ``lay.ncells``, which
+    sorts them last AND puts them past the last ``build_chunks`` window
+    edge — so the fixed-capacity padding (cap_factor) costs sort time
+    only; the p2g/g2p kernels never touch those rows (at cap = 1.6x P
+    that removes ~37%% of the transfer kernels' chunk work)."""
     from fluidsim_tpu.ops import pallas_shift as ps
     base = cround(pos).astype(jnp.int32)
     lx = jnp.clip(base[:, 0] + bound - x0 + W, 0, nl + 2 * W - 1)
     gy = jnp.clip(base[:, 1] + bound, 0, n - 1)
     gz = jnp.clip(base[:, 2] + bound, 0, n - 1)
     flat = (lx + ps._XH) * lay.lwr + lay.lh + gy * n + gz
-    p = pos.shape[0]
-    flat_s, perm = jax.lax.sort(
-        [flat, jnp.arange(p, dtype=jnp.int32)], num_keys=1)
-    return (jnp.take(pos, perm, axis=0), jnp.take(vel, perm, axis=0),
-            jnp.take(alive, perm, axis=0), flat_s)
+    flat = jnp.where(alive, flat, lay.ncells)
+    out = jax.lax.sort(
+        [flat, pos[:, 0], pos[:, 1], pos[:, 2],
+         vel[:, 0], vel[:, 1], vel[:, 2], alive.astype(jnp.float32)],
+        num_keys=1)
+    return (jnp.stack(out[1:4], -1), jnp.stack(out[4:7], -1),
+            out[7] > 0.5, out[0])
 
 
 def _p2g_pallas_local(pos_s, vel_s, flat_h, nl, n, bound, lay, interpret):
@@ -510,8 +520,11 @@ def _sharded_step(params: FlipParams, nl: int, cap: int, mig_cap: int,
         return _digest(velg, pressure) + err + cg_iters
 
     # ---- FLIP delta gather (fluid.cc:1490, CatmullRomFLIP 210-263) ----
-    vc_new = _cell_center_ext(exchange_halo(velg, W, AX))
-    vc_old = _cell_center_ext(exchange_halo(velb, W, AX))
+    # cell-centre averaging is linear, so the delta field needs ONE halo
+    # exchange + ONE centring of (velg - velb) instead of two of each
+    # (ulp-level reordering vs the two-field form; the parity oracles'
+    # 2e-3 KE tolerance covers it)
+    dvc = _cell_center_ext(exchange_halo(velg - velb, W, AX))
     if params.fast_transfer:
         # within-wall mask on the extended slab, from global coordinates
         gi = jax.lax.broadcasted_iota(jnp.int32, (nl + 2 * W, n, n), 0) \
@@ -521,16 +534,16 @@ def _sharded_step(params: FlipParams, nl: int, cap: int, mig_cap: int,
         within_ext = (jnp.abs(gi) <= wall) & wall_yz[None, :, :]
         if use_pallas:
             delta = _g2p_pallas_local(pos, flat_ext, wv_rows,
-                                      vc_new - vc_old, within_ext, B, n,
+                                      dvc, within_ext, B, n,
                                       lay, itp)
         else:
-            delta = _g2p_fused_local(pos, flat_ext, vc_new - vc_old,
+            delta = _g2p_fused_local(pos, flat_ext, dvc,
                                      within_ext, B)
     else:
         within_wall = jnp.all(jnp.abs(cells) <= wall, axis=-1)
         gmask = inb & within_wall
         wg = jnp.where(gmask, w, 0.0)
-        dv = _local_gather(vc_new - vc_old, cells + B,
+        dv = _local_gather(dvc, cells + B,
                            x0, nl, n, W)
         num = jnp.sum(wg[..., None] * dv, axis=1)
         den = jnp.sum(wg, axis=1)
@@ -563,9 +576,13 @@ def _sharded_step(params: FlipParams, nl: int, cap: int, mig_cap: int,
                      ndev - 1)
     send_left = alive & (owner == me - 1)
     send_right = alive & (owner == me + 1)
+    if upto == "owner":
+        return _digest(send_left, send_right)
     payload = jnp.concatenate([pos, vel], axis=-1)
     incoming, valid, dropped = migrate_neighbors(
         payload, send_left, send_right, mig_cap, AX)
+    if upto == "migrate":
+        return _digest(incoming, valid) + dropped
     moved = send_left | send_right
     alive = alive & ~moved
     pos = jnp.where(alive[:, None], pos, SENTINEL)
@@ -580,6 +597,8 @@ def _sharded_step(params: FlipParams, nl: int, cap: int, mig_cap: int,
     vel = vel.at[tgt].set(incoming[:, 3:], mode="drop")
     alive = alive.at[tgt].set(True, mode="drop")
     lost = psum(dropped + jnp.sum(valid & (free_idx >= cap)))
+    if upto == "insert":
+        return _digest(pos, vel, alive) + lost
 
     new_state = ShardedFlipState(pos=pos, vel=vel, alive=alive, dt=dt_new,
                                  t=state.t + dt_new, frame=state.frame + 1,
@@ -611,7 +630,7 @@ class ShardedFlipSim:
     def __init__(self, scene: Scene | str = "water_cube_drop",
                  params: FlipParams | None = None, mesh: Mesh | None = None,
                  seed: int = 0, dtype=jnp.float32, cap_factor: float = 1.6,
-                 mig_frac: float = 0.05, **scene_kwargs):
+                 mig_frac: float | None = None, **scene_kwargs):
         if isinstance(scene, str):
             scene = get_scene(scene, **scene_kwargs)
         if params is None:
@@ -651,7 +670,19 @@ class ShardedFlipSim:
                         // self.nl, 0, ndev - 1)
         counts = np.bincount(owner, minlength=ndev)
         self.cap = int(math.ceil(counts.max() * cap_factor / 8) * 8)
-        self.mig_cap = max(64, int(self.cap * mig_frac))
+        # Migration capacity: the CFL cap (dt <= dx/max_speed,
+        # models/flip.py) bounds every particle's move to <= 1 cell/frame,
+        # so only particles in a slab's two edge rows can change owner.
+        # Default = 4x the uniform-density edge-band population (plus the
+        # ``lost`` counter as the overflow detector); the old default of
+        # 5% of cap was ~10x oversized and made the fixed-capacity
+        # pack/insert machinery the most expensive phase of the sharded
+        # step (docs/sharded_anatomy.json).
+        if mig_frac is None:
+            self.mig_cap = max(64, min(self.cap,
+                                       8 * (self.cap // max(self.nl, 1))))
+        else:
+            self.mig_cap = max(64, int(self.cap * mig_frac))
 
         pos_all = np.full((ndev, self.cap, 3), SENTINEL, dtype)
         vel_all = np.zeros((ndev, self.cap, 3), dtype)

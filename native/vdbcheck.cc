@@ -159,9 +159,138 @@ std::vector<Meta> readMetaMap(Cursor& c) {
   return out;
 }
 
+// LZ4 raw-block decode (the published block format: token, literals,
+// little-endian 2-byte offset, match copy; last sequence literals-only).
+std::vector<uint8_t> lz4Decompress(const uint8_t* src, size_t n,
+                                   size_t dst_size) {
+  std::vector<uint8_t> dst;
+  dst.reserve(dst_size);
+  size_t i = 0;
+  while (i < n) {
+    uint8_t token = src[i++];
+    size_t lit = token >> 4;
+    if (lit == 15) {
+      uint8_t b;
+      do { b = src[i++]; lit += b; } while (b == 255 && i < n);
+    }
+    if (i + lit > n) throw std::runtime_error("lz4: literal overrun");
+    dst.insert(dst.end(), src + i, src + i + lit);
+    i += lit;
+    if (i >= n) break;
+    size_t offset = src[i] | (size_t(src[i + 1]) << 8);
+    i += 2;
+    size_t mlen = (token & 15) + 4;
+    if ((token & 15) == 15) {
+      uint8_t b;
+      do { b = src[i++]; mlen += b; } while (b == 255 && i < n);
+    }
+    if (offset == 0 || offset > dst.size())
+      throw std::runtime_error("lz4: bad match offset");
+    size_t start = dst.size() - offset;
+    for (size_t k = 0; k < mlen; ++k) dst.push_back(dst[start + k]);
+  }
+  if (dst.size() != dst_size) throw std::runtime_error("lz4: size mismatch");
+  return dst;
+}
+
+// Blosc-1 chunk decode: 16-byte header (version, versionlz, flags,
+// typesize, nbytes, blocksize, cbytes LE), optional memcpy mode, per-block
+// uint32 start offsets, per-block split streams [int32 csize][bytes]
+// (csize == stream size -> stored raw), byte unshuffle per block.  The
+// reference writes lz4 + byte shuffle + one block (Compression.cc:157-197);
+// zlib-codec chunks are also handled, other codecs are named in the error.
+std::vector<uint8_t> bloscDecompress(const uint8_t* p, size_t n) {
+  if (n < 16) throw std::runtime_error("blosc: truncated header");
+  uint8_t flags = p[2], typesize = p[3];
+  uint32_t nbytes, blocksize, cbytes;
+  std::memcpy(&nbytes, p + 4, 4);
+  std::memcpy(&blocksize, p + 8, 4);
+  std::memcpy(&cbytes, p + 12, 4);
+  if (cbytes > n) throw std::runtime_error("blosc: truncated chunk");
+  if (flags & 0x2) {  // memcpyed
+    if (16 + size_t(nbytes) > n) throw std::runtime_error("blosc: short");
+    return std::vector<uint8_t>(p + 16, p + 16 + nbytes);
+  }
+  if (flags & 0x4) throw std::runtime_error("blosc: bit-shuffle unsupported");
+  int codec = (flags >> 5) & 7;
+  if (codec != 1 && codec != 3) {
+    static const char* names[] = {"blosclz", "lz4", "snappy", "zlib", "zstd"};
+    throw std::runtime_error(std::string("blosc: codec '") +
+                             (codec < 5 ? names[codec] : "?") +
+                             "' unsupported (lz4/zlib only)");
+  }
+  size_t nblocks = blocksize ? (nbytes + blocksize - 1) / blocksize : 0;
+  std::vector<uint32_t> bstarts(nblocks);
+  std::memcpy(bstarts.data(), p + 16, 4 * nblocks);
+  std::vector<uint8_t> out;
+  out.reserve(nbytes);
+  for (size_t b = 0; b < nblocks; ++b) {
+    size_t bsize = std::min<size_t>(blocksize, nbytes - b * blocksize);
+    bool leftover = bsize != blocksize;
+    size_t nsp = 1;
+    if (!(flags & 0x10) && !leftover && typesize >= 2 && typesize <= 16 &&
+        bsize % typesize == 0 && bsize / typesize >= 128)
+      nsp = typesize;
+    size_t neblock = bsize / nsp;
+    size_t off = bstarts[b];
+    std::vector<uint8_t> block;
+    block.reserve(bsize);
+    for (size_t s = 0; s < nsp; ++s) {
+      int32_t csize;
+      if (off + 4 > n) throw std::runtime_error("blosc: stream overrun");
+      std::memcpy(&csize, p + off, 4);
+      off += 4;
+      if (csize < 0 || off + size_t(csize) > n)
+        throw std::runtime_error("blosc: stream overrun");
+      if (size_t(csize) == neblock) {
+        block.insert(block.end(), p + off, p + off + neblock);
+      } else if (codec == 1) {
+        auto part = lz4Decompress(p + off, size_t(csize), neblock);
+        block.insert(block.end(), part.begin(), part.end());
+      } else {
+        std::vector<uint8_t> part(neblock);
+        uLongf dst = neblock;
+        if (uncompress(part.data(), &dst, p + off, uLong(csize)) != Z_OK ||
+            dst != neblock)
+          throw std::runtime_error("blosc: zlib stream failed");
+        block.insert(block.end(), part.begin(), part.end());
+      }
+      off += size_t(csize);
+    }
+    if (flags & 0x1) {  // byte unshuffle: lanes-major -> elements-major
+      size_t full = bsize - bsize % typesize, nel = full / typesize;
+      std::vector<uint8_t> un(bsize);
+      for (size_t e = 0; e < nel; ++e)
+        for (size_t t = 0; t < typesize; ++t)
+          un[e * typesize + t] = block[t * nel + e];
+      for (size_t r = full; r < bsize; ++r) un[r] = block[r];
+      block.swap(un);
+    }
+    out.insert(out.end(), block.begin(), block.end());
+  }
+  if (out.size() != nbytes) throw std::runtime_error("blosc: size mismatch");
+  return out;
+}
+
 // io/Compression.cc unzipFromStream: int64 count; >0 zipped, <=0 stored raw.
+// readData checks BLOSC before ZIP (Compression.h:179-193); both share the
+// int64-size framing with negative = stored uncompressed.
 std::vector<uint8_t> readDataBytes(Cursor& c, uint32_t flags,
                                    size_t expect_bytes) {
+  if (flags & kCompressBlosc) {
+    int64_t nz = c.scalar<int64_t>();
+    if (nz <= 0) {
+      size_t raw = size_t(-nz);
+      if (raw != expect_bytes) throw std::runtime_error("raw size mismatch");
+      const uint8_t* q = c.raw(raw);
+      return std::vector<uint8_t>(q, q + raw);
+    }
+    const uint8_t* q = c.raw(size_t(nz));
+    auto out = bloscDecompress(q, size_t(nz));
+    if (out.size() != expect_bytes)
+      throw std::runtime_error("blosc payload size mismatch");
+    return out;
+  }
   if (!(flags & kCompressZip)) {
     const uint8_t* q = c.raw(expect_bytes);
     return std::vector<uint8_t>(q, q + expect_bytes);
@@ -452,8 +581,6 @@ int main(int argc, char** argv) {
           throw std::runtime_error("grid offset does not point here");
       }
       uint32_t flags = c.scalar<uint32_t>();
-      if (flags & kCompressBlosc)
-        throw std::runtime_error("BLOSC not supported");
       auto meta = readMetaMap(c);
       for (const auto& m : meta) {
         if (m.name == "file_voxel_count" && m.payload.size() == 8)

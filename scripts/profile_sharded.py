@@ -76,7 +76,7 @@ def main():
     st = sim.state
 
     checkpoints = ["sort", "p2g", "reduce", "pass1", "project", "g2p",
-                   "advect"]
+                   "advect", "owner", "migrate", "insert"]
     state_specs = fs.ShardedFlipState(
         pos=P(AX), vel=P(AX), alive=P(AX), dt=P(), t=P(), frame=P(),
         pressure=P(AX))

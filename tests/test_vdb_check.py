@@ -35,7 +35,9 @@ def _run(exe, path):
 
 
 @pytest.mark.parametrize("comp", [vdb.COMPRESS_NONE, vdb.COMPRESS_ZIP,
-                                  vdb.COMPRESS_ZIP | vdb.COMPRESS_ACTIVE_MASK])
+                                  vdb.COMPRESS_ZIP | vdb.COMPRESS_ACTIVE_MASK,
+                                  vdb.COMPRESS_BLOSC,
+                                  vdb.COMPRESS_BLOSC | vdb.COMPRESS_ACTIVE_MASK])
 def test_writer_parses_with_independent_parser(tmp_path, vdbcheck, comp):
     rng = np.random.default_rng(7)
     vals = rng.normal(size=(21, 13, 18)).astype(np.float32)
