@@ -333,10 +333,17 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
     pos = jnp.where(alive[:, None], pos, SENTINEL)
     vel = jnp.where(alive[:, None], vel, 0.0)
 
-    order = jnp.argsort(~valid, stable=True)
-    incoming = incoming[order]
-    valid = valid[order]
-    free_idx = jnp.nonzero(~alive, size=2 * mig_cap, fill_value=cap)[0]
+    # cumsum-rank compaction + free-slot scatter (see flip_sharded: the
+    # argsort/nonzero forms dominate the step at production row counts)
+    rank_in = jnp.cumsum(valid) - 1
+    ci = jnp.where(valid, rank_in, 2 * mig_cap)
+    incoming = jnp.zeros_like(incoming).at[ci].set(incoming, mode="drop")
+    valid = jnp.arange(2 * mig_cap) < jnp.sum(valid)
+    dead_rank = jnp.cumsum(~alive) - 1
+    slot = jnp.where((~alive) & (dead_rank < 2 * mig_cap), dead_rank,
+                     2 * mig_cap)
+    free_idx = jnp.full((2 * mig_cap,), cap, jnp.int32).at[slot].set(
+        jnp.arange(cap, dtype=jnp.int32), mode="drop")
     tgt = jnp.where(valid & (free_idx < cap), free_idx, cap)
     pos = pos.at[tgt].set(incoming[:, 0:3], mode="drop")
     vel = vel.at[tgt].set(incoming[:, 3:6], mode="drop")

@@ -176,7 +176,12 @@ def main():
     rec = {}
     if os.path.exists(OUT):
         rec = json.load(open(OUT))
+    # non-headline scales (e.g. the 121^3 reference-literal workload) get
+    # grid-suffixed keys and are NOT merged into the 129^3 BENCH_DETAILS
+    # rows below
     key = "tpu_vdb" if args.vdb else "tpu"
+    if args.bound != 64:
+        key += f"_{2 * args.bound + 1}"
     if not args.cpu_only:
         rec[key] = tpu_run(args.bound, args.density, args.frames,
                            vdb_dir=args.vdb, accum=args.accum)

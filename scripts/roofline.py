@@ -167,9 +167,28 @@ def main():
               f"{gbps:7.1f} GB/s  {100*gbps/HBM_PEAK_GBPS:5.1f}% peak",
               file=sys.stderr)
 
+    # whole-frame rollup (VERDICT r3 item 8): one line per config so
+    # transfer-phase progress is read off a single number per round —
+    # speed-of-light = the time this frame's total bytes would take at
+    # HBM peak (a lower bound: MXU-bound phases could beat it)
+    tot_ms = sum(r["ms"] for r in rows)
+    tot_by = sum(r["bytes"] for r in rows)
+    sol_ms = tot_by / HBM_PEAK_GBPS / 1e6
+    rollup = {"ms": round(tot_ms, 2), "bytes": tot_by,
+              "GBps": round(tot_by / max(tot_ms, 1e-9) / 1e6, 1),
+              "pct_hbm_peak": round(100 * (tot_by / max(tot_ms, 1e-9) / 1e6)
+                                    / HBM_PEAK_GBPS, 1),
+              "speed_of_light_ms": round(sol_ms, 2),
+              "x_over_speed_of_light": round(tot_ms / max(sol_ms, 1e-9), 2)}
+    print(f"FRAME    {tot_ms:8.2f} ms  {tot_by/1e6:9.1f} MB  "
+          f"{rollup['GBps']:7.1f} GB/s  {rollup['pct_hbm_peak']:5.1f}% peak "
+          f"({rollup['x_over_speed_of_light']}x over speed of light)",
+          file=sys.stderr)
+
     entry = {"grid": n, "particles": sim.num_particles, "mode": args.mode,
              "cg_iters": cg_iters, "outer_iters": outer,
              "hbm_peak_GBps": HBM_PEAK_GBPS, "phases": rows,
+             "frame_rollup": rollup,
              "note": "bytes = XLA cost-analysis 'bytes accessed' diffs of "
                      "compiled cumulative prefixes; ms = floor-cancelled "
                      "prefix-diff wall times"}
