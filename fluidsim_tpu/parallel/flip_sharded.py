@@ -38,7 +38,9 @@ from fluidsim_tpu.ops import transfer
 from fluidsim_tpu.ops.pcg import pcg, jacobi_preconditioner
 from fluidsim_tpu.models.flip import (FlipParams, advect_bounce,
                                       auto_pcg_rtol)
-from fluidsim_tpu.parallel.halo import exchange_halo, halo_reduce, migrate_neighbors
+from fluidsim_tpu.parallel.halo import (exchange_halo, halo_reduce,
+                                        migrate_edge_bands,
+                                        migrate_neighbors)
 from fluidsim_tpu.scenes import Scene, get_scene
 from fluidsim_tpu.seeding import seed_particles
 
@@ -347,7 +349,7 @@ def _digest(*arrays):
 
 def _sharded_step(params: FlipParams, nl: int, cap: int, mig_cap: int,
                   solid_full, solid_pad_ext, state: ShardedFlipState,
-                  upto: str | None = None):
+                  upto: str | None = None, tail_insert: bool = True):
     """SPMD body: runs per device under shard_map.
 
     ``upto``: profiling hook — stop after the named phase and return a
@@ -579,34 +581,93 @@ def _sharded_step(params: FlipParams, nl: int, cap: int, mig_cap: int,
     if upto == "owner":
         return _digest(send_left, send_right)
     payload = jnp.concatenate([pos, vel], axis=-1)
-    incoming, valid, dropped = migrate_neighbors(
-        payload, send_left, send_right, mig_cap, AX)
-    if upto == "migrate":
-        return _digest(incoming, valid) + dropped
-    moved = send_left | send_right
-    alive = alive & ~moved
-    pos = jnp.where(alive[:, None], pos, SENTINEL)
-    vel = jnp.where(alive[:, None], vel, 0.0)
-
-    # compact the valid incoming rows to the front (cumsum rank on the
-    # small (2*mig_cap,) buffers), then pair them with the first free
-    # (dead) slots — also found by cumsum+scatter; the previous
-    # argsort + jnp.nonzero(size=2*mig_cap) forms cost ~335 ms at 15.7M
-    # rows (docs/sharded_anatomy.json insert row)
-    rank_in = jnp.cumsum(valid) - 1
-    ci = jnp.where(valid, rank_in, 2 * mig_cap)
-    incoming = jnp.zeros_like(incoming).at[ci].set(incoming, mode="drop")
-    valid = jnp.arange(2 * mig_cap) < jnp.sum(valid)
-    dead_rank = jnp.cumsum(~alive) - 1
-    slot = jnp.where((~alive) & (dead_rank < 2 * mig_cap), dead_rank,
-                     2 * mig_cap)
-    free_idx = jnp.full((2 * mig_cap,), cap, jnp.int32).at[slot].set(
-        jnp.arange(cap, dtype=jnp.int32), mode="drop")
-    tgt = jnp.where(valid & (free_idx < cap), free_idx, cap)
-    pos = pos.at[tgt].set(incoming[:, :3], mode="drop")
-    vel = vel.at[tgt].set(incoming[:, 3:], mode="drop")
-    alive = alive.at[tgt].set(True, mode="drop")
-    lost = psum(dropped + jnp.sum(valid & (free_idx >= cap)))
+    if params.fast_transfer:
+        # Sorted-band migration.  The step-start sort leaves this shard's
+        # rows in ascending cell order with every dead slot at the tail,
+        # and the CFL bound (|dx_move| <= dx, advect above) means owner
+        # can change by at most one slab row per step — so all
+        # left-senders sit in the first F sorted rows and all
+        # right-senders in the last F rows of the alive prefix
+        # [0, A0).  Ship the raw band slices + sender masks and insert
+        # the arrivals straight into the dead tail [A0, cap): total work
+        # is O(F), no full-P cumsum/argsort/scatter (those lower to
+        # 2.2 s + 0.5 s at 15.7M rows on TPU,
+        # docs/sharded_anatomy_r4.json pre-fix ledger).
+        F = min(mig_cap, cap)
+        A0 = jnp.sum(alive.astype(jnp.int32))      # alive prefix length
+        band_l = payload[:F]
+        mask_l = send_left[:F]
+        start_r = jnp.clip(A0 - F, 0, cap - F)
+        band_r = jax.lax.dynamic_slice_in_dim(payload, start_r, F, 0)
+        mask_r = jax.lax.dynamic_slice_in_dim(send_right, start_r, F, 0)
+        incoming, valid = migrate_edge_bands(band_l, mask_l, band_r,
+                                             mask_r, AX)
+        # senders outside their band (CFL violation or band overflow) are
+        # dropped — detected exactly by full-vs-band mask counts
+        dropped = (jnp.sum(send_left) - jnp.sum(mask_l)
+                   + jnp.sum(send_right) - jnp.sum(mask_r))
+        if upto == "migrate":
+            return _digest(incoming, valid) + dropped
+        moved = send_left | send_right
+        alive = alive & ~moved
+        pos = jnp.where(alive[:, None], pos, SENTINEL)
+        vel = jnp.where(alive[:, None], vel, 0.0)
+        if tail_insert:
+            # contiguous tail insert: rows [A0, A0+2F) are dead (the dead
+            # tail starts at A0; removal above only adds holes BELOW A0),
+            # so one dynamic_update_slice per array lands every arrival —
+            # measured FREE where the 2F-row scatter form costs ~87 ms
+            # per column at 15.7M rows (XLA TPU scatter is
+            # per-update-row-bound).  Invalid rows write the dead pattern.
+            # Interleaved alive flags are fine: the next step's sort
+            # restores the alive-prefix invariant before anyone relies on
+            # it.  On overflow (A0 > cap - 2F) the clamped write clobbers
+            # up to A0 - A0c of the highest-cell rows; counted as lost.
+            A0c = jnp.clip(A0, 0, cap - 2 * F)
+            pos = jax.lax.dynamic_update_slice_in_dim(
+                pos, jnp.where(valid[:, None], incoming[:, :3], SENTINEL),
+                A0c, 0)
+            vel = jax.lax.dynamic_update_slice_in_dim(
+                vel, jnp.where(valid[:, None], incoming[:, 3:], 0.0),
+                A0c, 0)
+            alive = jax.lax.dynamic_update_slice_in_dim(alive, valid, A0c, 0)
+            lost = psum(dropped + (A0 - A0c))
+        else:
+            # capacity too tight for a guaranteed-dead 2F tail window
+            # (tiny test configs where mig_cap ~ cap): paired scatter
+            rank = jnp.cumsum(valid) - 1           # (2F,) — small
+            tgt = jnp.where(valid, A0 + rank, cap)
+            overflow = jnp.sum(valid & (tgt >= cap))
+            pos = pos.at[tgt].set(incoming[:, :3], mode="drop")
+            vel = vel.at[tgt].set(incoming[:, 3:], mode="drop")
+            alive = alive.at[tgt].set(True, mode="drop")
+            lost = psum(dropped + overflow)
+    else:
+        # unsorted path (slow-transfer reference mode): fixed-capacity
+        # compaction pack + free-slot pairing over the full array
+        incoming, valid, dropped = migrate_neighbors(
+            payload, send_left, send_right, mig_cap, AX)
+        if upto == "migrate":
+            return _digest(incoming, valid) + dropped
+        moved = send_left | send_right
+        alive = alive & ~moved
+        pos = jnp.where(alive[:, None], pos, SENTINEL)
+        vel = jnp.where(alive[:, None], vel, 0.0)
+        rank_in = jnp.cumsum(valid) - 1
+        ci = jnp.where(valid, rank_in, 2 * mig_cap)
+        incoming = jnp.zeros_like(incoming).at[ci].set(incoming,
+                                                       mode="drop")
+        valid = jnp.arange(2 * mig_cap) < jnp.sum(valid)
+        dead_rank = jnp.cumsum(~alive) - 1
+        slot = jnp.where((~alive) & (dead_rank < 2 * mig_cap), dead_rank,
+                         2 * mig_cap)
+        free_idx = jnp.full((2 * mig_cap,), cap, jnp.int32).at[slot].set(
+            jnp.arange(cap, dtype=jnp.int32), mode="drop")
+        tgt = jnp.where(valid & (free_idx < cap), free_idx, cap)
+        pos = pos.at[tgt].set(incoming[:, :3], mode="drop")
+        vel = vel.at[tgt].set(incoming[:, 3:], mode="drop")
+        alive = alive.at[tgt].set(True, mode="drop")
+        lost = psum(dropped + jnp.sum(valid & (free_idx >= cap)))
     if upto == "insert":
         return _digest(pos, vel, alive) + lost
 
@@ -693,6 +754,13 @@ class ShardedFlipSim:
                                        8 * (self.cap // max(self.nl, 1))))
         else:
             self.mig_cap = max(64, int(self.cap * mig_frac))
+        # Insert strategy (static): arrivals go into the contiguous dead
+        # tail [A0, A0+2F) via dynamic_update_slice when the capacity
+        # slack can always hold the 2F-row block (measured free; the
+        # scatter form costs ~87 ms/column at 15.7M rows on TPU) —
+        # otherwise (tiny caps) the paired-scatter fallback.
+        self.tail_insert = (2 * min(self.mig_cap, self.cap)
+                            <= self.cap - int(counts.max() * 1.15))
 
         pos_all = np.full((ndev, self.cap, 3), SENTINEL, dtype)
         vel_all = np.zeros((ndev, self.cap, 3), dtype)
@@ -726,7 +794,8 @@ class ShardedFlipSim:
                          "max_speed", "kinetic_energy", "num_fluid_cells",
                          "num_alive", "migrated", "lost")}
         metric_specs["occupancy"] = P(AX)
-        body = partial(_sharded_step, params, self.nl, self.cap, self.mig_cap)
+        body = partial(_sharded_step, params, self.nl, self.cap, self.mig_cap,
+                       tail_insert=self.tail_insert)
         # check_vma=False when pallas kernels run inside the shard: pallas
         # out_shapes carry no varying-manual-axes info
         self._step = jax.jit(shard_map(

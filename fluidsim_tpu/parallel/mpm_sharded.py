@@ -33,7 +33,9 @@ from fluidsim_tpu.ops.svd3 import (piola_corotated, piola_linearized,
                                    hardening, clamp_singular, det3, mm3)
 from fluidsim_tpu.models.flip import advect_bounce
 from fluidsim_tpu.models.mpm import MpmParams
-from fluidsim_tpu.parallel.halo import exchange_halo, halo_reduce, migrate_neighbors
+from fluidsim_tpu.parallel.halo import (exchange_halo, halo_reduce,
+                                        migrate_edge_bands,
+                                        migrate_neighbors)
 from fluidsim_tpu.parallel.flip_sharded import (AX, W, SENTINEL, _local_scatter,
                                                 _local_gather)
 from fluidsim_tpu.scenes import Scene, get_scene
@@ -55,7 +57,8 @@ class ShardedMpmState:
 
 
 def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
-                      solid_full, solid_pad_ext, state: ShardedMpmState):
+                      solid_full, solid_pad_ext, state: ShardedMpmState,
+                      tail_insert: bool = True):
     B, n = params.bound, 2 * params.bound + 1
     rows = nl + 2 * W
     me = jax.lax.axis_index(AX)
@@ -326,32 +329,85 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
     send_right = alive & (owner == me + 1)
     payload = jnp.concatenate([pos, vel, fe_new.reshape(-1, 9),
                                fp_new.reshape(-1, 9), volume[:, None]], axis=-1)
-    incoming, valid, dropped = migrate_neighbors(payload, send_left,
-                                                 send_right, mig_cap, AX)
-    moved = send_left | send_right
-    alive = alive & ~moved
-    pos = jnp.where(alive[:, None], pos, SENTINEL)
-    vel = jnp.where(alive[:, None], vel, 0.0)
+    if use_pallas:
+        # Sorted-band migration (see flip_sharded._sharded_step): the
+        # step-start cell sort leaves dead slots at the tail and the CFL
+        # bound caps owner changes at one slab row, so senders live only
+        # in the first/last F sorted rows and arrivals go straight into
+        # the dead tail [A0, cap).  O(F) work; the full-P cumsum/scatter
+        # forms lower to seconds at production row counts
+        # (docs/sharded_anatomy_r4.json).
+        F = min(mig_cap, cap)
+        A0 = jnp.sum(alive.astype(jnp.int32))
+        band_l = payload[:F]
+        mask_l = send_left[:F]
+        start_r = jnp.clip(A0 - F, 0, cap - F)
+        band_r = jax.lax.dynamic_slice_in_dim(payload, start_r, F, 0)
+        mask_r = jax.lax.dynamic_slice_in_dim(send_right, start_r, F, 0)
+        incoming, valid = migrate_edge_bands(band_l, mask_l, band_r,
+                                             mask_r, AX)
+        dropped = (jnp.sum(send_left) - jnp.sum(mask_l)
+                   + jnp.sum(send_right) - jnp.sum(mask_r))
+        moved = send_left | send_right
+        alive = alive & ~moved
+        pos = jnp.where(alive[:, None], pos, SENTINEL)
+        vel = jnp.where(alive[:, None], vel, 0.0)
+        eye_flat = jnp.eye(3, dtype=pos.dtype).reshape(9)
+        if tail_insert:
+            # contiguous dead-tail insert via dynamic_update_slice —
+            # measured free where the 2F-row scatter costs ~87 ms/column
+            # at production rows (see flip_sharded)
+            A0c = jnp.clip(A0, 0, cap - 2 * F)
+            dead_row = jnp.concatenate([
+                jnp.full((3,), SENTINEL, pos.dtype), jnp.zeros((3,), pos.dtype),
+                eye_flat, eye_flat, jnp.zeros((1,), pos.dtype)])
+            blk = jnp.where(valid[:, None], incoming, dead_row[None, :])
+            pos = jax.lax.dynamic_update_slice_in_dim(pos, blk[:, 0:3], A0c, 0)
+            vel = jax.lax.dynamic_update_slice_in_dim(vel, blk[:, 3:6], A0c, 0)
+            fe_new = jax.lax.dynamic_update_slice_in_dim(
+                fe_new, blk[:, 6:15].reshape(-1, 3, 3), A0c, 0)
+            fp_new = jax.lax.dynamic_update_slice_in_dim(
+                fp_new, blk[:, 15:24].reshape(-1, 3, 3), A0c, 0)
+            volume = jax.lax.dynamic_update_slice_in_dim(volume, blk[:, 24],
+                                                         A0c, 0)
+            alive = jax.lax.dynamic_update_slice_in_dim(alive, valid, A0c, 0)
+            tgt = None
+            lost = psum(dropped + (A0 - A0c))
+        else:
+            rank = jnp.cumsum(valid) - 1
+            tgt = jnp.where(valid, A0 + rank, cap)
+            overflow = jnp.sum(valid & (tgt >= cap))
+            lost = psum(dropped + overflow)
+    else:
+        incoming, valid, dropped = migrate_neighbors(payload, send_left,
+                                                     send_right, mig_cap, AX)
+        moved = send_left | send_right
+        alive = alive & ~moved
+        pos = jnp.where(alive[:, None], pos, SENTINEL)
+        vel = jnp.where(alive[:, None], vel, 0.0)
 
-    # cumsum-rank compaction + free-slot scatter (see flip_sharded: the
-    # argsort/nonzero forms dominate the step at production row counts)
-    rank_in = jnp.cumsum(valid) - 1
-    ci = jnp.where(valid, rank_in, 2 * mig_cap)
-    incoming = jnp.zeros_like(incoming).at[ci].set(incoming, mode="drop")
-    valid = jnp.arange(2 * mig_cap) < jnp.sum(valid)
-    dead_rank = jnp.cumsum(~alive) - 1
-    slot = jnp.where((~alive) & (dead_rank < 2 * mig_cap), dead_rank,
-                     2 * mig_cap)
-    free_idx = jnp.full((2 * mig_cap,), cap, jnp.int32).at[slot].set(
-        jnp.arange(cap, dtype=jnp.int32), mode="drop")
-    tgt = jnp.where(valid & (free_idx < cap), free_idx, cap)
-    pos = pos.at[tgt].set(incoming[:, 0:3], mode="drop")
-    vel = vel.at[tgt].set(incoming[:, 3:6], mode="drop")
-    fe_new = fe_new.at[tgt].set(incoming[:, 6:15].reshape(-1, 3, 3), mode="drop")
-    fp_new = fp_new.at[tgt].set(incoming[:, 15:24].reshape(-1, 3, 3), mode="drop")
-    volume = volume.at[tgt].set(incoming[:, 24], mode="drop")
-    alive = alive.at[tgt].set(True, mode="drop")
-    lost = psum(dropped + jnp.sum(valid & (free_idx >= cap)))
+        # cumsum-rank compaction + free-slot pairing over the full array
+        # (CPU path; fine at test scales)
+        rank_in = jnp.cumsum(valid) - 1
+        ci = jnp.where(valid, rank_in, 2 * mig_cap)
+        incoming = jnp.zeros_like(incoming).at[ci].set(incoming, mode="drop")
+        valid = jnp.arange(2 * mig_cap) < jnp.sum(valid)
+        dead_rank = jnp.cumsum(~alive) - 1
+        slot = jnp.where((~alive) & (dead_rank < 2 * mig_cap), dead_rank,
+                         2 * mig_cap)
+        free_idx = jnp.full((2 * mig_cap,), cap, jnp.int32).at[slot].set(
+            jnp.arange(cap, dtype=jnp.int32), mode="drop")
+        tgt = jnp.where(valid & (free_idx < cap), free_idx, cap)
+        lost = psum(dropped + jnp.sum(valid & (free_idx >= cap)))
+    if tgt is not None:
+        pos = pos.at[tgt].set(incoming[:, 0:3], mode="drop")
+        vel = vel.at[tgt].set(incoming[:, 3:6], mode="drop")
+        fe_new = fe_new.at[tgt].set(incoming[:, 6:15].reshape(-1, 3, 3),
+                                    mode="drop")
+        fp_new = fp_new.at[tgt].set(incoming[:, 15:24].reshape(-1, 3, 3),
+                                    mode="drop")
+        volume = volume.at[tgt].set(incoming[:, 24], mode="drop")
+        alive = alive.at[tgt].set(True, mode="drop")
 
     new_state = ShardedMpmState(pos=pos, vel=vel, FE=fe_new, FP=fp_new,
                                 volume=volume, alive=alive, dt=dt_new,
@@ -414,6 +470,9 @@ class ShardedMpmSim:
         counts = np.bincount(owner, minlength=ndev)
         self.cap = int(math.ceil(max(counts.max(), 8) * cap_factor / 8) * 8)
         self.mig_cap = max(64, int(self.cap * mig_frac))
+        # static insert strategy — see ShardedFlipSim
+        self.tail_insert = (2 * min(self.mig_cap, self.cap)
+                            <= self.cap - int(counts.max() * 1.15))
 
         def alloc(shape, fill=0.0):
             return np.full((ndev, self.cap) + shape, fill, dtype)
@@ -455,7 +514,7 @@ class ShardedMpmSim:
                                    "num_alive", "migrated", "lost")}
         mspecs["occupancy"] = P(AX)
         body = partial(_sharded_mpm_step, params, self.nl, self.cap,
-                       self.mig_cap)
+                       self.mig_cap, tail_insert=self.tail_insert)
         # check_vma=False: the varying-axes checker mis-flags the jax.jvp
         # inside the CG matvec (jvp-of-closure over device-varying FE).
         self._step = jax.jit(shard_map(body, mesh=mesh,

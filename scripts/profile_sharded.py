@@ -84,7 +84,8 @@ def main():
     def prefix_fn(upto):
         def body(sf, spe, state):
             d = fs._sharded_step(sim.params, sim.nl, sim.cap, sim.mig_cap,
-                                 sf, spe, state, upto=upto)
+                                 sf, spe, state, upto=upto,
+                                 tail_insert=sim.tail_insert)
             return jax.lax.psum(d, AX)
         return jax.jit(shard_map(
             body, mesh=sim.mesh, in_specs=(P(), P(), state_specs),

@@ -116,6 +116,38 @@ def test_migration_preserves_particles():
     assert (pos[~alive] == SENTINEL).all()
 
 
+def test_migration_tail_insert_path():
+    """Exercise the contiguous dead-tail (dynamic_update_slice) insert —
+    the production branch (``tail_insert``) — with real cross-slab
+    arrivals (an injected x-drift makes migration immediate), and check
+    the same conservation + parity invariants as the scatter branch."""
+    import dataclasses as dc
+
+    scene = get_scene("water_cube_drop", bound=24, density=4.0)
+    sim = ShardedFlipSim(scene, mesh=_mesh(8), cap_factor=2.0,
+                         mig_frac=0.15)
+    assert sim.tail_insert, "config must take the dus-insert branch"
+    single = FlipSim(scene)
+    # identical x-drift in both sims: particles cross slab boundaries
+    # from frame 1 on
+    drift = jnp.asarray([5.0, 0.0, 0.0], jnp.float32)
+    single.state = dc.replace(single.state, vel=single.state.vel + drift)
+    sim.state = dc.replace(
+        sim.state, vel=jnp.where(sim.state.alive[:, None],
+                                 sim.state.vel + drift, 0.0))
+    n0 = sim.num_particles
+    total_migrated = 0
+    for _ in range(6):
+        ms = single.step()
+        m = sim.step()
+        total_migrated += int(m["migrated"])
+        assert int(m["lost"]) == 0
+        assert int(m["num_alive"]) == n0
+        np.testing.assert_allclose(float(m["kinetic_energy"]),
+                                   float(ms["kinetic_energy"]), rtol=2e-3)
+    assert total_migrated > 0, "expected cross-slab migration while drifting"
+
+
 def test_sharded_runs_on_two_devices():
     scene = get_scene("water_cube_drop", bound=10, density=2.0)
     sim = ShardedFlipSim(scene, mesh=_mesh(2))
