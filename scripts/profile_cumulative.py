@@ -6,7 +6,11 @@ Usage: python scripts/profile_cumulative.py [--bound 64] [--density 25]
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
