@@ -86,45 +86,32 @@ def _run(kind: str, args) -> int:
     writer = None
     async_writer = None
     if not args.no_vdb:
-        from fluidsim_tpu.io.vdb import VdbGrid
-        from fluidsim_tpu.io.native import AsyncVdbWriter
-        accum = []
+        from fluidsim_tpu.io.export import AsyncFrameExporter
         spec = scene.spec
-        solid_np = np.asarray(scene.solid)
-        async_writer = AsyncVdbWriter()  # native io::Queue analogue
-
-        # The reference's outputGrid persists across frames: FLIP overwrites
-        # every non-solid cell (fluid.cc:1434-1448); MPM only overwrites
-        # cells with mass > 0.1, leaving stale values (mpm.cc:1368-1382).
-        persistent = np.zeros(spec.shape, np.float32)
 
         surface_fn = None
         if args.surface:
-            import functools
             import jax as _jax
             from fluidsim_tpu.ops.levelset import (particles_to_levelset,
                                                    sdf_to_fog)
             surface_fn = _jax.jit(lambda p: sdf_to_fog(
                 particles_to_levelset(p, spec.bound)))
 
+        # The exporter applies the reference's outputGrid persistence rule
+        # (FLIP overwrites every non-solid cell, fluid.cc:1434-1448; MPM
+        # only cells with mass > 0.1, mpm.cc:1368-1382), fetches frames
+        # sparsely and writes them on a background thread (io/export.py).
+        # --surface fog replaces every non-solid cell each frame ("flip"
+        # rule; solid cells stay at the 0 background, as before).
+        async_writer = AsyncFrameExporter(
+            spec, scene.solid, mode=("flip" if args.surface else kind),
+            accum=not args.no_accum)
+
         def writer(frame, state, metrics):
-            if args.surface:
-                vals = np.array(surface_fn(state.pos), np.float32, copy=True)
-                vals[solid_np] = 0.0
-                persistent[:] = vals
-            else:
-                occ = np.asarray(metrics["occupancy"])
-                if kind == "flip":
-                    persistent[~solid_np] = occ[~solid_np]
-                else:
-                    upd = (~solid_np) & (occ > 0.1)
-                    persistent[upd] = occ[upd]
-            g = VdbGrid(values=persistent.copy(),
-                        origin=(-spec.bound,) * 3,
-                        background=0.0, voxel_size=spec.dx)
-            async_writer.submit(os.path.join(args.out, f"mygrids{frame}.vdb"), g)
-            if not args.no_accum:
-                accum.append(g)
+            occ = (surface_fn(state.pos) if args.surface
+                   else metrics["occupancy"])
+            async_writer.submit(
+                os.path.join(args.out, f"mygrids{frame}.vdb"), occ)
 
     print(f"{kind}: scene={scene.name} particles={sim.num_particles} "
           f"grid={scene.spec.n}^3 frames={args.frames}", file=sys.stderr)
@@ -142,10 +129,12 @@ def _run(kind: str, args) -> int:
                                 sim.state, sim.params)
 
     if async_writer is not None:
+        async_writer.flush()
+        if not args.no_accum:
+            from fluidsim_tpu.io.vdb import write_vdb
+            write_vdb(os.path.join(args.out, "mygrids.vdb"),
+                      async_writer.accum_grids)
         async_writer.close()
-    if writer is not None and not args.no_accum:
-        from fluidsim_tpu.io.vdb import write_vdb
-        write_vdb(os.path.join(args.out, "mygrids.vdb"), accum)
     logger.close()
     return 0
 

@@ -56,13 +56,41 @@ struct Buf {
   }
 };
 
+// One-shot deflate with a reused (thread-local) z_stream: byte-identical
+// to compress2(level=1) — same windowBits/memLevel/strategy defaults —
+// but skips the per-call deflate-state allocation, which dominates when
+// a frame encodes thousands of 2 KB leaf buffers (measured 153 ms ->
+// ~45 ms per 129^3 frame).
+static int deflate_oneshot(uint8_t* dst, uLongf* dstlen, const Bytef* src,
+                           size_t srclen) {
+  thread_local z_stream strm;
+  thread_local bool init = false;
+  if (!init) {
+    strm.zalloc = Z_NULL;
+    strm.zfree = Z_NULL;
+    strm.opaque = Z_NULL;
+    if (deflateInit(&strm, /*level=*/1) != Z_OK) return Z_MEM_ERROR;
+    init = true;
+  } else if (deflateReset(&strm) != Z_OK) {
+    return Z_STREAM_ERROR;
+  }
+  strm.next_in = const_cast<Bytef*>(src);
+  strm.avail_in = static_cast<uInt>(srclen);
+  strm.next_out = dst;
+  strm.avail_out = static_cast<uInt>(*dstlen);
+  int rc = deflate(&strm, Z_FINISH);
+  if (rc != Z_STREAM_END) return Z_BUF_ERROR;
+  *dstlen = static_cast<uLongf>(strm.total_out);
+  return Z_OK;
+}
+
 void write_data(Buf& out, const float* vals, size_t count, uint32_t comp) {
   size_t nbytes = count * sizeof(float);
   if (comp & kZip) {
     uLongf zcap = compressBound(nbytes);
     std::vector<uint8_t> z(zcap);
-    int rc = compress2(z.data(), &zcap, reinterpret_cast<const Bytef*>(vals),
-                       nbytes, /*level=*/1);
+    int rc = deflate_oneshot(z.data(), &zcap,
+                             reinterpret_cast<const Bytef*>(vals), nbytes);
     if (rc == Z_OK && zcap < nbytes) {
       out.put<int64_t>(static_cast<int64_t>(zcap));
       out.raw(z.data(), zcap);
@@ -238,36 +266,53 @@ void encode_grid_body(Buf& out, Buf& leaf_buffers, const GridIn& g,
   int nl[3];
   for (int d = 0; d < 3; ++d) nl[d] = static_cast<int>((hi[d] - lo[d]) / kLeafDim);
 
+  // clipped leaf window [a0,a1)x[b0,b1)x[c0,c1) plus the source base
+  // offsets; rows are contiguous in z so the hot scans below run
+  // memchr/memcpy per (a,b) row instead of per-voxel index math
+  auto leaf_clip = [&](int li, int lj, int lk, int64_t base[3], int w[6]) {
+    base[0] = lo[0] + static_cast<int64_t>(li) * kLeafDim - g.ox;
+    base[1] = lo[1] + static_cast<int64_t>(lj) * kLeafDim - g.oy;
+    base[2] = lo[2] + static_cast<int64_t>(lk) * kLeafDim - g.oz;
+    int64_t dims[3] = {g.nx, g.ny, g.nz};
+    for (int d = 0; d < 3; ++d) {
+      int64_t s0 = std::max<int64_t>(0, -base[d]);
+      int64_t s1 = std::min<int64_t>(kLeafDim, dims[d] - base[d]);
+      w[2 * d] = static_cast<int>(s0);
+      w[2 * d + 1] = static_cast<int>(std::max<int64_t>(s0, s1));
+    }
+  };
   auto leaf_any = [&](int li, int lj, int lk) {
-    for (int a = 0; a < kLeafDim; ++a)
-      for (int b = 0; b < kLeafDim; ++b)
-        for (int c = 0; c < kLeafDim; ++c) {
-          int64_t gx = lo[0] + li * kLeafDim + a - g.ox;
-          int64_t gy = lo[1] + lj * kLeafDim + b - g.oy;
-          int64_t gz = lo[2] + lk * kLeafDim + c - g.oz;
-          if (gx < 0 || gy < 0 || gz < 0 || gx >= g.nx || gy >= g.ny || gz >= g.nz)
-            continue;
-          if (g.active[(static_cast<size_t>(gx) * g.ny + gy) * g.nz + gz]) return true;
-        }
+    int64_t base[3];
+    int w[6];
+    leaf_clip(li, lj, lk, base, w);
+    int len = w[5] - w[4];
+    if (len <= 0) return false;
+    for (int a = w[0]; a < w[1]; ++a)
+      for (int b = w[2]; b < w[3]; ++b) {
+        const uint8_t* p = g.active.data()
+            + (static_cast<size_t>(base[0] + a) * g.ny + (base[1] + b)) * g.nz
+            + base[2] + w[4];
+        if (memchr(p, 1, len) != nullptr) return true;
+      }
     return false;
   };
   auto leaf_fill = [&](int li, int lj, int lk, std::vector<float>& vals,
                        std::vector<uint8_t>& mask) {
     vals.assign(512, g.background);
     mask.assign(512, 0);
-    for (int a = 0; a < kLeafDim; ++a)
-      for (int b = 0; b < kLeafDim; ++b)
-        for (int c = 0; c < kLeafDim; ++c) {
-          int64_t gx = lo[0] + li * kLeafDim + a - g.ox;
-          int64_t gy = lo[1] + lj * kLeafDim + b - g.oy;
-          int64_t gz = lo[2] + lk * kLeafDim + c - g.oz;
-          if (gx < 0 || gy < 0 || gz < 0 || gx >= g.nx || gy >= g.ny || gz >= g.nz)
-            continue;
-          size_t i = (static_cast<size_t>(gx) * g.ny + gy) * g.nz + gz;
-          int off = (a << 6) | (b << 3) | c;
-          vals[off] = g.values[i];
-          mask[off] = g.active[i];
-        }
+    int64_t base[3];
+    int w[6];
+    leaf_clip(li, lj, lk, base, w);
+    int len = w[5] - w[4];
+    if (len <= 0) return;
+    for (int a = w[0]; a < w[1]; ++a)
+      for (int b = w[2]; b < w[3]; ++b) {
+        size_t src = (static_cast<size_t>(base[0] + a) * g.ny
+                      + (base[1] + b)) * g.nz + base[2] + w[4];
+        int off = (a << 6) | (b << 3) | w[4];
+        memcpy(&vals[off], g.values.data() + src, len * sizeof(float));
+        memcpy(&mask[off], g.active.data() + src, len);
+      }
   };
 
   // group active leaves by int2 origin (lexicographic root-table order)

@@ -86,29 +86,15 @@ def tpu_run(bound: int, density: float, frames: int, vdb_dir: str = None,
     # the host once per frame (the occupancy fetch), so the measured
     # number is sustained throughput WITH production I/O on.
     writer = None
-    persistent = None
-    accum_grids = []
-    max_pending = 0
     if vdb_dir:
-        import numpy as _np
-        from fluidsim_tpu.io.vdb import VdbGrid
-        from fluidsim_tpu.io.native import AsyncVdbWriter
+        from fluidsim_tpu.io.export import AsyncFrameExporter
         os.makedirs(vdb_dir, exist_ok=True)
-        spec = sim.scene.spec
-        solid_np = _np.asarray(sim.scene.solid)
-        persistent = _np.zeros(spec.shape, _np.float32)
-        writer = AsyncVdbWriter()
+        writer = AsyncFrameExporter(sim.scene.spec, sim.scene.solid,
+                                    mode="flip", accum=accum)
 
         def write_frame(frame, metrics):
-            nonlocal max_pending
-            occ = np.asarray(metrics["occupancy"])
-            persistent[~solid_np] = occ[~solid_np]
-            g = VdbGrid(values=persistent.copy(), origin=(-spec.bound,) * 3,
-                        background=0.0, voxel_size=spec.dx)
-            writer.submit(os.path.join(vdb_dir, f"mygrids{frame}.vdb"), g)
-            max_pending = max(max_pending, writer.pending())
-            if accum:
-                accum_grids.append(g)
+            writer.submit(os.path.join(vdb_dir, f"mygrids{frame}.vdb"),
+                          metrics["occupancy"])
 
     # segment boundaries: warmup ends at 2; then every window edge + end
     edges = sorted({2, frames} | {a for _, a, _ in WINDOWS}
@@ -141,13 +127,19 @@ def tpu_run(bound: int, density: float, frames: int, vdb_dir: str = None,
         drain_secs = time.time() - tq0
         if accum:
             from fluidsim_tpu.io.vdb import write_vdb
-            write_vdb(os.path.join(vdb_dir, "mygrids.vdb"), accum_grids)
+            write_vdb(os.path.join(vdb_dir, "mygrids.vdb"),
+                      writer.accum_grids)
         writer.close()
 
     out = {"particles": sim.num_particles, "grid": 2 * bound + 1}
     if writer is not None:
-        out["vdb"] = {"dir": vdb_dir, "max_pending": max_pending,
+        out["vdb"] = {"dir": vdb_dir, "max_pending": writer.max_pending,
                       "final_drain_secs": round(drain_secs, 2),
+                      "fallback_frames": writer.fallback_frames,
+                      "tail_fetches": writer.tail_fetches,
+                      "fetch_secs": round(writer.fetch_secs, 2),
+                      "proc_secs": round(writer.proc_secs, 2),
+                      "submit_block_secs": round(writer.submit_block_secs, 2),
                       "accum": accum}
     for name, a, b in WINDOWS:
         if a not in cum or b not in cum:
