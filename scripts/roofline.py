@@ -45,15 +45,174 @@ def cost_bytes(jitted, *args):
     return float(ca.get("bytes accessed", 0.0))
 
 
+def report(rows, out_path, key, meta):
+    """Emit per-phase lines + the whole-frame rollup, merge into the JSON."""
+    tot_ms = sum(r["ms"] for r in rows)
+    tot_by = sum(r["bytes"] for r in rows)
+    sol_ms = tot_by / HBM_PEAK_GBPS / 1e6
+    rollup = {"ms": round(tot_ms, 2), "bytes": tot_by,
+              "GBps": round(tot_by / max(tot_ms, 1e-9) / 1e6, 1),
+              "pct_hbm_peak": round(100 * (tot_by / max(tot_ms, 1e-9) / 1e6)
+                                    / HBM_PEAK_GBPS, 1),
+              "speed_of_light_ms": round(sol_ms, 2),
+              "x_over_speed_of_light": round(tot_ms / max(sol_ms, 1e-9), 2)}
+    print(f"FRAME    {tot_ms:8.2f} ms  {tot_by/1e6:9.1f} MB  "
+          f"{rollup['GBps']:7.1f} GB/s  {rollup['pct_hbm_peak']:5.1f}% peak "
+          f"({rollup['x_over_speed_of_light']}x over speed of light)",
+          file=sys.stderr)
+    entry = dict(meta)
+    entry.update({"hbm_peak_GBps": HBM_PEAK_GBPS, "phases": rows,
+                  "frame_rollup": rollup,
+                  "note": "bytes = XLA cost-analysis 'bytes accessed' diffs "
+                          "of compiled cumulative prefixes; ms = "
+                          "floor-cancelled prefix-diff wall times"})
+    data = {}
+    if os.path.exists(out_path):
+        data = json.load(open(out_path))
+    data[key] = entry
+    with open(out_path, "w") as f:
+        json.dump(data, f, indent=1)
+    print(f"wrote {out_path} [{key}]", file=sys.stderr)
+
+
+def run_stages(stage_names, upto, call_args, iters):
+    """Time + cost-analyse cumulative prefixes, return per-phase rows."""
+    import jax
+    import jax.numpy as jnp
+
+    floor = timeit(jax.jit(
+        lambda *a: jnp.sum(a[0]) + jnp.sum(a[1])), *call_args, iters=iters)
+    print(f"# dispatch floor: {floor:.2f} ms", file=sys.stderr)
+    rows = []
+    prev_ms, prev_by = floor, 0.0
+    for stage in stage_names:
+        j = upto(stage)
+        ms = timeit(j, *call_args, iters=iters)
+        by = cost_bytes(j, *call_args)
+        d_ms, d_by = ms - prev_ms, by - prev_by
+        gbps = d_by / max(d_ms, 1e-9) / 1e6
+        rows.append({"phase": stage, "ms": round(d_ms, 2),
+                     "bytes": d_by, "GBps": round(gbps, 1),
+                     "pct_hbm_peak": round(100 * gbps / HBM_PEAK_GBPS, 1)})
+        prev_ms, prev_by = ms, by
+        print(f"{stage:8s} {d_ms:8.2f} ms  {d_by/1e6:9.1f} MB  "
+              f"{gbps:7.1f} GB/s  {100*gbps/HBM_PEAK_GBPS:5.1f}% peak",
+              file=sys.stderr)
+    return rows
+
+
+def run_mpm(args):
+    """MPM roofline: the profile_mpm.py stage prefixes with XLA
+    cost-analysis bytes (VERDICT r3 item 8: the rollup for MPM 127^3)."""
+    import jax
+    import jax.numpy as jnp
+    from fluidsim_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from fluidsim_tpu.models.mpm import MpmSim, hardening, det3
+    from fluidsim_tpu.scenes import get_scene
+    from fluidsim_tpu.ops import mpm_pallas as mp
+    from fluidsim_tpu.ops import transfer_pallas as tp
+    from fluidsim_tpu.ops.pcg import pcg
+    from fluidsim_tpu.ops.svd3 import clamp_singular, mm3
+    from fluidsim_tpu.core.gridspec import cell_center_velocity
+
+    sim = MpmSim(get_scene("mpm_cone", bound=args.bound,
+                           density=args.density))
+    p = sim.params
+    B, n = p.bound, 2 * p.bound + 1
+    n3 = n * n * n
+    lay = tp.HaloLayout(n)
+    for _ in range(3):
+        m = sim.step()
+    st = sim.state
+    solid = sim.solid
+    cg_iters = int(m["cg_iters"])
+    print(f"# grid {n}^3  particles {st.pos.shape[0]}  mode mpm",
+          file=sys.stderr)
+
+    def upto(stage):
+        def fn(pos, vel, FE, FP, volume, dt):
+            g = jnp.asarray(p.gravity, pos.dtype)
+            thr = p.mass_threshold
+            pos, vel, fe_in, fp_in, volume_in, flat_h = mp.sort_mpm_h(
+                pos, vel, FE, FP, volume, B, lay)
+            rows = mp.pack_mpm_rows(flat_h, pos, vel, B)
+            if stage == "sort":
+                return jnp.sum(rows[:2, :2]) + jnp.sum(pos[0])
+            mass, mom = mp.p2g_mpm(rows, flat_h, solid, B, lay)
+            velg = jnp.where((mass > thr)[..., None],
+                             mom / jnp.where(mass > thr, mass,
+                                             1.0)[..., None], 0.0)
+            dens = mp.density(mass, rows, flat_h, solid, B, lay)
+            if stage == "p2g":
+                return jnp.sum(velg[0, 0]) + dens[0]
+            active = (mass > thr) & (~solid)
+            mu, lam = hardening(p.mu0, p.lam0, p.hardening_eps,
+                                det3(fp_in), exponent_cap=p.hardening_max)
+            f0_fn, dforce = mp.make_force_fns(pos, flat_h, rows, fe_in,
+                                              volume_in, mu, lam, active,
+                                              solid, B, lay)
+            f0 = f0_fn().reshape(n3, 3)
+            if stage == "f0":
+                return f0[0, 0] + jnp.sum(velg[0, 0])
+            mass_safe = jnp.where(active, mass, 1.0)[..., None]
+            b = jnp.where(active[..., None],
+                          velg + dt * (f0.reshape(n, n, n, 3) / mass_safe
+                                       + g), 0.0)
+            beta_dt2 = p.beta * dt * dt
+
+            def matvec(wv):
+                wm = jnp.where(active[..., None], wv, 0.0)
+                df = dforce(wm)
+                out = wv + beta_dt2 * (-df) / mass_safe
+                return jnp.where(active[..., None], out, wv)
+
+            res = pcg(matvec, b, x0=b, rtol=p.cg_rtol, maxiter=p.cg_maxiter)
+            velg2 = jnp.where(active[..., None], res.x, 0.0)
+            if stage == "cg":
+                return jnp.sum(velg2[0, 0]) + res.residual
+            gradv = mp.gradv_gather(velg2, rows, flat_h, solid, B, lay)
+            gmax = jnp.max(jnp.abs(gradv), axis=(-2, -1))
+            sc = jnp.minimum(1.0, p.max_gradv_dt
+                             / jnp.maximum(dt * gmax, 1e-12))
+            gradv = gradv * sc[:, None, None]
+            eye = jnp.eye(3, dtype=pos.dtype)
+            t_fe = mm3(eye + dt * gradv, fe_in)
+            f_total = mm3(t_fe, fp_in)
+            fe_new, v_sinv_ut = clamp_singular(t_fe, 1.0 - p.theta_c,
+                                               1.0 + p.theta_s)
+            fp_new = mm3(v_sinv_ut, f_total)
+            if stage == "defgrad":
+                return jnp.sum(fe_new[0]) + jnp.sum(fp_new[0])
+            vc_new = cell_center_velocity(velg2)
+            vc_old = cell_center_velocity(velg)
+            delta = mp.flip_delta(pos, rows, flat_h, vc_new - vc_old, B,
+                                  p.wall, lay)
+            return jnp.sum(delta[0]) + jnp.sum(fe_new[0])
+        return jax.jit(fn)
+
+    call_args = (st.pos, st.vel, st.FE, st.FP, st.volume, st.dt)
+    rows = run_stages(["sort", "p2g", "f0", "cg", "defgrad", "flip"],
+                      upto, call_args, args.iters)
+    report(rows, args.out, f"mpm_{n}",
+           {"grid": n, "particles": int(st.pos.shape[0]), "mode": "mpm",
+            "cg_iters": cg_iters})
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bound", type=int, default=64)
     ap.add_argument("--density", type=float, default=25.0)
     ap.add_argument("--iters", type=int, default=8)
-    ap.add_argument("--mode", choices=("flip", "apic"), default="flip")
+    ap.add_argument("--mode", choices=("flip", "apic", "mpm"),
+                    default="flip")
     ap.add_argument("--out", default=os.path.join(HERE, "docs",
                                                   "roofline.json"))
     args = ap.parse_args()
+
+    if args.mode == "mpm":
+        run_mpm(args)
+        return
 
     import jax
     import jax.numpy as jnp
@@ -144,60 +303,11 @@ def main():
     if args.mode == "apic":
         call_args.append(st.aff)
 
-    # dispatch floor (tunnel round trip): subtract from the FIRST stage —
-    # later stages are prefix diffs, so the floor cancels there
-    floor = timeit(jax.jit(
-        lambda *a: jnp.sum(a[0]) + jnp.sum(a[1])), *call_args,
-        iters=args.iters)
-    print(f"# dispatch floor: {floor:.2f} ms", file=sys.stderr)
-
-    rows = []
-    prev_ms, prev_by = floor, 0.0
-    for stage in ("sort", "p2g", "project", "g2p", "advect"):
-        j = upto(stage)
-        ms = timeit(j, *call_args, iters=args.iters)
-        by = cost_bytes(j, *call_args)
-        d_ms, d_by = ms - prev_ms, by - prev_by
-        gbps = d_by / max(d_ms, 1e-9) / 1e6
-        rows.append({"phase": stage, "ms": round(d_ms, 2),
-                     "bytes": d_by, "GBps": round(gbps, 1),
-                     "pct_hbm_peak": round(100 * gbps / HBM_PEAK_GBPS, 1)})
-        prev_ms, prev_by = ms, by
-        print(f"{stage:8s} {d_ms:8.2f} ms  {d_by/1e6:9.1f} MB  "
-              f"{gbps:7.1f} GB/s  {100*gbps/HBM_PEAK_GBPS:5.1f}% peak",
-              file=sys.stderr)
-
-    # whole-frame rollup (VERDICT r3 item 8): one line per config so
-    # transfer-phase progress is read off a single number per round —
-    # speed-of-light = the time this frame's total bytes would take at
-    # HBM peak (a lower bound: MXU-bound phases could beat it)
-    tot_ms = sum(r["ms"] for r in rows)
-    tot_by = sum(r["bytes"] for r in rows)
-    sol_ms = tot_by / HBM_PEAK_GBPS / 1e6
-    rollup = {"ms": round(tot_ms, 2), "bytes": tot_by,
-              "GBps": round(tot_by / max(tot_ms, 1e-9) / 1e6, 1),
-              "pct_hbm_peak": round(100 * (tot_by / max(tot_ms, 1e-9) / 1e6)
-                                    / HBM_PEAK_GBPS, 1),
-              "speed_of_light_ms": round(sol_ms, 2),
-              "x_over_speed_of_light": round(tot_ms / max(sol_ms, 1e-9), 2)}
-    print(f"FRAME    {tot_ms:8.2f} ms  {tot_by/1e6:9.1f} MB  "
-          f"{rollup['GBps']:7.1f} GB/s  {rollup['pct_hbm_peak']:5.1f}% peak "
-          f"({rollup['x_over_speed_of_light']}x over speed of light)",
-          file=sys.stderr)
-
-    entry = {"grid": n, "particles": sim.num_particles, "mode": args.mode,
-             "cg_iters": cg_iters, "outer_iters": outer,
-             "hbm_peak_GBps": HBM_PEAK_GBPS, "phases": rows,
-             "frame_rollup": rollup,
-             "note": "bytes = XLA cost-analysis 'bytes accessed' diffs of "
-                     "compiled cumulative prefixes; ms = floor-cancelled "
-                     "prefix-diff wall times"}
-    data = {}
-    if os.path.exists(args.out):
-        data = json.load(open(args.out))
-    data[f"{args.mode}_{n}"] = entry
-    with open(args.out, "w") as f:
-        json.dump(data, f, indent=1)
+    rows = run_stages(("sort", "p2g", "project", "g2p", "advect"),
+                      upto, call_args, args.iters)
+    report(rows, args.out, f"{args.mode}_{n}",
+           {"grid": n, "particles": sim.num_particles, "mode": args.mode,
+            "cg_iters": cg_iters, "outer_iters": outer})
     print(f"wrote {args.out}")
 
 
