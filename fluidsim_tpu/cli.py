@@ -26,6 +26,10 @@ def _add_run_args(p):
     p.add_argument("--out", default="simulation",
                    help="output directory for per-frame .vdb files")
     p.add_argument("--no-vdb", action="store_true", help="skip VDB export")
+    p.add_argument("--ref-topology", action="store_true",
+                   help="emit reference-faithful dense-active VDB topology "
+                        "(all non-solid voxels active, fluid.cc:1443-1445) "
+                        "instead of the compact nonzero-active default")
     p.add_argument("--no-accum", action="store_true",
                    help="skip the accumulated mygrids.vdb (large)")
     p.add_argument("--metrics", default=None, help="JSONL metrics path")
@@ -105,7 +109,7 @@ def _run(kind: str, args) -> int:
         # rule; solid cells stay at the 0 background, as before).
         async_writer = AsyncFrameExporter(
             spec, scene.solid, mode=("flip" if args.surface else kind),
-            accum=not args.no_accum)
+            accum=not args.no_accum, ref_topology=args.ref_topology)
 
         def writer(frame, state, metrics):
             occ = (surface_fn(state.pos) if args.surface

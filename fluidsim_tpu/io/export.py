@@ -104,11 +104,24 @@ class AsyncFrameExporter:
     into the device packer), ``"mpm"`` only cells with value > 0.1.
     With ``accum=True`` every frame's grid is kept for a final
     accumulated archive (``fluid.cc:1508-1509``).
+
+    ``ref_topology=True`` reproduces the reference's FLIP *active
+    topology* exactly: ``fluid.cc:1443-1445`` setValues EVERY non-solid
+    voxel each frame (zeros included), so the reference file marks all
+    non-solid voxels active.  The default (False) marks only nonzero
+    voxels active — value-identical on read-back (inactive voxels return
+    the 0 background) and 6-8x cheaper to encode via the ACTIVE_MASK
+    codec, but ``activeVoxelCount`` metadata and active-voxel iteration
+    differ from the reference's output.  MPM topology matches the
+    reference either way (only cells with mass > 0.1 are ever written,
+    ``mpm.cc:1368-1382``, and those values are necessarily nonzero).
     """
 
     def __init__(self, spec, solid_np, mode: str = "flip", cap: int | None = None,
                  compression: int | None = None, accum: bool = False,
-                 depth: int = 4, dense_fetch: bool = False):
+                 depth: int = 4, dense_fetch: bool = False,
+                 ref_topology: bool = False,
+                 max_pending_bytes: int = 1 << 30):
         import jax
         import jax.numpy as jnp
 
@@ -117,6 +130,7 @@ class AsyncFrameExporter:
         self.spec = spec
         self.solid = np.asarray(solid_np, bool)
         self.mode = mode
+        self.ref_topology = bool(ref_topology)
         ncells = int(np.prod(spec.shape))
         self.cap = int(cap) if cap else max(1, ncells // 4)
         self._hdr = 4 + (-(-ncells // 8) * 8) // 8
@@ -138,6 +152,18 @@ class AsyncFrameExporter:
         self.fetch_secs = 0.0          # cumulative wall in the fetch stage
         self.proc_secs = 0.0           # cumulative wall in the process stage
         self.submit_block_secs = 0.0   # main-loop time blocked on the queue
+        # Host-memory budget for the encode/write queue: each queued
+        # native job copies the dense values (4 B) + mask (1 B) per cell,
+        # so unbounded backlog at e.g. 121^3 is ~9 MB/frame (a measured
+        # 78-frame pile-up = ~0.7 GB).  The PROC thread blocks while the
+        # writer backlog exceeds the budget (backpressure_secs counts the
+        # wall); the bounded fetch/proc queues then propagate the stall
+        # to submit_block_secs, so peak host bytes stay <= budget +
+        # (depth + 2) sparse frames.
+        self._frame_bytes = 5 * ncells
+        self.writer_cap_frames = max(2, int(max_pending_bytes)
+                                     // self._frame_bytes)
+        self.backpressure_secs = 0.0   # proc-thread wall spent throttling
         # two-stage pipeline: fetch (blocks on the link, GIL-free) ->
         # process (reconstruct + encode submit).  TWO fetch threads
         # alternate frames: transfers serialize at the link anyway, but
@@ -309,6 +335,12 @@ class AsyncFrameExporter:
     def _write_one(self, path, dense, mask, raw):
         from fluidsim_tpu.io.vdb import VdbGrid
 
+        if self._writer.pending() >= self.writer_cap_frames:
+            t0 = time.monotonic()
+            while self._writer.pending() >= self.writer_cap_frames:
+                time.sleep(0.002)
+            self.backpressure_secs += time.monotonic() - t0
+
         # Active topology = nonzero cells: lets the ACTIVE_MASK codec
         # compact each leaf to its active values before zlib (6-8x less
         # deflate input at ~15% fill).  Inactive voxels read back as the
@@ -323,6 +355,9 @@ class AsyncFrameExporter:
             mask = vals != 0
         else:
             vals = dense                        # solid rule fused on device
+        if self.mode != "mpm" and self.ref_topology:
+            # reference-faithful dense-active topology (see class doc)
+            mask = ~self.solid
         g = VdbGrid(values=vals, origin=(-self.spec.bound,) * 3,
                     background=0.0, voxel_size=self.spec.dx, active=mask)
         self._writer.submit(path, g)

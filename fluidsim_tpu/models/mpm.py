@@ -97,12 +97,20 @@ class MpmParams:
     # cause of the impact-frame CG blowup into the 1000-iteration cap at
     # 127^3, docs/mpm_anatomy_127_none.json frame 114); "spd" = its
     # positive-semidefinite Gauss-Newton part (ops/svd3.py:
-    # piola_linearized), unconditionally CG-convergent.  "auto" (default):
-    # MpmSim keeps "full" at the reference class (bound <= 15, exact
-    # parity with mpm.cc) and switches to "spd" for scaled-up scenes,
-    # where the impact-phase solve is the measured bottleneck and the
-    # KE-decay oracle validates the trajectory (docs/validation.md).
-    hessian: str = "auto"           # "auto" | "full" | "spd"
+    # piola_linearized), unconditionally CG-convergent; "hybrid" = the
+    # exact operator with a cg_hybrid_cap iteration budget, falling back
+    # to one SPD re-solve on the (rare) frames where the indefinite
+    # system stagnates (lax.cond, so converged frames pay nothing extra).
+    # "auto" (default): MpmSim keeps "full" at the reference class
+    # (bound <= 15, exact parity with mpm.cc) and uses "hybrid" for
+    # scaled-up scenes — the always-SPD substitution measured a MATERIAL
+    # trajectory deviation at 127^3 (occupancy IoU ~0.4 post-impact,
+    # pos RMS ~10 cells at frame 500; docs/mpm_deviation.json), so
+    # production stays on the reference operator whenever it converges.
+    hessian: str = "auto"           # "auto" | "full" | "spd" | "hybrid"
+    cg_hybrid_cap: int = 150        # hybrid: full-operator CG budget per
+    # frame before the SPD fallback re-solve (settle frames converge in
+    # <10; the cap only binds in the impact phase)
     kernel: str = "mpm"
     fast_transfer: bool = False  # sorted channel-fused transfers (ops.mpm_fast);
     # default off at reference scale (31^3 / ~6k particles, where the naive
@@ -168,24 +176,32 @@ def make_force_fn(ids, gather_mask, scatter_mask, gradw, FE, volume, mu, lam,
     ``FE`` by ``(u_j gradW_j^T) FE`` (``getDelFE``), and the custom-JVP polar
     rotation supplies ``dR`` (``getDelR``) — so the chain rule reproduces
     ``dPsydFdF``/``getdPsydx2`` (``deformHeader.h:241-272``) exactly.
+
+    ``hessian="hybrid"`` returns ``(forces_full, forces_spd)``.
     """
     fe_t = jnp.swapaxes(FE, -1, -2)
     gm = gather_mask[..., None].astype(FE.dtype)
     sm = scatter_mask[..., None].astype(FE.dtype)
+    hybrid = hessian == "hybrid"
     # one SVD per frame: P is evaluated as P0 + dP(dFE) (exact for the
     # force at u=0 and for the jvp, which is all the solve uses)
-    p0, dp = piola_linearized(FE, mu, lam)
+    p0, dp = piola_linearized(FE, mu, lam, "full" if hybrid else hessian)
 
-    def forces(u_flat):
-        u_nodes = u_flat[ids] * gm                      # (P, 27, 3)
-        g = outer_sum27(u_nodes, gradw)                 # velocity-gradient-like
-        p_stress = p0 + dp(mm3(g, FE))
-        sigma = mm3(p_stress, fe_t)
-        f_pk = -volume[:, None, None] * apply_mat27(sigma, gradw)
-        return jnp.zeros((n3, 3), FE.dtype).at[ids.reshape(-1)].add(
-            (f_pk * sm).reshape(-1, 3))
+    def _forces_with(dp_):
+        def forces(u_flat):
+            u_nodes = u_flat[ids] * gm                  # (P, 27, 3)
+            g = outer_sum27(u_nodes, gradw)             # velocity-gradient-like
+            p_stress = p0 + dp_(mm3(g, FE))
+            sigma = mm3(p_stress, fe_t)
+            f_pk = -volume[:, None, None] * apply_mat27(sigma, gradw)
+            return jnp.zeros((n3, 3), FE.dtype).at[ids.reshape(-1)].add(
+                (f_pk * sm).reshape(-1, 3))
+        return forces
 
-    return forces
+    if hybrid:
+        _, dp_spd = piola_linearized(FE, mu, lam, "spd")
+        return _forces_with(dp), _forces_with(dp_spd)
+    return _forces_with(dp)
 
 
 def mpm_step(params: MpmParams, solid, state: MpmState):
@@ -198,7 +214,8 @@ def mpm_step(params: MpmParams, solid, state: MpmState):
     fe_in, fp_in = state.FE, state.FP
     use_pallas = bool(params.pallas_transfer)
     hess = (params.hessian if params.hessian != "auto"
-            else ("full" if params.bound <= 15 else "spd"))
+            else ("full" if params.bound <= 15 else "hybrid"))
+    hybrid = hess == "hybrid"
 
     if use_pallas:
         from fluidsim_tpu.ops import mpm_pallas as mp
@@ -257,34 +274,53 @@ def mpm_step(params: MpmParams, solid, state: MpmState):
     # -- explicit forces + implicit solve (mpm.cc:1399-1405) --
     mu, lam = hardening(params.mu0, params.lam0, params.hardening_eps,
                         det3(fp_in), exponent_cap=params.hardening_max)
+    zeros_u = jnp.zeros((n3, 3), pos.dtype)
+    apply_spd = None
     if use_pallas:
-        f0_fn, dforce = mp.make_force_fns(pos, flat_h, rows, fe_in,
-                                          volume, mu, lam, active, solid, B,
-                                          lay, interpret=itp,
-                                          hessian=hess)
+        fns = mp.make_force_fns(pos, flat_h, rows, fe_in,
+                                volume, mu, lam, active, solid, B,
+                                lay, interpret=itp, hessian=hess)
+        f0_fn, apply_full = fns[0], fns[1]
+        if hybrid:
+            apply_spd = fns[2]
         f0 = f0_fn().reshape(n3, 3)
-    elif params.fast_transfer:
-        from fluidsim_tpu.ops import mpm_fast as mf
-        forces_dense = mf.make_force_fn_fused(
-            pos, flat_s, gradw, valid[:, None].astype(pos.dtype),
-            fe_in, volume, mu, lam, active, solid, B,
-            hessian=hess)
-        forces = lambda u_flat: forces_dense(u_flat.reshape(n, n, n, 3)).reshape(n3, 3)
+        forces0 = None
     else:
-        active_flat = active.reshape(-1)
-        gather_mask = active_flat[ids] & inb       # Hessian column mask (mpm.cc:681)
-        forces = make_force_fn(ids, gather_mask, not_solid, gradw,
-                               fe_in, volume, mu, lam, n3,
-                               hessian=hess)
-    if not use_pallas:
-        f0 = forces(jnp.zeros((n3, 3), pos.dtype))
+        if params.fast_transfer:
+            from fluidsim_tpu.ops import mpm_fast as mf
+            fd = mf.make_force_fn_fused(
+                pos, flat_s, gradw, valid[:, None].astype(pos.dtype),
+                fe_in, volume, mu, lam, active, solid, B,
+                hessian=hess)
+            fd_pair = fd if hybrid else (fd, None)
+            mk = lambda f: (None if f is None else (
+                lambda u_flat: f(u_flat.reshape(n, n, n, 3)).reshape(n3, 3)))
+            forces0, forces_spd = mk(fd_pair[0]), mk(fd_pair[1])
+        else:
+            active_flat = active.reshape(-1)
+            gather_mask = active_flat[ids] & inb   # Hessian column mask (mpm.cc:681)
+            out = make_force_fn(ids, gather_mask, not_solid, gradw,
+                                fe_in, volume, mu, lam, n3,
+                                hessian=hess)
+            forces0, forces_spd = out if hybrid else (out, None)
+
+        def _apply_of(forces_fn):
+            def apply_h(wm):
+                _, df = jax.jvp(forces_fn, (zeros_u,),
+                                (wm.reshape(n3, 3),))
+                return df.reshape(n, n, n, 3)
+            return apply_h
+
+        apply_full = _apply_of(forces0)
+        if hybrid:
+            apply_spd = _apply_of(forces_spd)
+        f0 = forces0(zeros_u)
 
     mass_safe = jnp.where(active, mass, 1.0)[..., None]
     b = jnp.where(active[..., None],
                   velg + dt * (f0.reshape(n, n, n, 3) / mass_safe + g), 0.0)
 
     beta_dt2 = params.beta * dt * dt
-    zeros_u = jnp.zeros((n3, 3), pos.dtype)
 
     precond = None
     if params.precond == "jacobi":
@@ -310,17 +346,16 @@ def mpm_step(params: MpmParams, solid, state: MpmState):
         def precond(r):
             return jnp.where(active[..., None], r / diag[..., None], r)
 
-    def matvec(wv):
-        wm = jnp.where(active[..., None], wv, 0.0)
-        if use_pallas:
-            # explicit linear Hessian-vector product (no jvp: pallas_calls
-            # have no JVP rule, and the chain is linear anyway)
-            df = dforce(wm)
-        else:
-            _, df = jax.jvp(forces, (zeros_u,), (wm.reshape(n3, 3),))
-            df = df.reshape(n, n, n, 3)
-        out = wv + beta_dt2 * (-df) / mass_safe
-        return jnp.where(active[..., None], out, wv)
+    def _matvec_of(apply_h):
+        # apply_h: explicit linear Hessian-vector product on the pallas
+        # path (pallas_calls have no JVP rule and the chain is linear
+        # anyway), jax.jvp of the force function otherwise
+        def matvec(wv):
+            wm = jnp.where(active[..., None], wv, 0.0)
+            df = apply_h(wm)
+            out = wv + beta_dt2 * (-df) / mass_safe
+            return jnp.where(active[..., None], out, wv)
+        return matvec
 
     # Start CG at x0 = b: A = I + beta*dt^2*H/m, so b is within O(beta*dt^2)
     # of the solution and the initial residual starts a factor |A-I| smaller.
@@ -329,9 +364,37 @@ def mpm_step(params: MpmParams, solid, state: MpmState):
     # gather+scatter Hessian-vector product, ~14% of the whole frame at
     # scale.  The solution bar is unchanged (same rtol on the same system;
     # the C++-oracle KE parity and soak tolerances are trajectory-level).
-    res = pcg(matvec, b, x0=b, precond=precond, rtol=params.cg_rtol,
-              maxiter=params.cg_maxiter)
-    velg = jnp.where(active[..., None], res.x, 0.0)  # updateVelocity, mpm.cc:705-737
+    if hybrid:
+        # The reference's EXACT operator first (deformHeader.h:241-272),
+        # bounded by cg_hybrid_cap; on cap-hit without convergence (the
+        # corotated Hessian goes indefinite under impact compression and
+        # CG stagnates — docs/mpm_anatomy_127_none.json frame 114),
+        # re-solve with the unconditionally-convergent SPD Gauss-Newton
+        # operator.  Field-level full-vs-spd deviation is material at
+        # 127^3 (occupancy IoU ~0.4 post-impact, docs/mpm_deviation.json),
+        # so production frames use the exact operator whenever it solves.
+        res_f = pcg(_matvec_of(apply_full), b, x0=b, precond=precond,
+                    rtol=params.cg_rtol, maxiter=params.cg_hybrid_cap)
+        bnorm2 = jnp.sum((b * b).astype(jnp.float32))
+        ok = (res_f.residual.astype(jnp.float32) ** 2
+              <= jnp.float32(params.cg_rtol) ** 2 * bnorm2)
+
+        def _keep(_):
+            return res_f.x, res_f.iters, res_f.residual
+
+        def _respd(_):
+            r = pcg(_matvec_of(apply_spd), b, x0=b, precond=precond,
+                    rtol=params.cg_rtol, maxiter=params.cg_maxiter)
+            return r.x, res_f.iters + r.iters, r.residual
+
+        solve_x, cg_iters, cg_resid = jax.lax.cond(ok, _keep, _respd, None)
+        spd_used = (~ok).astype(jnp.int32)
+    else:
+        res = pcg(_matvec_of(apply_full), b, x0=b, precond=precond,
+                  rtol=params.cg_rtol, maxiter=params.cg_maxiter)
+        solve_x, cg_iters, cg_resid = res.x, res.iters, res.residual
+        spd_used = jnp.asarray(1 if hess == "spd" else 0, jnp.int32)
+    velg = jnp.where(active[..., None], solve_x, 0.0)  # updateVelocity, mpm.cc:705-737
 
     # -- deformation gradient update (mpm.cc:493-586) --
     if use_pallas:
@@ -377,8 +440,9 @@ def mpm_step(params: MpmParams, solid, state: MpmState):
     new_state = MpmState(pos=pos, vel=vel, FE=fe_new, FP=fp_new, volume=volume,
                          dt=dt_new, t=state.t + dt_new, frame=state.frame + 1)
     metrics = {
-        "cg_iters": res.iters,
-        "cg_residual": res.residual,
+        "cg_iters": cg_iters,
+        "cg_residual": cg_resid,
+        "spd_fallback": spd_used,
         "dt": dt_new,
         "dt_used": dt,
         "max_speed": max_speed,
@@ -419,9 +483,9 @@ class MpmSim:
             params = dataclasses.replace(params, pallas_transfer=auto)
         if params.hessian == "auto":
             # reference class -> exact reference Hessian; scaled scenes ->
-            # the SPD Gauss-Newton operator (see MpmParams.hessian)
+            # the hybrid full-then-SPD operator (see MpmParams.hessian)
             params = dataclasses.replace(
-                params, hessian="full" if params.bound <= 15 else "spd")
+                params, hessian="full" if params.bound <= 15 else "hybrid")
         self.scene = scene
         self.params = params
         self.solid = jnp.asarray(scene.solid)

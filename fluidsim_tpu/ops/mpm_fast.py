@@ -108,23 +108,33 @@ def make_force_fn_fused(pos_s, flat_s, gradw, w27_valid, FE, volume, mu, lam,
     ``jax.jvp`` at 0 gives the same Hessian-vector product (gather columns
     masked to active cells, scatter rows masked to ~solid, matching
     ``mpm.cc:596-701``).
+
+    ``hessian="hybrid"`` returns ``(forces_full, forces_spd)`` — identical
+    at u=0, differing only in the jvp linearization.
     """
     fe_t = jnp.swapaxes(FE, -1, -2)
     not_solid = ~solid
-    p0, dp = piola_linearized(FE, mu, lam, hessian)  # one SVD per frame
+    hybrid = hessian == "hybrid"
+    p0, dp = piola_linearized(FE, mu, lam,
+                              "full" if hybrid else hessian)  # one SVD/frame
 
-    def forces(u):
-        rows = gather_table(u, active, flat_s)          # (P, 27, 4)
-        u_nodes = rows[..., :3] * rows[..., 3:4]
-        g = outer_sum27(u_nodes, gradw)
-        p_stress = p0 + dp(mm3(g, FE))
-        sigma = mm3(p_stress, fe_t)
-        f_pk = -volume[:, None, None] * apply_mat27(sigma, gradw)
-        f_pk = f_pk * w27_valid[..., None]              # zero dead particles
-        f = scatter_channels(flat_s, f_pk, bound)       # (N,N,N,3)
-        return jnp.where(not_solid[..., None], f, 0.0)
+    def _forces_with(dp_):
+        def forces(u):
+            rows = gather_table(u, active, flat_s)          # (P, 27, 4)
+            u_nodes = rows[..., :3] * rows[..., 3:4]
+            g = outer_sum27(u_nodes, gradw)
+            p_stress = p0 + dp_(mm3(g, FE))
+            sigma = mm3(p_stress, fe_t)
+            f_pk = -volume[:, None, None] * apply_mat27(sigma, gradw)
+            f_pk = f_pk * w27_valid[..., None]          # zero dead particles
+            f = scatter_channels(flat_s, f_pk, bound)   # (N,N,N,3)
+            return jnp.where(not_solid[..., None], f, 0.0)
+        return forces
 
-    return forces
+    if hybrid:
+        _, dp_spd = piola_linearized(FE, mu, lam, "spd")
+        return _forces_with(dp), _forces_with(dp_spd)
+    return _forces_with(dp)
 
 
 def g2p_gradv(velg, flat_s, gradw, solid, bound: int):

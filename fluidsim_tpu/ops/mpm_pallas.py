@@ -238,12 +238,18 @@ def make_force_fns(pos_s, flat_h, rows, FE, volume, mu, lam,
     (gradW gather of u over active cells -> ``piola_linearized`` dP ->
     force scatter masked to ~solid), so no jvp crosses a pallas_call.
     Both return (n, n, n, 3) grids.
+
+    ``hessian="hybrid"`` returns ``(f0, dforce_full, dforce_spd)`` — the
+    exact operator plus its Gauss-Newton part, sharing the stencil buffer
+    and the polar/cofactor precompute (XLA CSE dedups the repeated SVD).
     """
     n = 2 * bound + 1
     p = pos_s.shape[0]
     fe_t = jnp.swapaxes(FE, -1, -2)
     not_solid = ~solid
-    p0, dp = piola_linearized(FE, mu, lam, hessian)  # one SVD per frame
+    hybrid = hessian == "hybrid"
+    p0, dp = piola_linearized(FE, mu, lam,
+                              "full" if hybrid else hessian)  # one SVD/frame
     valid = jnp.all(jnp.abs(cround(pos_s)) <= bound, axis=-1)
     scale = jnp.where(valid, -volume, 0.0)          # zero dead particles
 
@@ -263,12 +269,18 @@ def make_force_fns(pos_s, flat_h, rows, FE, volume, mu, lam,
     def f0():
         return scatter_sigma(mm3(p0, fe_t))
 
-    def dforce(u):
-        fm = _fm_hp(u, active, n, lay)
-        out = pt.gather_wv_fused(fm, rows, flat_h, n, nout=16, contract="gw",
-                                 interpret=interpret, cols=tp.cols_of(rows))
-        g = jnp.stack([out[4 * k:4 * k + 3, :p].T for k in range(3)],
-                      axis=-1)                      # (P, 3, 3)
-        return scatter_sigma(mm3(dp(mm3(g, FE)), fe_t))
+    def _dforce_with(dp_):
+        def dforce(u):
+            fm = _fm_hp(u, active, n, lay)
+            out = pt.gather_wv_fused(fm, rows, flat_h, n, nout=16,
+                                     contract="gw", interpret=interpret,
+                                     cols=tp.cols_of(rows))
+            g = jnp.stack([out[4 * k:4 * k + 3, :p].T for k in range(3)],
+                          axis=-1)                  # (P, 3, 3)
+            return scatter_sigma(mm3(dp_(mm3(g, FE)), fe_t))
+        return dforce
 
-    return f0, dforce
+    if hybrid:
+        _, dp_spd = piola_linearized(FE, mu, lam, "spd")
+        return f0, _dforce_with(dp), _dforce_with(dp_spd)
+    return f0, _dforce_with(dp)

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
+import warnings
 from functools import partial
 from typing import Tuple
 
@@ -691,7 +693,48 @@ def _sharded_step(params: FlipParams, nl: int, cap: int, mig_cap: int,
     return new_state, metrics
 
 
-class ShardedFlipSim:
+class LostParticleMonitor:
+    """Surfaces the silent-degradation mode of fixed-capacity migration.
+
+    The sorted-band fast path can drop valid migrants (senders outside
+    the first/last F sorted rows when a slab boundary cell-row holds
+    more than F particles) and the tail-insert clamp can clobber rows on
+    shard overflow — both only increment the per-step ``lost`` metric.
+    This monitor checks the PREVIOUS step's counter at the top of the
+    next ``step()`` (by then the value is computed, so the ``int()``
+    fetch never stalls the dispatch pipeline) and emits a runtime
+    warning whenever lost > 0; with ``FLUIDSIM_STRICT_MIGRATION=1`` it
+    raises instead (debug runs).  ``lost_total`` accumulates the count.
+    """
+
+    def _init_lost_monitor(self):
+        self._pending_lost = None
+        self.lost_total = 0
+
+    def _note_lost(self, metrics):
+        prev, self._pending_lost = self._pending_lost, metrics.get("lost")
+        if prev is None:
+            return
+        lost = int(np.asarray(prev))
+        if lost > 0:
+            self.lost_total += lost
+            msg = (f"{type(self).__name__}: migration dropped {lost} "
+                   f"particle(s) this step ({self.lost_total} total) — "
+                   "slab-boundary band overflow or shard capacity "
+                   "exhausted; raise mig_frac / cap_factor (physics is "
+                   "silently losing mass)")
+            if os.environ.get("FLUIDSIM_STRICT_MIGRATION"):
+                raise RuntimeError(msg)
+            warnings.warn(msg, RuntimeWarning, stacklevel=3)
+
+    def _flush_lost(self):
+        """Force the last pending counter check (end of a run)."""
+        if self._pending_lost is not None:
+            self._note_lost({"lost": None})
+            self._pending_lost = None
+
+
+class ShardedFlipSim(LostParticleMonitor):
     """Host driver for the multi-chip FLIP solver.
 
     Works on any 1-D mesh: real TPU chips, or virtual CPU devices via
@@ -803,6 +846,7 @@ class ShardedFlipSim:
             in_specs=(P(), P(), state_specs),
             out_specs=(state_specs, metric_specs),
             check_vma=not params.pallas_transfer))
+        self._init_lost_monitor()
 
     @property
     def num_particles(self) -> int:
@@ -811,6 +855,7 @@ class ShardedFlipSim:
     def step(self):
         self.state, metrics = self._step(self.solid_full, self.solid_pad_ext,
                                          self.state)
+        self._note_lost(metrics)
         return metrics
 
     def run(self, frames: int, callback=None):
@@ -819,4 +864,5 @@ class ShardedFlipSim:
             out = self.step()
             if callback is not None:
                 callback(int(self.state.frame) - 1, self.state, out)
+        self._flush_lost()
         return out

@@ -36,8 +36,9 @@ from fluidsim_tpu.models.mpm import MpmParams
 from fluidsim_tpu.parallel.halo import (exchange_halo, halo_reduce,
                                         migrate_edge_bands,
                                         migrate_neighbors)
-from fluidsim_tpu.parallel.flip_sharded import (AX, W, SENTINEL, _local_scatter,
-                                                _local_gather)
+from fluidsim_tpu.parallel.flip_sharded import (AX, W, SENTINEL,
+                                                LostParticleMonitor,
+                                                _local_scatter, _local_gather)
 from fluidsim_tpu.scenes import Scene, get_scene
 from fluidsim_tpu.seeding import seed_particles
 
@@ -98,6 +99,13 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
         gyb = jnp.clip(base[:, 1] + B, 0, n - 1)
         gzb = jnp.clip(base[:, 2] + B, 0, n - 1)
         flat = (lxb + ps._XH) * lay.lwr + lay.lh + gyb * n + gzb
+        # dead slots get the out-of-range id (as _sort_local_h does):
+        # SENTINEL positions clip to the max in-range cell, which would
+        # tie them with CFL-clipped LIVE rows under the single-key sort
+        # and break the alive-prefix invariant the sorted-band migration
+        # and tail insert depend on; lay.ncells sorts dead rows last and
+        # past the final pack-window edge, so kernels never touch them.
+        flat = jnp.where(alive, flat, lay.ncells)
         flat_h, perm = jax.lax.sort(
             [flat, jnp.arange(p, dtype=jnp.int32)], num_keys=1)
         pos = jnp.take(pos, perm, axis=0)
@@ -178,13 +186,16 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
     fe_t = jnp.swapaxes(fe_in, -1, -2)
     vol_alive = jnp.where(alive, volume, 0.0)
 
+    hess = (params.hessian if params.hessian != "auto"
+            else ("full" if params.bound <= 15 else "hybrid"))
+    hybrid = hess == "hybrid"
+    dforce_spd = None
     if use_pallas:
         # explicit LINEAR Hessian chain (no jvp across pallas_call):
         # gradW gather over active cells -> piola_linearized dP -> in-kernel
         # M gradW(o) scatter, halo-reduced by the callers
-        hess = (params.hessian if params.hessian != "auto"
-                else ("full" if params.bound <= 15 else "spd"))
-        p0, dp = piola_linearized(fe_in, mu, lam, hess)
+        p0, dp = piola_linearized(fe_in, mu, lam,
+                                  "full" if hybrid else hess)
         valid = jnp.all(jnp.abs(cround(pos)) <= B, axis=-1)
         scale = jnp.where(valid, -vol_alive, 0.0)
         not_solid_ext = ~solid_ext
@@ -207,15 +218,23 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
 
         f0 = reduce3(scatter_sigma(mm3(p0, fe_t)))
 
-        def dforce(wv_loc):
-            w_ext = exchange_halo(wv_loc, W, AX)
-            fm = mp._fm_hp(w_ext, active_ext, n, lay)
-            out16 = pt.gather_wv_fused(fm, prows, flat_h, n, nout=16,
-                                       contract="gw", interpret=itp,
-                                       cols=pcols, lh=lay.lh)
-            gmat = jnp.stack([out16[4 * k:4 * k + 3, :p].T
-                              for k in range(3)], axis=-1)
-            return reduce3(scatter_sigma(mm3(dp(mm3(gmat, fe_in)), fe_t)))
+        def _dforce_with(dp_):
+            def dforce(wv_loc):
+                w_ext = exchange_halo(wv_loc, W, AX)
+                fm = mp._fm_hp(w_ext, active_ext, n, lay)
+                out16 = pt.gather_wv_fused(fm, prows, flat_h, n, nout=16,
+                                           contract="gw", interpret=itp,
+                                           cols=pcols, lh=lay.lh)
+                gmat = jnp.stack([out16[4 * k:4 * k + 3, :p].T
+                                  for k in range(3)], axis=-1)
+                return reduce3(scatter_sigma(mm3(dp_(mm3(gmat, fe_in)),
+                                                 fe_t)))
+            return dforce
+
+        dforce = _dforce_with(dp)
+        if hybrid:
+            _, dp_spd = piola_linearized(fe_in, mu, lam, "spd")
+            dforce_spd = _dforce_with(dp_spd)
     else:
         gather_mask = (active_ext.reshape(-1)[ids_ext]
                        & inb)[..., None].astype(pos.dtype)
@@ -242,6 +261,28 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
             forces_ext(zeros_u).reshape(rows, n, n, 3)[..., d], W, AX)
             for d in range(3)], axis=-1)
 
+        if hybrid:
+            # linear SPD Gauss-Newton chain (same gather/scatter scaffold
+            # as forces_ext, dP from piola_linearized "spd"; no p0 term —
+            # the differential is all the matvec uses)
+            _, dp_spd = piola_linearized(fe_in, mu, lam, "spd")
+
+            def dforce_spd(wv_loc):
+                u_ext_flat = exchange_halo(wv_loc, W, AX).reshape(
+                    rows * n * n, 3)
+                u_nodes = u_ext_flat[ids_ext] * gather_mask
+                gmat = jnp.einsum("pkd,pke->pde", u_nodes, gradw,
+                                  precision=jax.lax.Precision.HIGHEST)
+                dsig = mm3(dp_spd(mm3(gmat, fe_in)), fe_t)
+                f_pk = -vol_alive[:, None, None] * jnp.einsum(
+                    "pde,pke->pkd", dsig, gradw,
+                    precision=jax.lax.Precision.HIGHEST) * scatter_mask
+                df_ext = jnp.zeros((rows * n * n, 3), pos.dtype).at[
+                    ids_ext.reshape(-1)].add(f_pk.reshape(-1, 3))
+                return jnp.stack([halo_reduce(
+                    df_ext.reshape(rows, n, n, 3)[..., d], W, AX)
+                    for d in range(3)], axis=-1)
+
     mass_safe = jnp.where(active, mass, 1.0)[..., None]
     b = jnp.where(active[..., None], velg + dt * (f0 / mass_safe + g), 0.0)
 
@@ -260,11 +301,40 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
         out = wv + beta_dt2 * (-df) / mass_safe
         return jnp.where(active[..., None], out, wv)
 
+    def matvec_spd(wv):
+        wm_ = jnp.where(active[..., None], wv, 0.0)
+        df = dforce_spd(wm_)
+        out = wv + beta_dt2 * (-df) / mass_safe
+        return jnp.where(active[..., None], out, wv)
+
     # x0 = b warm start, matching the single-chip mpm_step (b is within
     # O(beta*dt^2) of the solution; saves 1-3 Hessian-vector products)
-    res = pcg(matvec, b, x0=b, rtol=params.cg_rtol,
-              maxiter=params.cg_maxiter, reduce_fn=psum)
-    velg = jnp.where(active[..., None], res.x, 0.0)
+    if hybrid:
+        # exact operator first with a bounded budget, SPD Gauss-Newton
+        # re-solve on non-convergence — mirrors mpm_step (the cond
+        # predicate is a psum-reduced global, identical on every shard)
+        res_f = pcg(matvec, b, x0=b, rtol=params.cg_rtol,
+                    maxiter=params.cg_hybrid_cap, reduce_fn=psum)
+        bnorm2 = psum(jnp.sum((b * b).astype(jnp.float32)))
+        ok = (res_f.residual.astype(jnp.float32) ** 2
+              <= jnp.float32(params.cg_rtol) ** 2 * bnorm2)
+
+        def _keep(_):
+            return res_f.x, res_f.iters, res_f.residual
+
+        def _respd(_):
+            r = pcg(matvec_spd, b, x0=b, rtol=params.cg_rtol,
+                    maxiter=params.cg_maxiter, reduce_fn=psum)
+            return r.x, res_f.iters + r.iters, r.residual
+
+        solve_x, cg_iters, cg_resid = jax.lax.cond(ok, _keep, _respd, None)
+        spd_used = (~ok).astype(jnp.int32)
+    else:
+        res = pcg(matvec, b, x0=b, rtol=params.cg_rtol,
+                  maxiter=params.cg_maxiter, reduce_fn=psum)
+        solve_x, cg_iters, cg_resid = res.x, res.iters, res.residual
+        spd_used = jnp.asarray(1 if hess == "spd" else 0, jnp.int32)
+    velg = jnp.where(active[..., None], solve_x, 0.0)
 
     # ---- deformation gradient update ----
     velg_ext = exchange_halo(velg, W, AX)
@@ -413,7 +483,8 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
                                 volume=volume, alive=alive, dt=dt_new,
                                 t=state.t + dt_new, frame=state.frame + 1)
     metrics = {
-        "cg_iters": res.iters,
+        "cg_iters": cg_iters,
+        "spd_fallback": spd_used,
         "dt": dt_new,
         "dt_used": dt,
         "max_speed": max_speed,
@@ -427,7 +498,7 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
     return new_state, metrics
 
 
-class ShardedMpmSim:
+class ShardedMpmSim(LostParticleMonitor):
     """Host driver mirroring ``ShardedFlipSim`` for the MPM solver."""
 
     def __init__(self, scene: Scene | str = "mpm_cone",
@@ -509,7 +580,8 @@ class ShardedMpmSim:
         specs = ShardedMpmState(pos=P(AX), vel=P(AX), FE=P(AX), FP=P(AX),
                                 volume=P(AX), alive=P(AX), dt=P(), t=P(),
                                 frame=P())
-        mspecs = {k: P() for k in ("cg_iters", "dt", "dt_used", "max_speed",
+        mspecs = {k: P() for k in ("cg_iters", "spd_fallback", "dt",
+                                   "dt_used", "max_speed",
                                    "kinetic_energy", "num_active_cells",
                                    "num_alive", "migrated", "lost")}
         mspecs["occupancy"] = P(AX)
@@ -521,6 +593,7 @@ class ShardedMpmSim:
                                        in_specs=(P(), P(), specs),
                                        out_specs=(specs, mspecs),
                                        check_vma=False))
+        self._init_lost_monitor()
 
     @property
     def num_particles(self) -> int:
@@ -529,6 +602,7 @@ class ShardedMpmSim:
     def step(self):
         self.state, metrics = self._step(self.solid_full, self.solid_pad_ext,
                                          self.state)
+        self._note_lost(metrics)
         return metrics
 
     def run(self, frames: int, callback=None):
@@ -537,4 +611,5 @@ class ShardedMpmSim:
             out = self.step()
             if callback is not None:
                 callback(int(self.state.frame) - 1, self.state, out)
+        self._flush_lost()
         return out

@@ -61,16 +61,24 @@ struct Buf {
 // but skips the per-call deflate-state allocation, which dominates when
 // a frame encodes thousands of 2 KB leaf buffers (measured 153 ms ->
 // ~45 ms per 129^3 frame).
+struct DeflateState {
+  z_stream strm;
+  bool init = false;
+  ~DeflateState() {
+    if (init) deflateEnd(&strm);
+  }
+};
+
 static int deflate_oneshot(uint8_t* dst, uLongf* dstlen, const Bytef* src,
                            size_t srclen) {
-  thread_local z_stream strm;
-  thread_local bool init = false;
-  if (!init) {
+  thread_local DeflateState ds;
+  z_stream& strm = ds.strm;
+  if (!ds.init) {
     strm.zalloc = Z_NULL;
     strm.zfree = Z_NULL;
     strm.opaque = Z_NULL;
     if (deflateInit(&strm, /*level=*/1) != Z_OK) return Z_MEM_ERROR;
-    init = true;
+    ds.init = true;
   } else if (deflateReset(&strm) != Z_OK) {
     return Z_STREAM_ERROR;
   }
@@ -292,7 +300,10 @@ void encode_grid_body(Buf& out, Buf& leaf_buffers, const GridIn& g,
         const uint8_t* p = g.active.data()
             + (static_cast<size_t>(base[0] + a) * g.ny + (base[1] + b)) * g.nz
             + base[2] + w[4];
-        if (memchr(p, 1, len) != nullptr) return true;
+        // any NONZERO byte counts as active (pack_mask/write_compressed
+        // treat mask bytes as truthy, so leaf_any must agree)
+        for (int c = 0; c < len; ++c)
+          if (p[c]) return true;
       }
     return false;
   };

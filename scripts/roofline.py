@@ -116,8 +116,8 @@ def run_mpm(args):
     from fluidsim_tpu.ops.svd3 import clamp_singular, mm3
     from fluidsim_tpu.core.gridspec import cell_center_velocity
 
-    sim = MpmSim(get_scene("mpm_cone", bound=args.bound,
-                           density=args.density))
+    kw = {} if args.density is None else {"density": args.density}
+    sim = MpmSim(get_scene("mpm_cone", bound=args.bound, **kw))
     p = sim.params
     B, n = p.bound, 2 * p.bound + 1
     n3 = n * n * n
@@ -202,7 +202,8 @@ def run_mpm(args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bound", type=int, default=64)
-    ap.add_argument("--density", type=float, default=25.0)
+    ap.add_argument("--density", type=float, default=None,
+                    help="default: 25 for flip/apic, scene default for mpm")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--mode", choices=("flip", "apic", "mpm"),
                     default="flip")
@@ -224,6 +225,8 @@ def main():
     from fluidsim_tpu.ops import transfer_pallas as tp
     from fluidsim_tpu.ops import transfer as tr
 
+    if args.density is None:
+        args.density = 25.0
     scene = get_scene("water_cube_drop", bound=args.bound,
                       density=args.density)
     params_kw = {}

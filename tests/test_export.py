@@ -103,3 +103,65 @@ def test_exporter_dense_fallback_on_tiny_cap(tmp_path):
         assert ex.fallback_frames == 1
     (g,) = read_vdb(str(tmp_path / "f.vdb"))
     np.testing.assert_array_equal(_crop(g, bound, n), dense)
+
+
+def test_exporter_ref_topology_dense_active(tmp_path):
+    """ref_topology=True marks EVERY non-solid voxel active (the
+    reference's per-frame setValue sweep, fluid.cc:1443-1445), zeros
+    included, while values stay identical to the compact default."""
+    from fluidsim_tpu.io.vdb import read_vdb
+
+    n, bound = 21, 10
+    spec = _Spec(n, bound)
+    solid = np.zeros((n, n, n), bool)
+    solid[0] = solid[-1] = True
+    dense = _rand_field(n, 0.15, 42)
+
+    with AsyncFrameExporter(spec, solid, mode="flip",
+                            ref_topology=True) as ex:
+        ex.submit(str(tmp_path / "ref.vdb"), jnp.asarray(dense))
+        ex.flush()
+    with AsyncFrameExporter(spec, solid, mode="flip") as ex:
+        ex.submit(str(tmp_path / "compact.vdb"), jnp.asarray(dense))
+        ex.flush()
+
+    (gr,) = read_vdb(str(tmp_path / "ref.vdb"))
+    (gc,) = read_vdb(str(tmp_path / "compact.vdb"))
+    np.testing.assert_array_equal(_crop(gr, bound, n), _crop(gc, bound, n))
+
+    # crop the decoded active mask back to the sim block
+    off = [-bound - int(o) for o in gr.origin]
+    act = np.asarray(gr.active)[off[0]:off[0] + n, off[1]:off[1] + n,
+                                off[2]:off[2] + n]
+    np.testing.assert_array_equal(act, ~solid)
+    # default topology: only nonzero voxels active
+    actc = np.asarray(gc.active)[off[0]:off[0] + n, off[1]:off[1] + n,
+                                 off[2]:off[2] + n]
+    expect = np.where(solid, False, dense != 0)
+    np.testing.assert_array_equal(actc, expect)
+
+
+def test_lost_particle_monitor_warns_and_strict_raises(monkeypatch):
+    """Silent migration drops must surface (ADVICE r4): warn on lost>0
+    (checked one step later, off the dispatch path), raise under
+    FLUIDSIM_STRICT_MIGRATION=1."""
+    from fluidsim_tpu.parallel.flip_sharded import LostParticleMonitor
+
+    class Sim(LostParticleMonitor):
+        def __init__(self):
+            self._init_lost_monitor()
+
+    sim = Sim()
+    sim._note_lost({"lost": np.int32(0)})       # step 1: no pending yet
+    sim._note_lost({"lost": np.int32(3)})       # step 2: checks step 1 (0)
+    with pytest.warns(RuntimeWarning, match="dropped 3 particle"):
+        sim._note_lost({"lost": np.int32(0)})   # step 3: checks step 2
+    assert sim.lost_total == 3
+    sim._flush_lost()                           # pending 0 — no warning
+    assert sim.lost_total == 3
+
+    monkeypatch.setenv("FLUIDSIM_STRICT_MIGRATION", "1")
+    sim2 = Sim()
+    sim2._note_lost({"lost": np.int32(7)})
+    with pytest.raises(RuntimeError, match="dropped 7 particle"):
+        sim2._flush_lost()
