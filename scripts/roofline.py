@@ -89,9 +89,13 @@ def run_stages(stage_names, upto, call_args, iters):
         j = upto(stage)
         ms = timeit(j, *call_args, iters=iters)
         by = cost_bytes(j, *call_args)
-        d_ms, d_by = ms - prev_ms, by - prev_by
+        # prefix walls are each best-of-N; a cheap phase can measure
+        # slightly NEGATIVE from run-to-run noise — clamp the delta for
+        # the rate (the cumulative wall stays honest in the rollup)
+        d_ms, d_by = max(ms - prev_ms, 0.05), by - prev_by
         gbps = d_by / max(d_ms, 1e-9) / 1e6
-        rows.append({"phase": stage, "ms": round(d_ms, 2),
+        rows.append({"phase": stage, "ms": round(ms - prev_ms, 2),
+                     "clamped_ms": round(d_ms, 2),
                      "bytes": d_by, "GBps": round(gbps, 1),
                      "pct_hbm_peak": round(100 * gbps / HBM_PEAK_GBPS, 1)})
         prev_ms, prev_by = ms, by
@@ -116,8 +120,15 @@ def run_mpm(args):
     from fluidsim_tpu.ops.svd3 import clamp_singular, mm3
     from fluidsim_tpu.core.gridspec import cell_center_velocity
 
+    from fluidsim_tpu.models.mpm import MpmParams
+
     kw = {} if args.density is None else {"density": args.density}
-    sim = MpmSim(get_scene("mpm_cone", bound=args.bound, **kw))
+    scene = get_scene("mpm_cone", bound=args.bound, **kw)
+    # pin the full (reference) operator: the stage prefixes below rebuild
+    # the solve with the full Hessian, so the timed sim must match
+    sim = MpmSim(scene, params=MpmParams(
+        bound=args.bound, wall=scene.spec.wall, dx=scene.spec.dx,
+        gravity=tuple(scene.gravity), hessian="full"))
     p = sim.params
     B, n = p.bound, 2 * p.bound + 1
     n3 = n * n * n

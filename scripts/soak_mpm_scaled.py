@@ -1,0 +1,129 @@
+"""Scaled MPM cone soak (VERDICT r4 #1b): the full 500-frame workload at
+a scaled grid (default 255^3 / ~3.9M particles — the shape the bench
+ladder publishes), with the KE-decay oracle and a per-phase wall ledger.
+
+The reference's scaled analog is its MPM main loop (``mpm.cc:1301-1434``)
+run at a larger bound; the oracle is trajectory-shaped, not trace-pinned
+(no recorded 255^3 trace exists): KE must rise through free fall, peak at
+impact, then decay — and every particle must stay finite and confined.
+
+Usage:
+  python scripts/soak_mpm_scaled.py [--bound 127] [--frames 500]
+      [--chunk 10] [--json docs/mpm_soak_<n>.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bound", type=int, default=127)
+    ap.add_argument("--frames", type=int, default=500)
+    ap.add_argument("--chunk", type=int, default=10)
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    from fluidsim_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from fluidsim_tpu.models.mpm import MpmSim
+
+    n = 2 * args.bound + 1
+    out_path = args.json or os.path.join(HERE, "docs", f"mpm_soak_{n}.json")
+
+    sim = MpmSim("mpm_cone", bound=args.bound)
+    print(f"# grid {n}^3  {sim.num_particles} particles  "
+          f"hessian={sim.params.hessian}", file=sys.stderr)
+
+    # phase windows scale with the impact time; at the cone's v0=-50 and
+    # dt<=1e-3 the published 127^3 anatomy puts impact around frame ~110
+    phases = (("fall", 0, 100), ("impact", 100, 250),
+              ("settle", 250, args.frames))
+
+    kes, cgs, spds, mnds = [], [], [], []
+    t0 = time.time()
+    done = 0
+    cum = {0: 0.0}
+    first_chunk_secs = None
+    while done < args.frames:
+        k = min(args.chunk, args.frames - done)
+        m = sim.steps(k)
+        kes.extend(float(x) for x in np.asarray(m["kinetic_energy"]))
+        cgs.extend(int(x) for x in np.asarray(m["cg_iters"]))
+        spds.extend(int(x) for x in np.asarray(m["spd_fallback"]))
+        mnds.extend(float(x) for x in np.asarray(m["min_det_fp"]))
+        done += k
+        cum[done] = time.time() - t0
+        if first_chunk_secs is None:
+            first_chunk_secs = cum[done]
+            print(f"# first chunk incl. compile: {first_chunk_secs:.1f}s",
+                  file=sys.stderr)
+        if done % 100 == 0:
+            print(f"# frame {done}: cum {cum[done]:.1f}s "
+                  f"ke={kes[-1]:.4g} cg={cgs[-1]} spd={sum(spds)}",
+                  file=sys.stderr)
+
+    wall = time.time() - t0
+    ke = np.asarray(kes)
+    assert np.isfinite(ke).all(), "non-finite KE"
+    pos = np.asarray(sim.state.pos)
+    assert np.isfinite(pos).all(), "non-finite positions"
+    assert np.abs(pos).max() <= sim.params.bound, "particle escaped"
+
+    # KE-decay oracle: rise -> peak -> decay
+    peak_f = int(ke.argmax())
+    tail = ke[max(0, len(ke) - 50):].mean()
+    assert peak_f > 10, f"no free-fall rise (peak at {peak_f})"
+    assert tail < 0.5 * ke.max(), (
+        f"no post-impact decay: tail {tail:.3g} vs peak {ke.max():.3g}")
+
+    rows = []
+    for name, a, b in phases:
+        edges = sorted(cum)
+        ea = min(edges, key=lambda e: abs(e - a))
+        eb = min(edges, key=lambda e: abs(e - b))
+        if eb <= ea:
+            continue
+        secs = cum[eb] - cum[ea]
+        rows.append({
+            "phase": name, "frames": [ea, eb],
+            "steps_per_sec": round((eb - ea) / secs, 3),
+            "ms_per_frame": round(1000.0 * secs / (eb - ea), 1),
+            "cg_iters_mean": round(float(np.mean(cgs[ea:eb])), 1),
+            "cg_iters_max": int(np.max(cgs[ea:eb])),
+            "spd_fallback_frames": int(np.sum(spds[ea:eb])),
+        })
+
+    entry = {
+        "grid": n, "particles": sim.num_particles,
+        "hessian": sim.params.hessian, "frames": args.frames,
+        "wall_secs": round(wall, 1),
+        "steps_per_sec_avg": round(args.frames / wall, 3),
+        "first_chunk_secs": round(first_chunk_secs, 1),
+        "ke_peak": float(ke.max()), "ke_peak_frame": peak_f,
+        "ke_tail_mean50": float(tail),
+        "min_det_fp": float(np.min(mnds)),
+        "cg_iters_total": int(np.sum(cgs)),
+        "spd_fallback_frames_total": int(np.sum(spds)),
+        "phases": rows,
+        "ke_trace_every10": [float(x) for x in ke[::10]],
+    }
+    with open(out_path, "w") as f:
+        json.dump(entry, f, indent=1)
+    print(f"wrote {out_path}")
+    print(json.dumps({k: entry[k] for k in
+                      ("grid", "particles", "hessian", "wall_secs",
+                       "steps_per_sec_avg", "ke_peak_frame",
+                       "cg_iters_total", "spd_fallback_frames_total")}))
+
+
+if __name__ == "__main__":
+    main()

@@ -238,3 +238,53 @@ def test_jacobi_precond_same_solution():
     rel = np.abs(kes["jacobi"] - kes["none"]) / np.maximum(
         np.abs(kes["none"]), 1e-9)
     assert rel.max() < 1e-3, rel
+
+
+def test_hybrid_equals_full_while_cg_converges():
+    """hessian="hybrid" must reproduce the "full" (reference-operator)
+    trajectory exactly on frames where CG converges within cg_hybrid_cap —
+    the lax.cond fallback only changes frames where the indefinite system
+    stagnates (docs/mpm_deviation.json rationale)."""
+    import dataclasses
+    from functools import partial
+
+    scene = get_scene("mpm_cone", bound=18, density=40.0)
+    out = {}
+    for hess in ("full", "hybrid"):
+        sim = MpmSim(scene)
+        sim.params = dataclasses.replace(sim.params, hessian=hess)
+        sim._step = jax.jit(partial(mpm_step, sim.params),
+                            donate_argnums=(1,))
+        fallbacks = 0
+        for _ in range(5):
+            m = sim.step()
+            fallbacks += int(m["spd_fallback"])
+        out[hess] = (np.asarray(sim.state.pos),
+                     np.asarray(sim.state.vel), fallbacks)
+
+    assert out["hybrid"][2] == 0, "fallback unexpectedly triggered"
+    np.testing.assert_allclose(out["hybrid"][0], out["full"][0],
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(out["hybrid"][1], out["full"][1],
+                               rtol=0, atol=1e-5)
+
+
+def test_hybrid_falls_back_on_tiny_cap():
+    """With cg_hybrid_cap=0 the full solve can never converge (cap < 1
+    iteration while the warm-start residual is nonzero), so EVERY frame
+    must take the SPD branch and still produce finite physics."""
+    import dataclasses
+    from functools import partial
+
+    scene = get_scene("mpm_cone", bound=18, density=40.0)
+    sim = MpmSim(scene)
+    sim.params = dataclasses.replace(sim.params, hessian="hybrid",
+                                     cg_hybrid_cap=0)
+    sim._step = jax.jit(partial(mpm_step, sim.params), donate_argnums=(1,))
+    fallbacks = 0
+    for _ in range(3):
+        m = sim.step()
+        fallbacks += int(m["spd_fallback"])
+    assert fallbacks == 3
+    assert np.isfinite(float(m["kinetic_energy"]))
+    assert np.isfinite(np.asarray(sim.state.pos)).all()
