@@ -91,7 +91,15 @@ class FlipParams:
                                      # (docs/architecture.md) — sweepable
                                      # via scripts/sweep_window.py
     transfer_chunk: int = 0          # particle chunk rows T per window
-                                     # (0 = default 2048)
+                                     # (0 = auto: 2048, but 1024 past
+                                     # ~192^3 — the round-5 chunk sweep
+                                     # (docs/chunk_sweep.json) measured
+                                     # T=1024 fastest at 255^3 where the
+                                     # occupied-window count makes chunks
+                                     # window-bound: p2g 95.7 vs 98.9 ms,
+                                     # frame 382 vs 395; T=2048 stays
+                                     # best at 129^3 where chunks are
+                                     # particle-bound)
     preconditioner: str = "chebyshev"  # "jacobi", "chebyshev" (polynomial)
     # or "multigrid" (V-cycle).  Chebyshev-Jacobi d3 measured 113 -> 39 CG
     # iterations and -36% solve time at 129^3 (the d+1 in-precond stencil
@@ -122,6 +130,11 @@ class FlipState:
     aff: jax.Array | None = None   # (P, 3, 3) APIC affine matrices (mode="apic")
     pressure: jax.Array | None = None  # (N,N,N) last pressure solution —
                                        # warm-starts the next frame's PCG
+
+
+def _auto_chunk(bound: int) -> int:
+    """Default Pallas transfer chunk rows T by scale (see FlipParams)."""
+    return 1024 if bound > 96 else 2048
 
 
 def lookup_bool(grid, cells, bound: int):
@@ -275,6 +288,15 @@ def project(params: FlipParams, velg, fluid, solid, dt, p0=None,
             precond = pst.chebyshev_precond_fused(
                 ad_p, scale, nn, mode_, bxs, lblk,
                 degree=params.cheb_degree, ratio=params.cheb_ratio)
+        elif params.preconditioner == "multigrid":
+            # dense V-cycle conjugated through the packed layout:
+            # pad/unpad are mutually-transposed maskings on the fluid
+            # support, so M_packed = P M P^T stays symmetric PSD and PCG
+            # theory holds.  The pad/unpad round trip is 2 array moves
+            # per precond call — noise next to the V-cycle's sweeps.
+            from fluidsim_tpu.ops.multigrid import mg_preconditioner
+            mg = mg_preconditioner(fluid, solid, dt, rho, dx)
+            precond = lambda r: pad(mg(unpad(r)))
 
         def solve(b, x0):
             res = pcg(apply_a, pad(b), x0=pad(x0),
@@ -373,7 +395,7 @@ def flip_step(params: FlipParams, solid, state: FlipState):
         from fluidsim_tpu.ops import transfer_pallas as tp
         lay = tp.HaloLayout(2 * B + 1,
                             w=params.transfer_window or 512,
-                            t=params.transfer_chunk or 2048)
+                            t=params.transfer_chunk or _auto_chunk(B))
         pos, vel, flat, aff_flat = tp.sort_by_cell_h(
             pos, vel, B, lay, extra=state.aff.reshape(-1, 9),
             method=params.sort_method, interpret=params.pallas_interpret)
@@ -403,7 +425,7 @@ def flip_step(params: FlipParams, solid, state: FlipState):
         from fluidsim_tpu.ops import transfer_pallas as tp
         lay = tp.HaloLayout(2 * B + 1,
                             w=params.transfer_window or 512,
-                            t=params.transfer_chunk or 2048)
+                            t=params.transfer_chunk or _auto_chunk(B))
         pos, vel, flat = tp.sort_by_cell_h(pos, vel, B, lay,
                                            method=params.sort_method, interpret=params.pallas_interpret)
         weights, mom, occ, wv_rows = tp.p2g_pallas(

@@ -143,8 +143,9 @@ def _p2g_fused_local(pos_s, vel_s, flat_s, x0, nl, n, bound):
 
 def _slab_layout(nl, n):
     """Haloed kernel layout over the local (nl + 2W)-row x-slab."""
+    from fluidsim_tpu.models.flip import _auto_chunk
     from fluidsim_tpu.ops.transfer_pallas import HaloLayout
-    return HaloLayout(n, nx=nl + 2 * W)
+    return HaloLayout(n, nx=nl + 2 * W, t=_auto_chunk((n - 1) // 2))
 
 
 def _sort_local_h(pos, vel, alive, x0, nl, n, bound, lay):
