@@ -139,9 +139,17 @@ def pack_mpm_rows(flat_h, pos_s, vel_s, bound: int, t: int = 2048,
         vals = _mpm_vals_cm(pos_s, vel_s, bound)           # (121, P)
         body = jnp.pad(vals, ((0, 127 - 121), (0, p_padl - p)))
         return jnp.concatenate([body, ids[None]], axis=0)
-    cbody = jnp.zeros((127, p_padl), jnp.float32)
     nch = -(-p // chunk)
     pp = nch * chunk
+    # The scan buffer must hold every FULL chunk-aligned block: the last
+    # block's dynamic_update_slice starts at (nch-1)*chunk and spans a
+    # whole chunk, which can exceed p_padl — XLA then silently CLAMPS the
+    # start index, landing the block misaligned over the previous one and
+    # leaving the true tail zero (measured: ~10% of the cone's mass
+    # silently dropped at chunk < p; every >524k-particle MPM run hit
+    # this).  Build at max(p_padl, pp) and slice back.
+    width = max(p_padl, pp)
+    cbody = jnp.zeros((127, width), jnp.float32)
     pos_p = jnp.pad(pos_s, ((0, pp - p), (0, 0)))
     vel_p = jnp.pad(vel_s, ((0, pp - p), (0, 0)))
 
@@ -154,7 +162,7 @@ def pack_mpm_rows(flat_h, pos_s, vel_s, bound: int, t: int = 2048,
         return jax.lax.dynamic_update_slice(r, vals, (0, i * chunk)), None
 
     cbody, _ = jax.lax.scan(bodyfn, cbody, jnp.arange(nch, dtype=jnp.int32))
-    return jnp.concatenate([cbody, ids[None]], axis=0)
+    return jnp.concatenate([cbody[:, :p_padl], ids[None]], axis=0)
 
 
 def _slice_grid(d4, n: int, lay: tp.HaloLayout):

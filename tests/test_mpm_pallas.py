@@ -157,3 +157,39 @@ def test_full_step_matches_fast(state):
                                np.asarray(a.state.pos), atol=1e-4)
     np.testing.assert_allclose(np.asarray(b.state.FE),
                                np.asarray(a.state.FE), atol=1e-5)
+
+
+def test_pack_mpm_rows_chunked_equals_full():
+    """Regression (round 5): the chunked pack's last block used to
+    dynamic_update_slice past the buffer end whenever nch*chunk exceeded
+    p_padl; XLA clamps the start index, so the block landed misaligned
+    over the previous one and the true tail stayed zero — every MPM run
+    past 524k particles silently dropped ~the last block's contributions
+    (measured ~10% of the 127^3 cone's mass with a forced small chunk)."""
+    rng = np.random.default_rng(7)
+    bound = 15
+    p, chunk = 4097, 4096          # nch*chunk=8192 > p_padl=6400: triggers
+    pos = (rng.random((p, 3), np.float32) * 24 - 12).astype(np.float32)
+    vel = rng.standard_normal((p, 3)).astype(np.float32)
+    n = 2 * bound + 1
+    lay = tp.HaloLayout(n)
+    from fluidsim_tpu.core.splines import cround
+    from fluidsim_tpu.ops import pallas_shift as ps
+    base = np.round(pos).astype(np.int64)
+    gx = np.clip(base[:, 0] + bound, 0, n - 1)
+    gy = np.clip(base[:, 1] + bound, 0, n - 1)
+    gz = np.clip(base[:, 2] + bound, 0, n - 1)
+    flat = ((gx + ps._XH) * lay.lwr + lay.lh + gy * n + gz).astype(np.int32)
+    order = np.argsort(flat, kind="stable")
+    flat_h = jnp.asarray(flat[order])
+    pos_s = jnp.asarray(pos[order])
+    vel_s = jnp.asarray(vel[order])
+
+    full = np.asarray(mp.pack_mpm_rows(flat_h, pos_s, vel_s, bound,
+                                       chunk=1 << 19))
+    chunked = np.asarray(mp.pack_mpm_rows(flat_h, pos_s, vel_s, bound,
+                                          chunk=chunk))
+    # f32 fusion order differs slightly between the scan body and the
+    # one-shot path; the bug this guards against zeroed/misplaced whole
+    # blocks (O(1)-magnitude weight entries), far above this tolerance
+    np.testing.assert_allclose(chunked, full, atol=1e-6)
