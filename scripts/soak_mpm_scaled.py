@@ -28,7 +28,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bound", type=int, default=127)
     ap.add_argument("--frames", type=int, default=500)
-    ap.add_argument("--chunk", type=int, default=10)
+    # chunk=0 (auto): per-frame stepping past ~192^3 — the lax.scan-
+    # wrapped steps(k) program reproducibly crashed the TPU worker
+    # ("kernel fault") in the 255^3 impact phase on two runs, while
+    # per-frame stepping completed the identical frames cleanly (same
+    # scoped-VMEM stack mechanism the FLIP stencil_bx_cap note records
+    # for scan-wrapped programs); at >1 s/frame the per-dispatch cost
+    # is ~2% anyway.
+    ap.add_argument("--chunk", type=int, default=0)
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -40,8 +47,11 @@ def main():
     out_path = args.json or os.path.join(HERE, "docs", f"mpm_soak_{n}.json")
 
     sim = MpmSim("mpm_cone", bound=args.bound)
+    if args.chunk <= 0:
+        args.chunk = 1 if args.bound > 96 else 10
     print(f"# grid {n}^3  {sim.num_particles} particles  "
-          f"hessian={sim.params.hessian}", file=sys.stderr)
+          f"hessian={sim.params.hessian}  chunk={args.chunk}",
+          file=sys.stderr)
 
     # phase windows scale with the impact time; at the cone's v0=-50 and
     # dt<=1e-3 the published 127^3 anatomy puts impact around frame ~110
@@ -55,11 +65,14 @@ def main():
     first_chunk_secs = None
     while done < args.frames:
         k = min(args.chunk, args.frames - done)
-        m = sim.steps(k)
-        kes.extend(float(x) for x in np.asarray(m["kinetic_energy"]))
-        cgs.extend(int(x) for x in np.asarray(m["cg_iters"]))
-        spds.extend(int(x) for x in np.asarray(m["spd_fallback"]))
-        mnds.extend(float(x) for x in np.asarray(m["min_det_fp"]))
+        if k == 1:
+            m = sim.step()                    # avoids the scan wrapper
+        else:
+            m = sim.steps(k)
+        kes.extend(float(x) for x in np.atleast_1d(np.asarray(m["kinetic_energy"])))
+        cgs.extend(int(x) for x in np.atleast_1d(np.asarray(m["cg_iters"])))
+        spds.extend(int(x) for x in np.atleast_1d(np.asarray(m["spd_fallback"])))
+        mnds.extend(float(x) for x in np.atleast_1d(np.asarray(m["min_det_fp"])))
         done += k
         cum[done] = time.time() - t0
         if first_chunk_secs is None:
