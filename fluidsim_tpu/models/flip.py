@@ -289,14 +289,15 @@ def project(params: FlipParams, velg, fluid, solid, dt, p0=None,
                 ad_p, scale, nn, mode_, bxs, lblk,
                 degree=params.cheb_degree, ratio=params.cheb_ratio)
         elif params.preconditioner == "multigrid":
-            # dense V-cycle conjugated through the packed layout:
-            # pad/unpad are mutually-transposed maskings on the fluid
-            # support, so M_packed = P M P^T stays symmetric PSD and PCG
-            # theory holds.  The pad/unpad round trip is 2 array moves
-            # per precond call — noise next to the V-cycle's sweeps.
-            from fluidsim_tpu.ops.multigrid import mg_preconditioner
-            mg = mg_preconditioner(fluid, solid, dt, rho, dx)
-            precond = lambda r: pad(mg(unpad(r)))
+            # packed-smoother V-cycle: fine-level sweeps + residual run on
+            # the fused Pallas apply in the (Npx, L) layout (304 GB/s vs
+            # ~100 for the dense masked shifts inside this program at
+            # 255^3); coarse levels stay dense, reached via one unpad/pad
+            # round trip per cycle.  M = P-conjugated symmetric cycle, so
+            # PCG theory holds (ops/multigrid.py:mg_preconditioner_packed).
+            from fluidsim_tpu.ops.multigrid import mg_preconditioner_packed
+            precond = mg_preconditioner_packed(
+                fluid, solid, dt, rho, dx, pad, unpad, apply_a, ad_p)
 
         def solve(b, x0):
             res = pcg(apply_a, pad(b), x0=pad(x0),

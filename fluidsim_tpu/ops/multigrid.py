@@ -94,8 +94,10 @@ def _smooth(level: MgLevel, x, b, sweeps: int, omega: float = 0.8):
 
 
 def v_cycle(levels: List[MgLevel], b, pre: int = 2, post: int = 2,
-            coarse_sweeps: int = 24):
-    """One symmetric V-cycle approximating A^{-1} b."""
+            coarse_sweeps: int = 24, start: int = 0):
+    """One symmetric V-cycle approximating A^{-1} b, descending from level
+    ``start`` (0 = finest; >0 lets a caller own the finer levels, e.g. the
+    packed-smoother preconditioner below)."""
 
     def cycle(li, b):
         lev = levels[li]
@@ -112,7 +114,7 @@ def v_cycle(levels: List[MgLevel], b, pre: int = 2, post: int = 2,
         x = x + jnp.where(lev.fluid, prolong(ec, b.shape[0]), 0.0)
         return _smooth(lev, x, b, post)
 
-    return cycle(0, b)
+    return cycle(start, b)
 
 
 def mg_preconditioner(fluid, solid, dt, rho, dx, pre: int = 2, post: int = 2):
@@ -121,5 +123,61 @@ def mg_preconditioner(fluid, solid, dt, rho, dx, pre: int = 2, post: int = 2):
 
     def precond(r):
         return v_cycle(levels, jnp.where(fluid, r, 0.0), pre=pre, post=post)
+
+    return precond
+
+
+def mg_preconditioner_packed(fluid, solid, dt, rho, dx, pad, unpad,
+                             apply_packed, ad_p, pre: int = 2, post: int = 2,
+                             omega: float = 0.8):
+    """Packed-smoother V-cycle: the SPD V-cycle with the FINE level's
+    damped-Jacobi sweeps and residual computed in the packed (Npx, L)
+    layout via the fused Pallas stencil (``pallas_stencil.apply_laplacian_
+    padded[_lh]``) instead of dense masked shifts.
+
+    Rationale (round-5 measurement, ``docs/architecture.md``): at 255^3 the
+    dense V-cycle costs ~38 ms/cycle because its fine-level sweeps run at
+    ~100 GB/s in the (N,N,N) layout inside the step program, while the
+    packed Pallas apply sustains ~304 GB/s — and the fine level is ~7/8 of
+    the cycle's bytes.  Moving exactly those sweeps into the packed layout
+    keeps the operator bit-identical (the kernel masks with adiag > 0, the
+    same fluid predicate) and leaves the geometrically-shrinking coarse
+    levels (1/8 the cells per level) on the dense path, reached through one
+    unpad/pad round trip per cycle.
+
+    Symmetry: equal pre/post packed smooths around a symmetric coarse
+    correction (the dense ``v_cycle`` from level 1, itself symmetric), and
+    pad/unpad are mutually-transposed layout bijections on the fluid
+    support — so M stays symmetric PSD and PCG theory holds.
+    """
+    levels = build_hierarchy(fluid, solid, dt, rho, dx)
+    maskp = ad_p > 0
+    safe = jnp.where(maskp, ad_p, 1.0)
+    n_fine = fluid.shape[0]
+
+    def smooth_p(x, b, sweeps):
+        def body(_, x):
+            r = b - apply_packed(x)
+            return jnp.where(maskp, x + omega * r / safe, 0.0)
+        return jax.lax.fori_loop(0, sweeps, body, x)
+
+    if len(levels) == 1:
+        # grid too small to coarsen: pure packed smoothing
+        def precond(r_p):
+            b = jnp.where(maskp, r_p, 0.0)
+            return smooth_p(jnp.zeros_like(b), b, pre + post)
+        return precond
+
+    def precond(r_p):
+        b = jnp.where(maskp, r_p, 0.0)
+        x = smooth_p(jnp.zeros_like(b), b, pre)
+        r = b - apply_packed(x)
+        rd = unpad(r)
+        rc = restrict(jnp.where(levels[0].fluid, rd, 0.0))
+        rc = jnp.where(levels[1].fluid, rc, 0.0)
+        ec = v_cycle(levels, rc, pre=pre, post=post, start=1)
+        xd = jnp.where(levels[0].fluid, prolong(ec, n_fine), 0.0)
+        x = x + pad(xd)
+        return smooth_p(x, b, post)
 
     return precond
