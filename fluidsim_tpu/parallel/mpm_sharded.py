@@ -521,8 +521,12 @@ class ShardedMpmSim(LostParticleMonitor):
         if params.pallas_transfer is None:
             # per-shard XLA scatters hit the TPU scatter-emitter compile
             # wall at production slab sizes; route through the Pallas slab
-            # kernels on real backends
-            auto = (jax.default_backend() != "cpu" and scene.spec.n <= 511)
+            # kernels on real backends.  Decide from the MESH's devices,
+            # not the global default backend: a virtual-CPU mesh inside a
+            # TPU-default process (the dryrun / mixed-session case) must
+            # take the XLA path (compiled Pallas is TPU-only).
+            auto = (mesh.devices.flat[0].platform != "cpu"
+                    and scene.spec.n <= 511)
             params = dataclasses.replace(params, pallas_transfer=auto)
         self.scene, self.params, self.mesh = scene, params, mesh
         ndev = mesh.devices.size
