@@ -54,11 +54,14 @@ def sort_mpm_h(pos, vel, FE, FP, volume, bound: int, layout: tp.HaloLayout):
     """Sort the full MPM particle state by haloed base-cell flat id
     (``transfer_pallas.sort_by_cell_h`` order).
 
-    Implementation note: a 2-operand key+iota sort followed by row-gather
-    permutes of the 25 payload columns — NOT one wide ``lax.sort``.  XLA's
-    TPU sort emitter scales pathologically with operand count (a 26-operand
-    sort was still compiling after 16 minutes; the 2-operand form plus
-    gathers compiles in seconds and the stable-sort order is identical).
+    Implementation note: an 8-operand sort carrying the hot channels
+    (key, pos, vel, iota) plus ONE fused row-gather of the remaining 19
+    payload columns (FE|FP|vol concatenated) — NOT one wide ``lax.sort``.
+    XLA's TPU sort emitter scales pathologically with operand count (a
+    26-operand sort was still compiling after 16 minutes), while separate
+    per-array gathers are per-row-bound (six of them cost ~340 ms at
+    255^3/6.3M rows); this form pays one sequential concat copy to run a
+    single gather pass.  Stable-sort order is identical.
     """
     n = 2 * bound + 1
     base = cround(pos).astype(jnp.int32)
@@ -66,11 +69,16 @@ def sort_mpm_h(pos, vel, FE, FP, volume, bound: int, layout: tp.HaloLayout):
     flat = ((bc[:, 0] + ps._XH) * layout.lwr
             + layout.lh + bc[:, 1] * n + bc[:, 2])
     p = pos.shape[0]
-    flat_s, perm = jax.lax.sort(
-        [flat, jnp.arange(p, dtype=jnp.int32)], num_keys=1)
-    return (jnp.take(pos, perm, axis=0), jnp.take(vel, perm, axis=0),
-            jnp.take(FE, perm, axis=0), jnp.take(FP, perm, axis=0),
-            jnp.take(volume, perm, axis=0), flat_s)
+    out = jax.lax.sort(
+        [flat, pos[:, 0], pos[:, 1], pos[:, 2],
+         vel[:, 0], vel[:, 1], vel[:, 2],
+         jnp.arange(p, dtype=jnp.int32)], num_keys=1)
+    rest = jnp.take(jnp.concatenate(
+        [FE.reshape(p, 9), FP.reshape(p, 9), volume[:, None]], axis=-1),
+        out[7], axis=0)
+    return (jnp.stack(out[1:4], -1), jnp.stack(out[4:7], -1),
+            rest[:, 0:9].reshape(p, 3, 3), rest[:, 9:18].reshape(p, 3, 3),
+            rest[:, 18], out[0])
 
 
 def _mpm_vals_cm(pos, vel, bound: int):

@@ -38,6 +38,7 @@ from fluidsim_tpu.parallel.halo import (exchange_halo, halo_reduce,
                                         migrate_neighbors)
 from fluidsim_tpu.parallel.flip_sharded import (AX, W, SENTINEL,
                                                 LostParticleMonitor,
+                                                _digest,
                                                 _local_scatter, _local_gather)
 from fluidsim_tpu.scenes import Scene, get_scene
 from fluidsim_tpu.seeding import seed_particles
@@ -59,7 +60,16 @@ class ShardedMpmState:
 
 def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
                       solid_full, solid_pad_ext, state: ShardedMpmState,
-                      tail_insert: bool = True):
+                      tail_insert: bool = True, upto: str | None = None):
+    """SPMD body (per device under shard_map).
+
+    ``upto``: profiling hook mirroring ``flip_sharded._sharded_step`` —
+    stop after the named phase and return a scalar digest so cumulative
+    prefixes of the REAL step can be jitted separately and diffed into a
+    per-phase ledger (``scripts/profile_sharded.py --mpm``).  Checkpoints
+    (Pallas path): ``sort``, ``p2g``, ``reduce``, ``density``, ``force0``,
+    ``solve``, ``gradF``, ``g2p``, ``advect``; ``None`` runs the full
+    step."""
     B, n = params.bound, 2 * params.bound + 1
     rows = nl + 2 * W
     me = jax.lax.axis_index(AX)
@@ -106,28 +116,48 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
         # and tail insert depend on; lay.ncells sorts dead rows last and
         # past the final pack-window edge, so kernels never touch them.
         flat = jnp.where(alive, flat, lay.ncells)
-        flat_h, perm = jax.lax.sort(
-            [flat, jnp.arange(p, dtype=jnp.int32)], num_keys=1)
-        pos = jnp.take(pos, perm, axis=0)
-        vel = jnp.take(vel, perm, axis=0)
-        alive = jnp.take(alive, perm, axis=0)
-        fe_in = jnp.take(state.FE, perm, axis=0)
-        fp_in = jnp.take(state.FP, perm, axis=0)
-        volume_in = jnp.take(state.volume, perm, axis=0)
+        # direct multi-operand sort for the hot channels + ONE fused
+        # row-gather for the remaining 19 (FE|FP|vol) — the FLIP round-4
+        # sort fix ported to the MPM payload.  A full 26-operand sort
+        # hangs the TPU sort emitter (see ops/mpm_pallas.sort_mpm_h);
+        # 9 operands compile fine, and collapsing six separate takes
+        # into one concat+take pays one sequential copy to remove five
+        # per-row-bound random gathers at cap rows.
+        out = jax.lax.sort(
+            [flat, pos[:, 0], pos[:, 1], pos[:, 2],
+             vel[:, 0], vel[:, 1], vel[:, 2], alive.astype(jnp.float32),
+             jnp.arange(p, dtype=jnp.int32)], num_keys=1)
+        flat_h = out[0]
+        pos = jnp.stack(out[1:4], -1)
+        vel = jnp.stack(out[4:7], -1)
+        alive = out[7] > 0.5
+        rest = jnp.take(jnp.concatenate(
+            [state.FE.reshape(p, 9), state.FP.reshape(p, 9),
+             state.volume[:, None]], axis=-1), out[8], axis=0)
+        fe_in = rest[:, 0:9].reshape(p, 3, 3)
+        fp_in = rest[:, 9:18].reshape(p, 3, 3)
+        volume_in = rest[:, 18]
+        if upto == "sort":
+            return _digest(pos, vel, fe_in, fp_in, flat_h)
 
         prows = mp.pack_mpm_rows(flat_h, pos, vel, B)
         pcols = tp.cols_of(prows)
         d4 = pt.scatter_wv_fused(prows, flat_h, lay.xr, lay.lwr, n,
                                  interpret=itp, cols=pcols, lh=lay.lh)
+        if upto == "p2g":
+            return _digest(d4)
         accn = d4[:, ps._XH:ps._XH + rows,
                   2 * lay.lh:2 * lay.lh + n * n].reshape(4, rows, n, n)
-        mass = jnp.where(~solid_loc, halo_reduce(accn[0], W, AX), 0.0)
-        mom = jnp.stack([halo_reduce(accn[1 + d], W, AX) for d in range(3)],
-                        axis=-1)
-        mom = jnp.where((~solid_loc)[..., None], mom, 0.0)
+        # one fused halo_reduce over all 4 channels (mass + momentum):
+        # a single ppermute of (W, n, n, 4) instead of four of (W, n, n)
+        red4 = halo_reduce(jnp.moveaxis(accn, 0, -1), W, AX)
+        mass = jnp.where(~solid_loc, red4[..., 0], 0.0)
+        mom = jnp.where((~solid_loc)[..., None], red4[..., 1:4], 0.0)
         velg = jnp.where((mass > thr)[..., None],
                          mom / jnp.where(mass > thr, mass, 1.0)[..., None],
                          0.0)
+        if upto == "reduce":
+            return _digest(mass, mom, velg)
 
         # ---- per-particle volume at frame 0 (findVolume) ----
         mass_ext = exchange_halo(mass, W, AX)
@@ -172,6 +202,8 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
                                 x0, nl, n, W)[..., 0]
         dens = jnp.sum(jnp.where(not_solid, w27 * mass_at, 0.0), axis=1)
 
+    if upto == "density":
+        return _digest(dens)
     vol0 = 1.0 / jnp.where(dens > 0, dens, 1.0)
     volume = jnp.where(state.frame == 0,
                        jnp.where(alive, vol0, 0.0), volume_in)
@@ -213,8 +245,9 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
             return jnp.where(not_solid_ext[..., None], f, 0.0)
 
         def reduce3(f_ext):
-            return jnp.stack([halo_reduce(f_ext[..., d], W, AX)
-                              for d in range(3)], axis=-1)
+            # halo_reduce works over any trailing dims: fold the whole
+            # (rows, n, n, 3) force field in one exchange per CG matvec
+            return halo_reduce(f_ext, W, AX)
 
         f0 = reduce3(scatter_sigma(mm3(p0, fe_t)))
 
@@ -283,6 +316,8 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
                     df_ext.reshape(rows, n, n, 3)[..., d], W, AX)
                     for d in range(3)], axis=-1)
 
+    if upto == "force0":
+        return _digest(f0)
     mass_safe = jnp.where(active, mass, 1.0)[..., None]
     b = jnp.where(active[..., None], velg + dt * (f0 / mass_safe + g), 0.0)
 
@@ -335,6 +370,8 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
         solve_x, cg_iters, cg_resid = res.x, res.iters, res.residual
         spd_used = jnp.asarray(1 if hess == "spd" else 0, jnp.int32)
     velg = jnp.where(active[..., None], solve_x, 0.0)
+    if upto == "solve":
+        return _digest(velg, cg_resid)
 
     # ---- deformation gradient update ----
     velg_ext = exchange_halo(velg, W, AX)
@@ -358,6 +395,8 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
     fp_new = mm3(v_sinv_ut, f_total)
     fe_new = jnp.where(alive[:, None, None], fe_new, eye)
     fp_new = jnp.where(alive[:, None, None], fp_new, eye)
+    if upto == "gradF":
+        return _digest(fe_new, fp_new)
 
     # ---- FLIP advect ----
     vc_new = cell_center_velocity(exchange_halo(velg, W, AX))
@@ -380,6 +419,8 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
                             jnp.sum(wg[..., None] * dv, axis=1)
                             / safe[:, None], 0.0)
     vel = jnp.where(alive[:, None], vel + delta_v, 0.0)
+    if upto == "g2p":
+        return _digest(vel)
 
     speed = jnp.sqrt(jnp.sum(vel * vel, axis=-1))
     max_speed = jax.lax.pmax(jnp.max(jnp.where(alive, speed, 0.0)), AX)
@@ -391,6 +432,8 @@ def _sharded_mpm_step(params: MpmParams, nl: int, cap: int, mig_cap: int,
         analytic_wall=params.wall if params.walls_only_solid else None)
     pos = jnp.where(alive[:, None], pos_new, SENTINEL)
     vel = jnp.where(alive[:, None], vel_new, 0.0)
+    if upto == "advect":
+        return _digest(pos, vel)
 
     # ---- migration with full MPM payload ----
     owner = jnp.clip((cround(pos[:, 0]).astype(jnp.int32) + B) // nl, 0,
@@ -503,8 +546,17 @@ class ShardedMpmSim(LostParticleMonitor):
 
     def __init__(self, scene: Scene | str = "mpm_cone",
                  params: MpmParams | None = None, mesh: Mesh | None = None,
-                 seed: int = 0, dtype=jnp.float32, cap_factor: float = 1.6,
-                 mig_frac: float = 0.1, **scene_kwargs):
+                 seed: int = 0, dtype=jnp.float32, cap_factor: float = 1.35,
+                 mig_frac: float = 0.06, **scene_kwargs):
+        # cap_factor/mig_frac default tighter than FLIP's (1.6/0.1): the
+        # MPM dt is CFL-capped at <= 1 cell/step, the cone's x-profile is
+        # static (no splash), and the 255^3 anatomy showed the 1.6x cap
+        # multiplying every row-proportional XLA stage (sort/takes, SVD3
+        # in piola_linearized, per-CG mm3 chains, advect) — the windowed
+        # Pallas kernels already skip dead chunks, so the padding buys
+        # nothing there.  1.35/0.06 keeps the sorted-band tail-insert
+        # invariant (2*mig_cap <= cap - 1.15*count) and the
+        # LostParticleMonitor warns on any overflow.
         if isinstance(scene, str):
             scene = get_scene(scene, **scene_kwargs)
         if params is None:
@@ -539,12 +591,31 @@ class ShardedMpmSim(LostParticleMonitor):
         solid_pad_ext[W:W + n] = solid_np
 
         pos, vel = seed_particles(scene, seed=seed, dtype=np.dtype(dtype).name)
-        owner = np.clip((np.floor(np.abs(pos[:, 0]) + 0.5)
-                         * np.sign(pos[:, 0]) + scene.spec.bound).astype(int)
-                        // self.nl, 0, ndev - 1)
+        xcell = np.clip((np.floor(np.abs(pos[:, 0]) + 0.5)
+                         * np.sign(pos[:, 0])
+                         + scene.spec.bound).astype(int), 0, npad - 1)
+        owner = np.clip(xcell // self.nl, 0, ndev - 1)
         counts = np.bincount(owner, minlength=ndev)
-        self.cap = int(math.ceil(max(counts.max(), 8) * cap_factor / 8) * 8)
-        self.mig_cap = max(64, int(self.cap * mig_frac))
+        cap0 = int(math.ceil(max(counts.max(), 8) * cap_factor / 8) * 8)
+        # The sorted-band migration needs F >= the population of a shard's
+        # EDGE x-row (senders live only in the first/last F sorted rows,
+        # and under the CFL bound every sender starts the step in its edge
+        # row); a blind cap fraction under-sizes the band for dense rows
+        # (the cone's widest row sits exactly on the center slab boundary
+        # at even ndev).  Size F from the seed-time histogram of the
+        # actual boundary rows with 1.5x drift headroom — zero boundaries
+        # at ndev=1 — then grow cap just enough to preserve the
+        # tail-insert invariant (2F <= cap - 1.15*count) instead of
+        # silently flipping to the full-P compaction path.  The
+        # LostParticleMonitor still warns if a run outgrows the band.
+        row_pop = np.bincount(xcell, minlength=npad)
+        edge_rows = [r for d in range(1, ndev)
+                     for r in (d * self.nl - 1, d * self.nl) if r < npad]
+        edge_pop = int(row_pop[edge_rows].max()) if edge_rows else 0
+        self.mig_cap = max(64, int(cap0 * mig_frac),
+                           min(int(1.5 * edge_pop), cap0))
+        need = int(counts.max() * 1.15) + 2 * self.mig_cap
+        self.cap = max(cap0, int(math.ceil(need / 8) * 8))
         # static insert strategy — see ShardedFlipSim
         self.tail_insert = (2 * min(self.mig_cap, self.cap)
                             <= self.cap - int(counts.max() * 1.15))
